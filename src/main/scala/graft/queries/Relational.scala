@@ -1,0 +1,311 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.io.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator inventory (SURVEY §2.1–§2.8) re-expressed Spark-first
+  * over the TPC-H-ish testdata. Every query here has a DuckDB oracle.
+  *
+  * Determinism rules used throughout (driver hashes values after sorting
+  * columns by name):
+  *  - sums of doubles go through a per-row DECIMAL cast so partial-aggregation
+  *    order cannot change the result (exact decimal addition on both engines);
+  *  - averages are written as exact-decimal-sum / count with ONE final double
+  *    division, identical IEEE op on both sides;
+  *  - every output is totally ordered (unique tie-break keys).
+  */
+object Relational {
+
+  /** Exact, order-insensitive sum of a double column: per-row decimal cast →
+    * decimal sum → double. Mirrored in oracle SQL as
+    * CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE). */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- A1/A11: hash aggregate with partial/final plumbing (reference
+    // WordCount.scala:60-61 pattern applied to lineitem)
+    "q1_agg" -> QueryDef.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ----- P1/P3/P5/P6: predicates + projection/rename (reference
+    // ExtractCandidates.scala:98 filter-after-read; Utils.scala:276-281)
+    "q_filter_project" -> QueryDef.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority AS priority
+      FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+      ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 1000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority").as("priority"))
+        .orderBy("o_orderkey")
+    },
+
+    // ----- O1: global top-K with total order (reference AnalysisUtils.scala:49-51)
+    "q_topk" -> QueryDef.sql("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(25)
+    },
+
+    // ----- J1/J7: multi-way equi-join + aggregate; small dims broadcast
+    // (reference twoSidedJoin Utils.scala:251-260 → plain joins per SURVEY J1)
+    "q_join_agg" -> QueryDef.sql("""
+      SELECT n_name, CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // ----- J2: blocked candidate-pair self-join. The reference builds pairs via
+    // driver collect+broadcast+flatMap (ExtractCandidates.scala:150-169,
+    // Utils.scala:46-105 `pairup`); here it is ONE declarative self-join with the
+    // blocking key (c_mktsegment ~ cluster label) as equi-condition so Catalyst
+    // plans a hash join, not a cartesian. Predicates mirror pk1<pk2, state1!=state2
+    // and the length-ratio band (Utils.scala:79).
+    "q_pairs_blocked" -> QueryDef.sql("""
+      SELECT a.c_custkey AS custkey1, b.c_custkey AS custkey2, a.c_mktsegment AS segment
+      FROM customer a JOIN customer b
+        ON a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+       AND a.c_nationkey <> b.c_nationkey
+       AND abs(a.c_acctbal - b.c_acctbal) < 100.0
+      ORDER BY custkey1, custkey2""") { (s, d) =>
+      val c = Tables.customer(s, d)
+      val a = c.alias("a")
+      val b = c.alias("b")
+      a.join(b,
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey") &&
+          col("a.c_nationkey") =!= col("b.c_nationkey") &&
+          abs(col("a.c_acctbal") - col("b.c_acctbal")) < 100.0)
+        .select(col("a.c_custkey").as("custkey1"), col("b.c_custkey").as("custkey2"),
+          col("a.c_mktsegment").as("segment"))
+        .orderBy("custkey1", "custkey2")
+    },
+
+    // ----- A6 + §2.5: latest-version-per-key as a window query (replaces the
+    // reference's groupByKey+sortWith+dropDuplicates, LatestVersionExtracter.scala:88,94)
+    "q_latest_per_key" -> QueryDef.sql("""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date
+      FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1
+      ORDER BY o_custkey""") { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("latest_date"))
+        .orderBy("o_custkey")
+    },
+
+    // ----- A9: histogram with explicit under/overflow buckets (reference
+    // Histogrammar Bin(n,lo,hi,col), utils/Plot.scala:31, README.md:133-155)
+    "q_histogram" -> QueryDef.sql("""
+      SELECT CASE WHEN l_quantity < 0 THEN -1
+                  WHEN l_quantity >= 50 THEN 10
+                  ELSE CAST(FLOOR(l_quantity/5.0) AS BIGINT) END AS bucket,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY bucket""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("bucket",
+          when(col("l_quantity") < 0, lit(-1L))
+            .when(col("l_quantity") >= 50, lit(10L))
+            .otherwise(floor(col("l_quantity") / 5.0)))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // ----- semi/anti join semantics (SURVEY §2.3 note: reference only has the
+    // include/exclude predicate pair P4 — expressed here as real semi/anti joins)
+    "q_semi_join" -> QueryDef.sql("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 480000.0)
+      ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 480000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "q_anti_join" -> QueryDef.sql("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ----- U1: UNION ALL (reference glob-union HarvestOutput.scala:25-26)
+    "q_union_all" -> QueryDef.sql("""
+      SELECT o_orderstatus, COUNT(*) AS n FROM (
+        SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+        UNION ALL
+        SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 100000.0).select("o_orderstatus")
+        .unionByName(o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderstatus"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ----- A2: countDistinct (reference docs/tuning_kmeans.md:21,117)
+    "q_count_distinct" -> QueryDef.sql("""
+      SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_cust
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ----- P8: deterministic duplicate elimination by key (reference
+    // dropDuplicates LatestVersionExtracter.scala:94, made deterministic)
+    "q_dedup_by_key" -> QueryDef.sql("""
+      SELECT o_custkey, MIN(o_orderkey) AS first_orderkey
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey").agg(min(col("o_orderkey")).as("first_orderkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ----- A7: descriptive stats (reference data.describe(), README.md:106-116)
+    "q_describe" -> QueryDef.sql("""
+      SELECT COUNT(o_totalprice) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)/COUNT(o_totalprice) AS mean,
+             MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+      FROM orders""") { (s, d) =>
+      Tables.orders(s, d).agg(
+        count(col("o_totalprice")).as("cnt"),
+        (dsum(col("o_totalprice")) / count(col("o_totalprice"))).as("mean"),
+        min(col("o_totalprice")).as("min_v"),
+        max(col("o_totalprice")).as("max_v"))
+    },
+
+    // ----- A8: Pearson correlation (reference Statistics.corr,
+    // docs/correlations.md:94-97); rounded once on both sides
+    "q_corr" -> QueryDef.sql("""
+      SELECT ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price
+      FROM lineitem""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+    },
+
+    // ----- O5: deterministic systematic sample (reference Bernoulli sample
+    // AnalysisUtils.scala:98-104 is seed-dependent; modulo sampling is the
+    // oracle-checkable equivalent)
+    "q_sample_mod" -> QueryDef.sql("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 17 = 0 ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 17 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ----- F9/F10: date parsing/truncation (reference getTimestampString_udf +
+    // to_timestamp, LatestVersionExtracter.scala:10-48)
+    "q_date_trunc" -> QueryDef.sql("""
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY month""") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("month")
+    },
+
+    // ----- F8: CASE WHEN routing (reference takeSmaller/LargerContent_udf,
+    // AnalysisUtils.scala:142-156 → when/otherwise)
+    "q_case_when" -> QueryDef.sql("""
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high' ELSE 'low' END AS prio_class,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY prio_class""") { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("prio_class",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high").otherwise("low"))
+        .groupBy("prio_class")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("prio_class")
+    },
+
+    // ----- P4: dynamic include-list predicate (reference appendFeature_udf OR-list
+    // from file, Utils.scala:284-305 → isin)
+    "q_isin" -> QueryDef.sql("""
+      SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE n_nationkey IN (0, 3, 7, 11, 19, 23) ORDER BY n_name""") { (s, d) =>
+      Tables.nation(s, d)
+        .filter(col("n_nationkey").isin(0, 3, 7, 11, 19, 23))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("n_name", "r_name")
+        .orderBy("n_name")
+    },
+
+    // ----- P9/P2: substring & regex predicates (reference contains probe
+    // docs/example1.md:13; compactSelector regex Utils.scala:262-273 → rlike)
+    "q_contains" -> QueryDef.sql("""
+      SELECT p_brand, COUNT(*) AS n FROM part
+      WHERE p_type LIKE '%ARG%' GROUP BY p_brand ORDER BY p_brand""") { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").contains("ARG"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    "q_regex_filter" -> QueryDef.sql("""
+      SELECT doc_id, n_chars FROM documents
+      WHERE NOT regexp_matches(text, 'compact|uniform') AND n_chars > 300
+      ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(!col("text").rlike("compact|uniform") && col("n_chars") > 300)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }
+  )
+}
