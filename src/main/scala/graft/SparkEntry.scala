@@ -14,7 +14,9 @@ object SparkEntry {
 
   /** All operator registries, merged. Later modules must not reuse names. */
   private lazy val registry: Map[String, QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.TextQueries.defs ++
+      graft.queries.EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * End-to-end slice: scan → filter → join → aggregate → top-K. */

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators: JSON scalar extraction (SURVEY F20) and the batch
+  * equivalents of the streaming windows (SURVEY §2.13 — tumbling/sliding/
+  * session). The real `readStream` versions live in graft.streaming and are
+  * exercised by tests; these batch twins are the oracle-checkable surface,
+  * and both share the same window semantics (epoch-aligned starts, 30-min
+  * session gap).
+  */
+object EventQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- F20: JSON scalar extraction + aggregate
+    "q_json_extract" -> QueryDef.sql("""
+      SELECT event_type,
+             SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // ----- §2.13: tumbling window aggregate via the real window() operator;
+    // epoch-second starts keep the oracle timestamp-type-agnostic
+    "q_window_tumbling" -> QueryDef.sql("""
+      SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,2)")).cast("double").as("total"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // ----- §2.13: sliding window (1 h window, 30 min slide) — each event lands
+    // in exactly two windows; oracle mirrors via unnest of the two starts
+    "q_window_sliding" -> QueryDef.sql("""
+      SELECT window_start, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM (SELECT unnest([b - 1800, b]) AS window_start, value
+            FROM (SELECT CAST(FLOOR(epoch(ts)/1800)*1800 AS BIGINT) AS b, value
+                  FROM events))
+      GROUP BY window_start ORDER BY window_start""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,2)")).cast("double").as("total"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("n"), col("total"))
+        .orderBy("window_start")
+    },
+
+    // ----- §2.13: sessionization (30-min inactivity gap) as window functions;
+    // the streaming twin uses session_window()/flatMapGroupsWithState
+    "q_sessionize" -> QueryDef.sql("""
+      WITH e AS (SELECT user_id, event_id,
+                        CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+                 FROM events),
+      g AS (SELECT user_id,
+                   CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                             > 1800 OR LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                             IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM e)
+      SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      FROM g GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("new_session",
+          when(col("sec") - lag("sec", 1).over(w) > 1800 ||
+               lag("sec", 1).over(w).isNull, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }
+  )
+}

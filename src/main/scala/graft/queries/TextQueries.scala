@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.io.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators over the `documents` table: tokenization/wordcount
+  * (reference WordCount.scala:19-67), n-gram counting (Utils.scala:206-216),
+  * plus the training-data-pipeline extensions (language ID, quality scoring,
+  * token counting, fingerprinting, exact + n-gram-Jaccard dedup).
+  */
+object TextQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- A1/M1/F15: tokenize → explode → count (reference WordCount.scala:44-61)
+    "q_wordcount" -> QueryDef.sql("""
+      SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 5
+      ORDER BY token""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy("token")
+    },
+
+    // ----- M4: n-gram extraction + frequency (reference NGram,
+    // Utils.scala:206-216; 5-grams in workflow2, here 3-grams)
+    "q_ngram_count" -> QueryDef.sql("""
+      SELECT ngram, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS ngram
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+      GROUP BY ngram HAVING COUNT(*) >= 3 ORDER BY ngram""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 3)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy("ngram")
+    },
+
+    // ----- extension: language-ID heuristic (marker-word argmax)
+    "q_langid" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, lang,
+                        list_filter(string_split(text,' '), x -> x <> '') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, lang,
+                   len(list_filter(toks, x -> x IN ('the','of','and','to','a','in','is'))) AS en,
+                   len(list_filter(toks, x -> x IN ('el','la','de','los','y','que'))) AS es,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+                   len(list_filter(toks, x -> x IN ('le','la','les','et','est','une'))) AS fr
+            FROM t)
+      SELECT doc_id, lang,
+             CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                  WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                  WHEN de >= fr AND de > 0 THEN 'de'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und' END AS predicted
+      FROM s ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // ----- extension: quality scoring (length/stopword/token-shape ratios)
+    "q_quality" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split(text,' '), x -> x <> '') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, len(toks) AS n_tokens,
+                   CASE WHEN len(toks) = 0 THEN 0
+                        ELSE list_reduce(list_transform(toks, x -> strlen(x)), (a,b) -> a+b) END AS n_token_chars,
+                   len(list_filter(toks, x -> x IN ('the','of','and','to','a','in','is'))) AS n_stop
+            FROM t)
+      SELECT doc_id, n_tokens,
+             ROUND(CAST(n_token_chars AS DOUBLE)/n_tokens, 4) AS avg_token_len,
+             ROUND(CAST(n_stop AS DOUBLE)/n_tokens, 4) AS stop_ratio,
+             ROUND(LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.5
+                   + LEAST(CAST(n_stop AS DOUBLE)/n_tokens*5.0, 1.0)*0.5, 4) AS quality
+      FROM s WHERE n_tokens > 0 ORDER BY doc_id""") { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          TextOps.tokenChars(col("toks")).as("n_token_chars"),
+          TextOps.markerScore(col("toks"), TextOps.langMarkers("en")).as("n_stop"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("n_token_chars").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+          round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+            + least(col("n_stop").cast("double") / col("n_tokens") * 5.0, lit(1.0)) * 0.5, 4)
+            .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ----- extension: token counting (whitespace + BPE-ish regex)
+    "q_token_count" -> QueryDef.sql("""
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish
+      FROM documents ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).as("n_bpeish"))
+        .orderBy("doc_id")
+    },
+
+    // ----- extension: content-hash fingerprint
+    "q_fingerprint" -> QueryDef.sql("""
+      SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ----- extension: exact dedup via content-hash groupBy (scale path: the
+    // md5 group key shuffles 16 bytes/row instead of the full text)
+    "q_dedup_exact" -> QueryDef.sql("""
+      SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keeper""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper")
+    },
+
+    // ----- extension: n-gram (token-set) Jaccard near-dup pairs, blocked by
+    // lang (the J2 blocked self-join shape applied to dedup; LSH is the
+    // 100 TB path, this is the exact small-block variant)
+    "q_jaccard_pairs" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, lang,
+                        list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+                 FROM documents)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)*100.0
+                   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)*100.0
+            / len(list_distinct(list_concat(a.s, b.s))) >= 80.0
+      ORDER BY d1, d2""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(TextOps.tokens(col("text"))).as("s"))
+      val a = t.alias("a")
+      val b = t.alias("b")
+      val jac = size(array_intersect(col("a.s"), col("b.s"))).cast("double") * 100.0 /
+        size(array_union(col("a.s"), col("b.s")))
+      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .filter(jac >= 80.0)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          round(jac, 4).as("jac"))
+        .orderBy("d1", "d2")
+    }
+  )
+}

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text operators: cleaning, tokenization, n-grams, language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Re-expresses the reference's UDF zoo (cleaner_udf / smallWordRemover /
+  * compactSelector_udf etc., reference feature/Utils.scala:177-281 and
+  * WordCount.scala:44-46) as pure Column expressions: every function here stays
+  * inside whole-stage codegen — no Scala UDF boxing, no driver round-trips —
+  * which is what survives a 100 TB scan.
+  */
+object TextOps {
+
+  /** F1: strip digits and clutter punctuation (reference Utils.scala:177). */
+  def clean(c: Column): Column =
+    regexp_replace(lower(c), "(\\d|,|:|;|\\?|!)", "")
+
+  /** F2: drop 1-2 letter words (reference Utils.scala:178-179). */
+  def dropSmallWords(c: Column): Column =
+    regexp_replace(c, "\\b\\w{1,2}\\b", "")
+
+  /** M1-equivalent tokenizer on a Column (RegexTokenizer pattern \W,
+    * reference Utils.scala:186) — here a plain whitespace split with empty
+    * tokens removed, matching the oracle's string_split. */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** M4: n-grams over a token array (reference NGram usage Utils.scala:206-216).
+    * Pure expression version of ml.feature.NGram's per-row logic. */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact token count after whitespace split. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token estimate: word pieces + isolated punctuation. */
+  def bpeishCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Language marker word lists for the n-gram/stopword language heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"))
+
+  /** Count of tokens that appear in `words`. */
+  def markerScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language-ID heuristic: argmax of marker-word hits with deterministic
+    * tie-break order en > es > de > fr > und. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = markerScore(t, langMarkers("en"))
+    val es = markerScore(t, langMarkers("es"))
+    val de = markerScore(t, langMarkers("de"))
+    val fr = markerScore(t, langMarkers("fr"))
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Total characters across tokens (for avg token length). */
+  def tokenChars(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t))
+
+  /** Document fingerprint: md5 hex of the text (content-hash dedup key). */
+  def fingerprint(c: Column): Column = md5(c.cast("binary"))
+}
