@@ -16,7 +16,8 @@ object SparkEntry {
   private lazy val registry: Map[String, QueryDef] =
     graft.queries.Relational.defs ++
       graft.queries.TextQueries.defs ++
-      graft.queries.EventQueries.defs
+      graft.queries.EventQueries.defs ++
+      graft.queries.VectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * End-to-end slice: scan → filter → join → aggregate → top-K. */

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ann.SignLsh
+import graft.io.Tables
+import graft.similarity.ArrayOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators: similarity kernels over arrays (SURVEY §2.10),
+  * brute-force cosine top-k (the ANN baseline), and the sign-LSH bucketed ANN
+  * join (the 100 TB scale path). All three are fully oracle-checked — folds are
+  * left-folds in index order on both engines, so doubles match bit-for-bit.
+  */
+object VectorQueries {
+
+  private val SUP_THR = 0.1  // support threshold for set-based kernels
+  private val N_PLANES = 6   // 64 LSH buckets
+  private val DIM = 64
+
+  private def duckSupport(v: String): String =
+    s"list_transform($v, x -> CASE WHEN x > $SUP_THR THEN 1 ELSE 0 END)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- §2.10: similarity kernels on candidate pairs (array twin of
+    // graft.similarity.Kernels; reference computes these via UDF on VectorUDT,
+    // BillAnalyzer.scala:72-109)
+    "q_sim_kernels" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 40),
+      p AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.v AS va, b.v AS vb,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> a.v[i]*b.v[i]), (x,y)->x+y) AS dot,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> a.v[i]*a.v[i]), (x,y)->x+y) AS naa,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> b.v[i]*b.v[i]), (x,y)->x+y) AS nbb,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> abs(a.v[i]-b.v[i])), (x,y)->x+y) AS l1d,
+                   len(list_filter(range(1, ${DIM + 1}), i -> a.v[i] > $SUP_THR AND b.v[i] > $SUP_THR)) AS inter,
+                   len(list_filter(a.v, x -> x > $SUP_THR)) AS sa,
+                   len(list_filter(b.v, x -> x > $SUP_THR)) AS sb,
+                   len(list_filter(range(1, ${DIM + 1}), i -> (a.v[i] > $SUP_THR) <> (b.v[i] > $SUP_THR))) AS mism
+            FROM t a JOIN t b ON a.vec_id < b.vec_id)
+      SELECT d1, d2,
+             ROUND(ABS(dot)/(SQRT(naa)*SQRT(nbb))*100.0, 6) AS cosine,
+             ROUND(100.0/(1.0+l1d), 6) AS manhattan,
+             ROUND(CAST(inter AS DOUBLE)/(sa+sb-inter)*100.0, 4) AS jaccard,
+             ROUND(CAST(inter AS DOUBLE)/sa*100.0, 4) AS left_jaccard,
+             ROUND(CAST(inter AS DOUBLE)/sb*100.0, 4) AS right_jaccard,
+             ROUND(CAST(inter AS DOUBLE)/LEAST(sa, sb)*100.0, 4) AS maxasym_jaccard,
+             ROUND(100.0/(1.0+mism), 6) AS hamming_sim,
+             ROUND(CAST(${DIM} - mism AS DOUBLE)/${DIM}*100.0, 4) AS dense_jaccard
+      FROM p WHERE sa > 0 AND sb > 0
+      ORDER BY d1, d2""") { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 40)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      val a = t.alias("a")
+      val b = t.alias("b")
+      val (va, vb) = (col("a.v"), col("b.v"))
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          ArrayOps.dot(va, vb).as("dot"),
+          ArrayOps.norm2sq(va).as("naa"),
+          ArrayOps.norm2sq(vb).as("nbb"),
+          ArrayOps.l1(va, vb).as("l1d"),
+          ArrayOps.supportIntersect(va, vb, SUP_THR).as("inter"),
+          ArrayOps.supportSize(va, SUP_THR).as("sa"),
+          ArrayOps.supportSize(vb, SUP_THR).as("sb"),
+          ArrayOps.binaryMismatch(va, vb, SUP_THR).as("mism"))
+        .filter(col("sa") > 0 && col("sb") > 0)
+        .select(col("d1"), col("d2"),
+          round(abs(col("dot")) / (sqrt(col("naa")) * sqrt(col("nbb"))) * 100.0, 6).as("cosine"),
+          round(lit(100.0) / (lit(1.0) + col("l1d")), 6).as("manhattan"),
+          round(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")) * 100.0, 4).as("jaccard"),
+          round(col("inter").cast("double") / col("sa") * 100.0, 4).as("left_jaccard"),
+          round(col("inter").cast("double") / col("sb") * 100.0, 4).as("right_jaccard"),
+          round(col("inter").cast("double") / least(col("sa"), col("sb")) * 100.0, 4).as("maxasym_jaccard"),
+          round(lit(100.0) / (lit(1.0) + col("mism")), 6).as("hamming_sim"),
+          round((lit(DIM) - col("mism")).cast("double") / DIM * 100.0, 4).as("dense_jaccard"))
+        .orderBy("d1", "d2")
+    },
+
+    // ----- extension: brute-force cosine top-k — the ANN correctness baseline.
+    // The probe set is broadcast (it is config-scale), candidates stream:
+    // exactly the shape that survives a 1000-executor scan of a 100 TB table.
+    "q_cosine_topk" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 50 = 0),
+      s AS (SELECT q_id, vec_id AS cand_id,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> qv[i]*v[i]), (x,y)->x+y)
+                   / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> qv[i]*qv[i]), (x,y)->x+y))
+                      * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> v[i]*v[i]), (x,y)->x+y))) AS cos
+            FROM q JOIN t ON vec_id <> q_id),
+      r AS (SELECT q_id, cand_id, ROUND(cos, 6) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+            FROM s)
+      SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 5
+      ORDER BY q_id, rn""") { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      val q = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+      broadcast(q).join(t, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          ArrayOps.cosine(col("qv"), col("v")).as("cos"))
+        .select(col("q_id"), col("cand_id"), round(col("cos"), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    },
+
+    // ----- extension: sign-LSH bucketed ANN — same probe set, but the join is
+    // bucket-equality instead of a cross product; md5-derived hyperplanes make
+    // the buckets reproducible in the oracle
+    "q_ann_lsh" -> QueryDef.sql {
+      val planes = SignLsh.hyperplanes(N_PLANES, DIM)
+      val bucketSql = SignLsh.sqlBucket("v", planes)
+      s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      tb AS (SELECT vec_id, v, $bucketSql AS bkt FROM t),
+      q AS (SELECT vec_id AS q_id, v AS qv, bkt FROM tb WHERE vec_id % 50 = 0),
+      s AS (SELECT q_id, tb.vec_id AS cand_id,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> qv[i]*v[i]), (x,y)->x+y)
+                   / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> qv[i]*qv[i]), (x,y)->x+y))
+                      * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> v[i]*v[i]), (x,y)->x+y))) AS cos
+            FROM q JOIN tb ON q.bkt = tb.bkt AND tb.vec_id <> q.q_id),
+      r AS (SELECT q_id, cand_id, ROUND(cos, 6) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+            FROM s)
+      SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 3
+      ORDER BY q_id, rn"""
+    } { (s, d) =>
+      val planes = SignLsh.hyperplanes(N_PLANES, DIM)
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+        .withColumn("bkt", SignLsh.bucket(col("v"), planes))
+      val q = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bkt").as("qbkt"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+      q.join(t, col("qbkt") === col("bkt") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(ArrayOps.cosine(col("qv"), col("v")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    }
+  )
+}
