@@ -1,0 +1,75 @@
+package graft.candidates
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked candidate-pair generation — the engine's rewrite of the reference's
+  * `pairup` (reference feature/Utils.scala:46-105 + driver collect/broadcast
+  * ExtractCandidates.scala:150-169, SURVEY J2).
+  *
+  * The reference collects the whole metadata table to the driver, broadcasts
+  * it, and flatMaps a quadratic loop — which caps the corpus at driver memory.
+  * Here pair generation is ONE declarative self-join:
+  *   - blocking label equality (k-means/LDA `prediction`) is the EQUI key, so
+  *     Catalyst plans a shuffled hash/sort-merge join partitioned by cluster —
+  *     each executor sees only its clusters' rows (the ~27× pair cut,
+  *     docs/tuning_kmeans.md:200-207, without a driver round-trip);
+  *   - pk1 < pk2 dedups symmetric pairs (Utils.scala:75,88);
+  *   - group1 != group2 is the cross-state constraint;
+  *   - the optional length-ratio band |l1−l2|/√(l1·l2) < maxRatio is
+  *     optimization level 2 (Utils.scala:79,96).
+  * AQE's skew-join handling replaces hand salting for hot clusters (the
+  * 27 800-doc cluster of docs/tuning_kmeans.md:130).
+  */
+final case class CandidateConfig(
+    keyCol: String = "primary_key",
+    groupCol: String = "state",       // pairs must differ on this
+    blockCol: Option[String] = Some("prediction"), // pairs must match on this
+    lengthCol: Option[String] = None,
+    maxLengthRatio: Double = 0.26,
+    includeKeys: Option[Seq[String]] = None, // P4 include list
+    excludeKeys: Option[Seq[String]] = None) // P4 exclude list
+
+object Candidates {
+
+  /** Self-join producing (pk1, pk2) candidate pairs under `cfg`. */
+  def pairs(df: DataFrame, cfg: CandidateConfig): DataFrame = {
+    val base = (cfg.includeKeys, cfg.excludeKeys) match {
+      case (Some(keys), _) => df.filter(col(cfg.keyCol).isin(keys: _*))
+      case (_, Some(keys)) => df.filter(!col(cfg.keyCol).isin(keys: _*))
+      case _ => df
+    }
+    val cols = Seq(cfg.keyCol, cfg.groupCol) ++ cfg.blockCol ++ cfg.lengthCol
+    val t = base.select(cols.distinct.map(col): _*)
+    val a = t.alias("a")
+    val b = t.alias("b")
+    def ac(c: String) = col(s"a.$c")
+    def bc(c: String) = col(s"b.$c")
+
+    val blockCond: Column = cfg.blockCol
+      .map(c => ac(c) === bc(c))
+      .getOrElse(lit(true))
+    val lengthCond: Column = cfg.lengthCol.map { c =>
+      abs(ac(c) - bc(c)) / sqrt(ac(c).cast("double") * bc(c)) < cfg.maxLengthRatio
+    }.getOrElse(lit(true))
+
+    a.join(b,
+        blockCond &&
+        (ac(cfg.keyCol) < bc(cfg.keyCol)) &&
+        (ac(cfg.groupCol) =!= bc(cfg.groupCol)) &&
+        lengthCond)
+      .select(ac(cfg.keyCol).as("pk1"), bc(cfg.keyCol).as("pk2"))
+  }
+
+  /** J1: attach a payload column (e.g. features) to both sides of each pair —
+    * the reference's twoSidedJoin (Utils.scala:251-260) as two equi-joins;
+    * Catalyst broadcasts `payload` when it is small enough. */
+  def attachBothSides(pairs: DataFrame, payload: DataFrame,
+                      keyCol: String, valueCol: String): DataFrame = {
+    val p1 = payload.select(col(keyCol).as("__k1"), col(valueCol).as(s"${valueCol}_1"))
+    val p2 = payload.select(col(keyCol).as("__k2"), col(valueCol).as(s"${valueCol}_2"))
+    pairs
+      .join(p1, col("pk1") === col("__k1")).drop("__k1")
+      .join(p2, col("pk2") === col("__k2")).drop("__k2")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.cluster
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel, LDA, LDAModel}
+import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
+import org.apache.spark.mllib.linalg.distributed.RowMatrix
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clustering / topic / LSA blocking operators (SURVEY M8-M10).
+  *
+  * These produce the `prediction` column that the blocked candidate join keys
+  * on — the reference's ~27× all-pairs reduction (reference
+  * docs/tuning_kmeans.md:100-207). All seeds fixed for reproducibility.
+  */
+object Clustering {
+
+  /** K-means blocking (reference feature/Utils.scala:129-149). Returns the
+    * input plus a `prediction` column, and the model (for WSSSE =
+    * summary.trainingCost, the Spark-4 home of computeCost). */
+  def kmeans(df: DataFrame, k: Int, maxIter: Int = 40, seed: Long = 12345L,
+             featuresCol: String = "features"): (KMeansModel, DataFrame) = {
+    val model = new KMeans()
+      .setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol(featuresCol)
+      .fit(df)
+    (model, model.transform(df))
+  }
+
+  /** LDA topic model (reference LDAAnalyzer.scala:85-116). Returns the model
+    * (describeTopics, logLikelihood/logPerplexity) and the input plus
+    * `topicDistribution`; `prediction` = argmax topic as blocking label. */
+  def lda(df: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 12345L,
+          featuresCol: String = "features"): (LDAModel, DataFrame) = {
+    val model = new LDA()
+      .setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol(featuresCol)
+      .fit(df)
+    val withTopics = model.transform(df)
+    val argmax = udf((v: Vector) => v.argmax)
+    (model, withTopics.withColumn("prediction", argmax(col("topicDistribution"))))
+  }
+
+  /** Truncated-SVD (LSA) projection that PRESERVES KEYS: instead of the
+    * reference's RowMatrix reconstruction + zipWithIndex re-join
+    * (reference feature/Utils.scala:151-175, ExtractCandidates.scala:114-133,
+    * SURVEY J6), fit V on a RowMatrix and project each row x → Vᵗx with a
+    * broadcast V. One extra narrow map, zero joins, keys never leave the row. */
+  def lsaProject(df: DataFrame, numConcepts: Int,
+                 featuresCol: String = "features",
+                 outputCol: String = "lsa_features"): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(featuresCol)).rdd
+      .map(r => org.apache.spark.mllib.linalg.Vectors.fromML(r.getAs[Vector](0)))
+    val svd = new RowMatrix(rows).computeSVD(numConcepts, computeU = false)
+    val v = svd.V // numFeatures x k, small (k columns)
+    val vArr = v.toArray // column-major
+    val nRows = v.numRows
+    val nCols = v.numCols
+    val bc = spark.sparkContext.broadcast((vArr, nRows, nCols))
+    val project = udf { (x: Vector) =>
+      val (m, nr, nc) = bc.value
+      val out = new Array[Double](nc)
+      x.foreachActive { (i, value) =>
+        var j = 0
+        while (j < nc) { out(j) += m(j * nr + i) * value; j += 1 }
+      }
+      Vectors.dense(out)
+    }
+    df.withColumn(outputCol, project(col(featuresCol)))
+  }
+}

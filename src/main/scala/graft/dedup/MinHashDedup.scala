@@ -1,0 +1,121 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded-LSH near-duplicate detection over a text column — the
+  * training-data-pipeline generalization of the reference's MinHash LSH
+  * workflow (reference ExtractMinHashLSH.scala:104-115: 100 tables, 5-gram
+  * shingles; CustomizedMinHashLSH.scala:33-43 permutation hashes).
+  *
+  * Everything is a Column expression over arrays — signature computation is
+  * a per-row map (no fit job, no model broadcast), and the only shuffles are
+  * the band-bucket self-join and the final dedup. At 100 TB this is:
+  * scan → narrow map (signatures) → explode bands (×nBands) → shuffle on
+  * (band, hash) → join within buckets → verify. Candidate verification uses
+  * exact token-set Jaccard, so false positives cost only the verify compute.
+  *
+  * Hash family: h_k(x) = (a_k·x + b_k) mod p over 31-bit-reduced xxhash64
+  * shingle hashes, a/b derived from md5 (deterministic, no JVM RNG),
+  * p = 2^31-1. The 31-bit domain keeps a·h + b < 2^62 so the expression can
+  * never overflow Long under ANSI mode (same reason the reference's
+  * permutation hash uses the 31-bit prime 2038074743,
+  * CustomizedMinHashLSH.scala:33-43).
+  */
+object MinHashDedup {
+
+  private val P = (1L << 31) - 1 // Mersenne prime 2^31-1
+
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.8)
+
+  /** Deterministic (a, b) coefficient pairs in [1, P-1] / [0, P-1]. */
+  def coefficients(numHashes: Int): (Array[Long], Array[Long]) = {
+    val a = Array.tabulate(numHashes)(k => 1 + graft.ann.SignLsh.md5Long(s"mh-a:$k") % (P - 1))
+    val b = Array.tabulate(numHashes)(k => graft.ann.SignLsh.md5Long(s"mh-b:$k") % P)
+    (a, b)
+  }
+
+  /** Distinct shingle hash values for a text column: xxhash64 of each w-token
+    * shingle, reduced to [0, P) so downstream affine hashes cannot overflow. */
+  def shingleHashes(text: Column, w: Int): Column =
+    array_distinct(transform(
+      TextOps.ngrams(TextOps.tokens(text), w),
+      s => pmod(xxhash64(s), lit(P))))
+
+  /** MinHash signature (array<long> of length numHashes) from shingle hashes.
+    * min over shingles of (a_k·h + b_k) mod p; pmod keeps it non-negative.
+    * Empty shingle sets get a sentinel signature of all P (never collides with
+    * a real signature because pmod(_, P) < P). */
+  def signature(shingles: Column, numHashes: Int): Column = {
+    val (as, bs) = coefficients(numHashes)
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)), k =>
+      array_min(transform(shingles, h =>
+        pmod(element_at(typedLit(as.toSeq), k + 1) * h
+          + element_at(typedLit(bs.toSeq), k + 1), lit(P)))))
+    when(size(shingles) > 0, sig)
+      .otherwise(typedLit(Seq.fill(numHashes)(P)))
+  }
+
+  /** (band index, band hash) rows for banded LSH: signature split into
+    * `bands` equal slices, each hashed to one bucket key. */
+  def bandHashes(sig: Column, bands: Int, numHashes: Int): Column = {
+    val r = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"), xxhash64(slice(sig, b * r + 1, lit(r))).as("bh")))
+  }
+
+  /** Near-duplicate candidate pairs with exact-Jaccard verification.
+    * Returns (d1, d2, jac) with d1 < d2 and jac >= cfg.jaccardThreshold·100. */
+  def nearDupPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
+    val prepared = df.select(
+      col(cfg.idCol).as("__id"),
+      array_distinct(TextOps.tokens(col(cfg.textCol))).as("__toks"),
+      shingleHashes(col(cfg.textCol), cfg.shingleSize).as("__shingles"))
+      .withColumn("__sig", signature(col("__shingles"), cfg.numHashes))
+      .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.numHashes))
+
+    val buckets = prepared
+      .select(col("__id"), col("__toks"), explode(col("__bands")).as("__b"))
+      .select(col("__id"), col("__toks"),
+        col("__b.band").as("__band"), col("__b.bh").as("__bh"))
+
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    val cand = a.join(b,
+        col("a.__band") === col("b.__band") &&
+        col("a.__bh") === col("b.__bh") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        col("a.__toks").as("t1"), col("b.__toks").as("t2"))
+      .dropDuplicates("d1", "d2")
+
+    val inter = size(array_intersect(col("t1"), col("t2")))
+    val union = size(array_union(col("t1"), col("t2")))
+    // empty∪empty = 0: such pairs (both texts tokenless) are not duplicates
+    // of anything meaningful — score them 0 instead of dividing by zero
+    cand
+      .withColumn("jac",
+        when(union > 0, round(inter.cast("double") * 100.0 / union, 4))
+          .otherwise(lit(0.0)))
+      .filter(col("jac") >= cfg.jaccardThreshold * 100.0)
+      .select("d1", "d2", "jac")
+  }
+
+  /** Exact-duplicate removal by content hash: keeps the smallest id per
+    * distinct text (deterministic, unlike a bare dropDuplicates). */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

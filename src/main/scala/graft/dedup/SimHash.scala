@@ -1,0 +1,66 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprinting: 64-bit signature where bit j is the
+  * sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
+  *
+  * Detection uses the pigeonhole band trick: two signatures within Hamming
+  * distance d share at least one of d+1 equal-width chunks, so candidate
+  * generation is a chunk-equality join (shuffle on a small key) and the
+  * verify step is a popcount of the XOR — no cross join anywhere.
+  */
+object SimHash {
+
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHammingDistance: Int = 3)
+
+  /** 64-bit simhash of a token array as a Column expression: per-bit left-fold
+    * of +1/−1 votes, then sign. */
+  def simhash(toks: Column): Column = {
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shiftright(xxhash64(t), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs (d1 < d2) with signature Hamming distance <= max. */
+  def nearDupPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
+    val chunks = cfg.maxHammingDistance + 1
+    val width = 64 / chunks // 16 bits per chunk for d=3
+    val sigs = df.select(
+      col(cfg.idCol).as("__id"),
+      simhash(TextOps.tokens(col(cfg.textCol))).as("__sig"))
+
+    val chunked = sigs.select(col("__id"), col("__sig"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("__sig"), c * width)
+            .bitwiseAND((1L << width) - 1).as("ck"))
+      }: _*)).as("__c"))
+      .select(col("__id"), col("__sig"),
+        col("__c.chunk").as("__chunk"), col("__c.ck").as("__ck"))
+
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b,
+        col("a.__chunk") === col("b.__chunk") &&
+        col("a.__ck") === col("b.__ck") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        col("a.__sig").as("s1"), col("b.__sig").as("s2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("hdist", hamming64(col("s1"), col("s2")))
+      .filter(col("hdist") <= cfg.maxHammingDistance)
+      .select("d1", "d2", "hdist")
+  }
+}

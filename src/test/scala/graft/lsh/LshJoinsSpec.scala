@@ -1,0 +1,50 @@
+package graft.lsh
+
+import graft.SparkSpec
+import org.apache.spark.ml.linalg.Vectors
+
+/** Stock-estimator LSH self-joins with asym-Jaccard recompute (SURVEY M11/M12/J3). */
+class LshJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // binary "set membership" vectors: docs 1,2 share 4 of 5 items; 3 disjoint
+  private lazy val sets = Seq(
+    (1L, Vectors.sparse(32, Array(0, 1, 2, 3, 4), Array.fill(5)(1.0))),
+    (2L, Vectors.sparse(32, Array(0, 1, 2, 3, 9), Array.fill(5)(1.0))),
+    (3L, Vectors.sparse(32, Array(20, 21, 22, 23), Array.fill(4)(1.0)))
+  ).toDF("id", "features")
+
+  test("minHashSelfJoin finds the overlapping pair with both distances") {
+    val got = LshJoins.minHashSelfJoin(sets, "id", "features", threshold = 0.8)
+      .select("pk1", "pk2", "jaccard_dist", "asym_jaccard_dist")
+      .as[(Long, Long, Double, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val r12 = got.find(r => r._1 == 1L && r._2 == 2L).get
+    // |∩|=4 |∪|=6 → jaccard_dist = 1/3; asym: max(4/5,4/5)=0.8 → 0.2
+    assert(math.abs(r12._3 - 1.0 / 3) < 1e-9)
+    assert(math.abs(r12._4 - 0.2) < 1e-9)
+  }
+
+  test("brpSelfJoin finds close euclidean pairs only") {
+    val vecs = Seq(
+      (1L, Vectors.dense(0.0, 0.0)),
+      (2L, Vectors.dense(0.1, 0.0)),
+      (3L, Vectors.dense(50.0, 50.0))
+    ).toDF("id", "features")
+    val got = LshJoins.brpSelfJoin(vecs, "id", "features",
+      threshold = 1.0, bucketLength = 2.0)
+      .select("pk1", "pk2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("minHashKnn returns k nearest by jaccard distance") {
+    val probe = Vectors.sparse(32, Array(0, 1, 2, 3, 4), Array.fill(5)(1.0))
+    val got = LshJoins.minHashKnn(sets, "id", "features", probe, k = 2)
+      .as[(Long, Double)].collect()
+    assert(got.length == 2)
+    assert(got.map(_._1).contains(1L)) // identical set must be in top-2
+    assert(got.find(_._1 == 1L).get._2 == 0.0)
+  }
+}
