@@ -17,12 +17,16 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.TextQueries.defs ++
       graft.queries.EventQueries.defs ++
-      graft.queries.VectorQueries.defs
+      graft.queries.VectorQueries.defs ++
+      graft.queries.MlQueries.defs ++
+      graft.queries.GraphQueries.defs ++
+      graft.queries.FunctionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * End-to-end slice: scan → filter → join → aggregate → top-K. */
+    * The reference's workflow 1 end to end: TF-IDF features → k-means
+    * blocking → candidate self-join → cosine kernel → global top-K. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_join_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_billmatch")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,126 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.graphx.lib.ShortestPaths
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators over (src, dst[, weight]) edge DataFrames (SURVEY G1-G4).
+  *
+  * The reference builds a GraphFrame from similarity matches and runs
+  * PageRank / shortestPaths / triangleCount (reference graph/GraphUtils.scala:16-41);
+  * the GraphFrames jar is unavailable offline, so:
+  *  - GraphX (shipped with Spark) powers triangle count and shortest paths —
+  *    both integer-valued, so results are engine-exact;
+  *  - PageRank is ALSO provided as a pure-DataFrame iterative implementation
+  *    ([[pageRankDF]]) because (a) it is oracle-checkable and (b) at 100 TB a
+  *    join-based rank iteration lets Catalyst/AQE handle partitioning and skew,
+  *    where GraphX pins its own RDD partitioning.
+  *
+  * All operators treat the graph as UNDIRECTED (the reference's similarity
+  * graph is undirected): edges are canonicalized src<dst then mirrored
+  * internally where the algorithm needs both directions.
+  */
+object GraphOps {
+
+  /** Canonicalize an undirected edge list: src < dst, dedup. */
+  def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
+      least(col(srcCol), col(dstCol)).cast("long").as("src"),
+      greatest(col(srcCol), col(dstCol)).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Both directions of a canonical edge list. */
+  def symmetric(canonical: DataFrame): DataFrame =
+    canonical.unionByName(
+      canonical.select(col("dst").as("src"), col("src").as("dst")))
+
+  private def toGraphX(canonical: DataFrame): Graph[Int, Int] = {
+    val edgeRdd = canonical.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, defaultValue = 0)
+  }
+
+  /** G1+G4: triangles per vertex via GraphX TriangleCount (integer-exact). */
+  def triangleCounts(canonical: DataFrame): DataFrame = {
+    val spark = canonical.sparkSession
+    import spark.implicits._
+    toGraphX(canonical).triangleCount().vertices
+      .map { case (id, n) => (id, n) }.toDF("vertex", "n_triangles")
+  }
+
+  /** G3: hop distances from every vertex to each landmark via GraphX
+    * ShortestPaths (integer-exact); rows only for reachable pairs. */
+  def shortestPathLengths(canonical: DataFrame, landmarks: Seq[Long]): DataFrame = {
+    val spark = canonical.sparkSession
+    import spark.implicits._
+    // ShortestPaths follows OUT-edges; feed the symmetric edge set so the
+    // undirected semantics hold.
+    val g = toGraphX(symmetric(canonical).distinct())
+    ShortestPaths.run(g, landmarks.map(_.asInstanceOf[VertexId]))
+      .vertices
+      .flatMap { case (id, spmap) => spmap.map { case (lm, d) => (id, lm.toLong, d) } }
+      .toDF("vertex", "landmark", "distance")
+  }
+
+  /** G2: PageRank as an iterative DataFrame computation, semantics identical
+    * to GraphX staticPageRank: rank₀ = 1.0; rankₖ₊₁ = reset + (1−reset)·Σ
+    * rankₖ(neighbor)/deg(neighbor). Isolated vertices keep rank = reset…1.0
+    * per GraphX convention (they receive no contributions).
+    *
+    * Scale: each iteration is one shuffled join rank⋈edges + one groupBy —
+    * both keyed on vertex id, so AQE reuses the partitioning; the degree table
+    * is computed once and cached. numIter is small (5-20), so the plan stays
+    * bounded; checkpoint/localCheckpoint would truncate lineage on a real
+    * cluster run with large numIter.
+    */
+  def pageRankDF(canonical: DataFrame, numIter: Int,
+                 resetProb: Double = 0.15): DataFrame = {
+    val sym = symmetric(canonical)
+    val vertices = sym.select(col("src").as("vertex")).distinct()
+    val degrees = sym.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("deg")).cache()
+
+    var ranks = vertices.withColumn("rank", lit(1.0))
+    for (_ <- 0 until numIter) {
+      val contribs = sym
+        .join(ranks.withColumnRenamed("vertex", "src"), "src")
+        .join(degrees.withColumnRenamed("vertex", "src"), "src")
+        .select(col("dst").as("vertex"), (col("rank") / col("deg")).as("contrib"))
+        .groupBy("vertex").agg(sum("contrib").as("msum"))
+      ranks = vertices
+        .join(contribs, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("msum"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+
+  /** DuckDB oracle for [[pageRankDF]] on the same edge table expression: the
+    * fixed iteration count is UNROLLED into chained CTEs (r0..rN) — plain
+    * aggregations, no recursive-CTE aggregation restrictions. `edgesSql` must
+    * yield canonical (src, dst) rows. Ranks rounded to `digits` on both sides. */
+  def pageRankOracleSql(edgesSql: String, numIter: Int,
+                        resetProb: Double = 0.15, digits: Int = 6): String = {
+    val damp = 1.0 - resetProb
+    val iters = (1 to numIter).map { k =>
+      s"""r$k AS (
+        SELECT v.vertex, $resetProb + $damp * COALESCE(m.msum, 0.0) AS rank
+        FROM verts v LEFT JOIN (
+          SELECT s.dst AS vertex, SUM(r.rank / d.deg) AS msum
+          FROM sym s JOIN r${k - 1} r ON r.vertex = s.src
+                     JOIN degs d ON d.vertex = s.src
+          GROUP BY s.dst) m ON m.vertex = v.vertex)"""
+    }.mkString(",\n")
+    s"""
+    WITH e0 AS ($edgesSql),
+    sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    verts AS (SELECT DISTINCT src AS vertex FROM sym),
+    degs AS (SELECT src AS vertex, COUNT(*) AS deg FROM sym GROUP BY src),
+    r0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+    $iters
+    SELECT vertex, ROUND(rank, $digits) AS rank
+    FROM r$numIter ORDER BY vertex"""
+  }
+}

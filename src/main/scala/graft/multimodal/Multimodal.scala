@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * decoded/feature-extracted in partition-local batches.
+  *
+  * This is a NEW surface beyond the reference (a training-data pipeline need):
+  * image/audio/video travel as binary columns; decode runs inside
+  * `mapPartitions` in fixed-size batches — the JVM analog of `mapInPandas`
+  * batch processing: one codec init per partition, bounded batch memory, rows
+  * stream through. The decode itself is a clearly-marked STUB (no codec libs
+  * in this container): it derives deterministic fake dimensions from the first
+  * payload bytes, so the Spark-side plumbing — schema, batching, partition
+  * behavior — is real and testable end to end.
+  */
+object Multimodal {
+
+  final case class MediaRecord(id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      id: Long, kind: String, n_bytes: Int, sha: String,
+      width: Int, height: Int)
+
+  /** Stand-in ingest: wrap a string column as the opaque binary payload. */
+  def payloadFrom(df: DataFrame, idCol: String, textCol: String,
+                  kind: String = "image"): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), lit(kind).as("kind"),
+        col(textCol).cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder — a real deployment plugs an image/audio codec in here.
+    * Deterministic fake: dimensions from the first two payload bytes. */
+  private[multimodal] def decodeStub(r: MediaRecord): MediaFeatures = {
+    val w = if (r.payload.length > 0) 1 + (r.payload(0) & 0x7f) % 64 else 0
+    val h = if (r.payload.length > 1) 1 + (r.payload(1) & 0x7f) % 64 else 0
+    val sha = MessageDigest.getInstance("SHA-256").digest(r.payload)
+      .map("%02x".format(_)).mkString
+    MediaFeatures(r.id, r.kind, r.payload.length, sha, w, h)
+  }
+
+  /** Batched partition-local decode/feature-extract. `batchSize` bounds the
+    * number of payloads materialized at once per partition (the mapInPandas
+    * batch-shape contract). */
+  def extractFeatures(ds: Dataset[MediaRecord],
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // grouped() keeps at most `batchSize` payloads in flight — where a real
+      // codec would process the whole batch in one native call
+      it.grouped(batchSize).flatMap(batch => batch.map(decodeStub))
+    }
+  }
+
+  /** Frame-sampling stub for video-kind payloads: every `stride`-th byte
+    * starts a "frame"; emits (id, frame_index, frame_hash) rows. Demonstrates
+    * the 1→N generator shape (posexplode equivalent) over binary columns. */
+  def sampleFrames(ds: Dataset[MediaRecord], stride: Int = 256): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      r.payload.grouped(stride).zipWithIndex.map { case (frame, i) =>
+        (r.id, i, java.util.Arrays.hashCode(frame))
+      }
+    }.toDF("id", "frame_index", "frame_hash")
+  }
+}

@@ -37,12 +37,22 @@ object EventQueries {
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""") { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(30,2)")).cast("double").as("total"))
-        .select(unix_timestamp(col("window.start")).as("window_start"),
-          col("event_type"), col("n"), col("total"))
+      graft.streaming.Streaming.tumblingAgg(Tables.events(s, d))
+        .orderBy("window_start", "event_type")
+    },
+
+    // ----- §2.13 STREAMING: the same tumbling aggregation executed through
+    // readStream → memory sink (AvailableNow); one logical plan shared with
+    // the batch twin, so the same oracle applies
+    "q_stream_tumbling" -> QueryDef.sql("""
+      SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.replayToTable(
+          Streaming.tumblingAgg(Streaming.eventStream(s, d)),
+          s"stream_tumbling_${System.nanoTime()}")
         .orderBy("window_start", "event_type")
     },
 
@@ -55,13 +65,32 @@ object EventQueries {
             FROM (SELECT CAST(FLOOR(epoch(ts)/1800)*1800 AS BIGINT) AS b, value
                   FROM events))
       GROUP BY window_start ORDER BY window_start""") { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(30,2)")).cast("double").as("total"))
-        .select(unix_timestamp(col("window.start")).as("window_start"),
-          col("n"), col("total"))
+      graft.streaming.Streaming.slidingAgg(Tables.events(s, d))
         .orderBy("window_start")
+    },
+
+    // ----- §2.13 STREAMING: session windows (30-min gap) per user via
+    // session_window() through readStream; per-user rollup matches the
+    // lag()-based batch oracle
+    // Oracle is microsecond-exact: Spark's session_window end is EXCLUSIVE, so
+    // a gap of exactly 30 min starts a new session (diff >= 1800e6 us) — and
+    // the testdata does contain near-boundary gaps, so no second-truncation.
+    "q_stream_sessions" -> QueryDef.sql("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      g AS (SELECT user_id,
+                   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                             >= 1800000000 OR LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                             IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM e)
+      SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      FROM g GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.replayToTable(
+          Streaming.sessionAgg(Streaming.eventStream(s, d)),
+          s"stream_sessions_${System.nanoTime()}")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .orderBy("user_id")
     },
 
     // ----- §2.13: sessionization (30-min inactivity gap) as window functions;

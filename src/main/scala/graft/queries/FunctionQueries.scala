@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.Aggregators
+import graft.io.Tables
+import graft.multimodal.Multimodal
+import graft.similarity.ArrayOps
+import org.apache.spark.sql.functions._
+
+/** Typed-Aggregator, canonical-pair-ordering, and multimodal operators
+  * (SURVEY A3/A4/A9, F7/F8, + multimodal extension).
+  */
+object FunctionQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- A4 (Spark-4 rewrite): element-wise vector sum as a typed
+    // Aggregator with map-side partial aggregation; exploded to (label, idx,
+    // s) so DuckDB can mirror with a lateral range join
+    "q_vector_sum" -> QueryDef.sql("""
+      SELECT label, i - 1 AS idx,
+             ROUND(SUM(CAST(embedding[i] AS DOUBLE)), 4) AS s
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY label, i ORDER BY label, idx""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(Aggregators.vectorSum(ArrayOps.asDouble(col("embedding"))).as("vs"))
+        .select(col("label"), posexplode(col("vs")).as(Seq("idx", "sval")))
+        .select(col("label"), col("idx"), round(col("sval"), 4).as("s"))
+        .orderBy("label", "idx")
+    },
+
+    // ----- A9/A11: histogram Aggregator with under/over/NaN-flow buckets
+    // (Histogrammar Bin shape; buckets 0-19 data, 20 under, 21 over, 22 nan)
+    "q_histogram_agg" -> QueryDef.sql("""
+      WITH b AS (SELECT l_returnflag,
+                        CAST(CASE WHEN isnan(l_quantity) THEN 22
+                                  WHEN l_quantity < 0 THEN 20
+                                  WHEN l_quantity >= 50 THEN 21
+                                  ELSE FLOOR(l_quantity/2.5) END AS BIGINT) AS bucket
+                 FROM lineitem),
+      f AS (SELECT DISTINCT l_returnflag FROM lineitem),
+      g AS (SELECT f.l_returnflag, t.i AS bucket FROM f, range(0, 23) t(i))
+      SELECT g.l_returnflag, g.bucket, COALESCE(c.n, 0) AS n
+      FROM g LEFT JOIN (SELECT l_returnflag, bucket, COUNT(*) AS n
+                        FROM b GROUP BY 1, 2) c
+        ON c.l_returnflag = g.l_returnflag AND c.bucket = g.bucket
+      ORDER BY g.l_returnflag, g.bucket""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(Aggregators.histogram(20, 0.0, 50.0)(col("l_quantity")).as("h"))
+        .select(col("l_returnflag"), posexplode(col("h")).as(Seq("bucket", "n")))
+        .select(col("l_returnflag"), col("bucket").cast("long").as("bucket"), col("n"))
+        .orderBy("l_returnflag", "bucket")
+    },
+
+    // ----- F7/F8: canonical pair ordering by key token (the reference's
+    // takeSmaller/LargerPk over pk.split("_") state tokens,
+    // stats/AnalysisUtils.scala:126-156) — pure when/otherwise columns
+    "q_canonical_pairs" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, lang, source,
+                        source || '_' || CAST(doc_id AS VARCHAR) AS pk
+                 FROM documents)
+      SELECT CASE WHEN a.source < b.source
+                    OR (a.source = b.source AND a.pk <= b.pk)
+                  THEN a.pk ELSE b.pk END AS pk_smaller,
+             CASE WHEN a.source < b.source
+                    OR (a.source = b.source AND a.pk <= b.pk)
+                  THEN b.pk ELSE a.pk END AS pk_larger
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+      ORDER BY pk_smaller, pk_larger""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat_ws("_", col("source"), col("doc_id")).as("pk"))
+      val a = t.alias("a")
+      val b = t.alias("b")
+      val aFirst = col("a.source") < col("b.source") ||
+        (col("a.source") === col("b.source") && col("a.pk") <= col("b.pk"))
+      a.join(b,
+          col("a.lang") === col("b.lang") &&
+          col("b.doc_id") > col("a.doc_id") &&
+          col("b.doc_id") <= col("a.doc_id") + 5)
+        .select(
+          when(aFirst, col("a.pk")).otherwise(col("b.pk")).as("pk_smaller"),
+          when(aFirst, col("b.pk")).otherwise(col("a.pk")).as("pk_larger"))
+        .orderBy("pk_smaller", "pk_larger")
+    },
+
+    // ----- multimodal extension: binary payload + batched stub decode via
+    // mapPartitions (the Spark-side plumbing is real; the codec is a stub)
+    "q_multimodal_features" -> QueryDef.sql("""
+      SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS sha,
+             1 + (ord(substr(text, 1, 1)) & 127) % 64 AS width,
+             1 + (ord(substr(text, 2, 1)) & 127) % 64 AS height
+      FROM documents ORDER BY id""") { (s, d) =>
+      Multimodal.extractFeatures(
+          Multimodal.payloadFrom(Tables.documents(s, d), "doc_id", "text"))
+        .toDF()
+        .select(col("id"), col("n_bytes"), col("sha"), col("width"), col("height"))
+        .orderBy("id")
+    }
+  )
+}

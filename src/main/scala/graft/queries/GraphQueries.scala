@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.graph.GraphOps
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators (SURVEY G1-G4) over a deterministic edge set derived from
+  * the testdata: customers in the same nation whose keys differ by at most 2
+  * (a braided chain per nation — has triangles, scales with SF, and is
+  * SQL-derivable so every graph result can be oracle-checked exactly).
+  *
+  * The reference builds its graph from similarity matches
+  * (graph/GraphUtils.scala:16-22); the edge-derivation here stands in for that
+  * similarity output, keeping the graph algorithms themselves the operators
+  * under test.
+  */
+object GraphQueries {
+
+  /** (src, dst) canonical edges: same nation, 0 < keyDiff <= 2. */
+  private def customerEdges(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val a = c.alias("a")
+    val b = c.alias("b")
+    a.join(b,
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+        col("b.c_custkey") > col("a.c_custkey") &&
+        col("b.c_custkey") <= col("a.c_custkey") + 2)
+      .select(col("a.c_custkey").as("src"), col("b.c_custkey").as("dst"))
+  }
+
+  private val edgesSql = """
+    SELECT a.c_custkey AS src, b.c_custkey AS dst
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND b.c_custkey > a.c_custkey AND b.c_custkey <= a.c_custkey + 2"""
+
+  /** Bounded subgraph for shortest paths: keys < 200 keeps the per-nation
+    * chains ~8 long, so BFS depth 30 covers the diameter in the oracle. */
+  private val SP_MAX_KEY = 200
+  private val SP_LANDMARKS = Seq(1L, 5L)
+  private val SP_DEPTH = 30
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- G1: graph construction + degree (the simplest whole-graph check)
+    "q_graph_degree" -> QueryDef.sql(s"""
+      WITH e AS ($edgesSql),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+      SELECT src AS vertex, COUNT(*) AS degree
+      FROM sym GROUP BY src ORDER BY vertex""") { (s, d) =>
+      GraphOps.symmetric(GraphOps.canonicalEdges(customerEdges(s, d), "src", "dst"))
+        .groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
+        .orderBy("vertex")
+    },
+
+    // ----- G4: triangle count per vertex (GraphX TriangleCount; integer-exact)
+    "q_triangles" -> QueryDef.sql(s"""
+      WITH e AS ($edgesSql),
+      tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+              FROM e a JOIN e b ON b.src = a.dst
+                       JOIN e c ON c.src = a.src AND c.dst = b.dst),
+      pertex AS (SELECT x AS vertex FROM tri UNION ALL
+                 SELECT y FROM tri UNION ALL SELECT z FROM tri),
+      verts AS (SELECT DISTINCT src AS vertex FROM
+                (SELECT src FROM e UNION ALL SELECT dst FROM e))
+      SELECT v.vertex, COALESCE(t.n, 0) AS n_triangles
+      FROM verts v LEFT JOIN
+        (SELECT vertex, COUNT(*) AS n FROM pertex GROUP BY vertex) t
+        ON t.vertex = v.vertex
+      ORDER BY v.vertex""") { (s, d) =>
+      GraphOps.triangleCounts(
+          GraphOps.canonicalEdges(customerEdges(s, d), "src", "dst"))
+        .orderBy("vertex")
+    },
+
+    // ----- G2: PageRank — DataFrame-iterative, oracle = unrolled CTE chain
+    "q_pagerank" -> QueryDef.sql(
+      GraphOps.pageRankOracleSql(edgesSql, numIter = 10)) { (s, d) =>
+      GraphOps.pageRankDF(
+          GraphOps.canonicalEdges(customerEdges(s, d), "src", "dst"),
+          numIter = 10)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex")
+    },
+
+    // ----- G3: landmark shortest paths (GraphX ShortestPaths; integer-exact;
+    // oracle = recursive BFS with UNION dedup, depth-bounded over the small
+    // subgraph)
+    "q_shortest_paths" -> QueryDef.sql(s"""
+      WITH RECURSIVE e AS (
+        $edgesSql AND b.c_custkey < $SP_MAX_KEY AND a.c_custkey < $SP_MAX_KEY),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      bfs AS (
+        SELECT lm AS vertex, lm AS landmark, 0 AS d
+        FROM (VALUES (${SP_LANDMARKS.mkString("), (")})) AS t(lm)
+        WHERE lm IN (SELECT src FROM sym)
+        UNION
+        SELECT s.dst, b.landmark, b.d + 1
+        FROM bfs b JOIN sym s ON s.src = b.vertex
+        WHERE b.d < $SP_DEPTH)
+      SELECT vertex, landmark, MIN(d) AS distance
+      FROM bfs GROUP BY vertex, landmark ORDER BY vertex, landmark""") { (s, d) =>
+      val edges = GraphOps.canonicalEdges(
+        customerEdges(s, d).filter(
+          col("src") < SP_MAX_KEY && col("dst") < SP_MAX_KEY), "src", "dst")
+      GraphOps.shortestPathLengths(edges, SP_LANDMARKS)
+        .orderBy("vertex", "landmark")
+    }
+  )
+}

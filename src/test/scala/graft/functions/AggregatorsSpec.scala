@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Typed Aggregators (SURVEY A3/A4/A9 on Spark-4 Aggregator API). */
+class AggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vectorSum: element-wise sum across a group") {
+    val df = Seq(
+      ("a", Seq(1.0, 2.0, 3.0)),
+      ("a", Seq(10.0, 20.0, 30.0)),
+      ("b", Seq(5.0, 5.0, 5.0))
+    ).toDF("k", "v")
+    val got = df.groupBy("k").agg(Aggregators.vectorSum(col("v")).as("s"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got("a") == Seq(11.0, 22.0, 33.0))
+    assert(got("b") == Seq(5.0, 5.0, 5.0))
+  }
+
+  test("vectorSum: null rows skipped, ragged lengths grow the buffer") {
+    val df = Seq(
+      ("a", Some(Seq(1.0))),
+      ("a", None),
+      ("a", Some(Seq(1.0, 2.0)))
+    ).toDF("k", "v")
+    val got = df.groupBy("k").agg(Aggregators.vectorSum(col("v")).as("s"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got("a") == Seq(2.0, 2.0))
+  }
+
+  test("histogram: bins + underflow/overflow/nan buckets") {
+    val df = Seq(-1.0, 0.0, 0.5, 4.9, 5.0, 10.0, 99.0, Double.NaN).toDF("x")
+    // 5 bins over [0, 5): width 1
+    val got = df.agg(Aggregators.histogram(5, 0.0, 5.0)(col("x")).as("h"))
+      .as[Seq[Long]].head()
+    assert(got.length == 8)
+    assert(got(0) == 2)            // 0.0, 0.5
+    assert(got(4) == 1)            // 4.9
+    assert(got(5) == 1)            // underflow: -1
+    assert(got(6) == 3)            // overflow: 5.0, 10, 99
+    assert(got(7) == 1)            // nan
+    assert(got.sum == 8)
+  }
+
+  test("histogram: merge across partitions preserves totals") {
+    val df = spark.range(0, 10000).repartition(8)
+      .select((col("id") % 100).cast("double").as("x"))
+    val got = df.agg(Aggregators.histogram(10, 0.0, 100.0)(col("x")).as("h"))
+      .as[Seq[Long]].head()
+    assert(got.take(10).forall(_ == 1000L))
+    assert(got.drop(10).forall(_ == 0L))
+  }
+}

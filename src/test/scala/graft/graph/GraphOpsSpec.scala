@@ -1,0 +1,74 @@
+package graft.graph
+
+import graft.SparkSpec
+
+/** Graph operators on a hand-checked 6-vertex graph:
+  *
+  *   triangle 1-2-3, path 3-4, triangle 4-5-6, isolated edge 7-8
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val edges = Seq(
+    (1L, 2L), (2L, 3L), (1L, 3L),
+    (3L, 4L),
+    (4L, 5L), (5L, 6L), (4L, 6L),
+    (7L, 8L)
+  ).toDF("src", "dst")
+
+  private lazy val canonical = GraphOps.canonicalEdges(edges, "src", "dst")
+
+  test("canonicalEdges orders, dedups, drops self-loops") {
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 3L)).toDF("src", "dst")
+    val got = GraphOps.canonicalEdges(messy, "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("triangleCounts finds both triangles") {
+    val got = GraphOps.triangleCounts(canonical)
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) == 1 && got(2L) == 1)
+    assert(got(3L) == 1 && got(4L) == 1) // each in exactly one triangle
+    assert(got(5L) == 1 && got(6L) == 1)
+    assert(got(7L) == 0 && got(8L) == 0)
+  }
+
+  test("shortestPathLengths: undirected hop counts to landmarks") {
+    val got = GraphOps.shortestPathLengths(canonical, Seq(1L))
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) == 0)
+    assert(got(2L) == 1 && got(3L) == 1)
+    assert(got(4L) == 2)
+    assert(got(5L) == 3 && got(6L) == 3)
+    assert(!got.contains(7L) && !got.contains(8L)) // unreachable → no row
+  }
+
+  test("pageRankDF: ranks sum ≈ V on a regular component, symmetric vertices equal") {
+    val ranks = GraphOps.pageRankDF(canonical, numIter = 20)
+      .as[(Long, Double)].collect().toMap
+    // 7 and 8 are symmetric → equal rank; both get rank 1.0 (deg-1 pair is
+    // closed: each contributes its whole rank to the other)
+    assert(math.abs(ranks(7L) - ranks(8L)) < 1e-9)
+    assert(math.abs(ranks(7L) - 1.0) < 1e-6)
+    // 1 and 2 are symmetric in the first triangle
+    assert(math.abs(ranks(1L) - ranks(2L)) < 1e-9)
+    // 3 and 4 (the bridge vertices) have the highest ranks
+    val top = ranks.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(top == Set(3L, 4L))
+  }
+
+  test("pageRankDF matches GraphX staticPageRank on the same graph") {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val sym = GraphOps.symmetric(canonical)
+    val g = Graph.fromEdges(
+      sym.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }, 0)
+    val gx = g.staticPageRank(10, 0.15).vertices.collect().toMap
+    val df = GraphOps.pageRankDF(canonical, numIter = 10)
+      .as[(Long, Double)].collect().toMap
+    df.foreach { case (v, r) =>
+      assert(math.abs(gx(v) - r) < 1e-6, s"vertex $v: graphx=${gx(v)} df=$r")
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Binary-column plumbing with batched stub decode. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "Az picture bytes here"),
+    (2L, ""),
+    (3L, "x")
+  ).toDF("doc_id", "text")
+
+  test("payloadFrom wraps text as binary with kind") {
+    val ds = Multimodal.payloadFrom(docs, "doc_id", "text", kind = "image")
+    val r = ds.collect().sortBy(_.id)
+    assert(r.map(_.kind).toSet == Set("image"))
+    assert(new String(r(0).payload, "UTF-8") == "Az picture bytes here")
+    assert(r(1).payload.length == 0)
+  }
+
+  test("extractFeatures: deterministic stub dims + sha + byte count") {
+    val got = Multimodal.extractFeatures(
+        Multimodal.payloadFrom(docs, "doc_id", "text"), batchSize = 2)
+      .collect().map(f => f.id -> f).toMap
+    assert(got(1L).n_bytes == 21)
+    assert(got(1L).width == 1 + ('A' & 0x7f) % 64)
+    assert(got(1L).height == 1 + ('z' & 0x7f) % 64)
+    assert(got(1L).sha.length == 64)
+    assert(got(2L).n_bytes == 0 && got(2L).width == 0 && got(2L).height == 0)
+    assert(got(3L).width == 1 + ('x' & 0x7f) % 64 && got(3L).height == 0)
+    // empty payload sha must still be the sha256 of empty input
+    assert(got(2L).sha ==
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+  }
+
+  test("sampleFrames: stride chunks with stable hashes") {
+    val ds = Multimodal.payloadFrom(
+      Seq((7L, "a" * 600)).toDF("doc_id", "text"), "doc_id", "text", "video")
+    val frames = Multimodal.sampleFrames(ds, stride = 256)
+      .as[(Long, Int, Int)].collect().sortBy(_._2)
+    assert(frames.length == 3) // 256+256+88
+    assert(frames.map(_._1).toSet == Set(7L))
+    // first two frames identical bytes → identical hash; last differs
+    assert(frames(0)._3 == frames(1)._3)
+    assert(frames(2)._3 != frames(0)._3)
+  }
+}

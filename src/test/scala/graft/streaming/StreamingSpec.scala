@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.io.Tables
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface: batch/stream parity on the real events table,
+  * session windows, and watermark late-data semantics via MemoryStream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling agg equals batch tumbling agg on events") {
+    val batch = Streaming.tumblingAgg(Tables.events(spark, sfDir))
+      .orderBy("window_start", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val stream = Streaming.replayToTable(
+        Streaming.tumblingAgg(Streaming.eventStream(spark, sfDir)),
+        "t_parity_tumbling")
+      .orderBy("window_start", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming session windows: per-user session counts match lag() batch logic") {
+    val streamed = Streaming.replayToTable(
+        Streaming.sessionAgg(Streaming.eventStream(spark, sfDir)),
+        "t_parity_sessions")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us")
+    val batch = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag("us", 1).over(w) >= 1800000000L ||
+          lag("us", 1).over(w).isNull, 1L).otherwise(0L))
+      .groupBy("user_id").agg(sum("new_session").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = Streaming.tumblingAggWatermarked(
+      mem.toDF().toDF("ts", "value").withColumn("event_type", lit("x")),
+      horizon = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t_watermark")
+      .outputMode("append").start()
+
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    mem.addData((t(1), 1.0))
+    q.processAllAvailable()
+    // advance watermark far past hour 1: max ts 10:30 → watermark 09:30
+    mem.addData((t(10), 5.0))
+    q.processAllAvailable()
+    // late event for hour 1 — behind watermark, must be DROPPED
+    mem.addData((t(1), 100.0))
+    q.processAllAvailable()
+    // close hour 10's window too
+    mem.addData((Timestamp.valueOf("2024-01-01 23:00:00"), 7.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t_watermark")
+      .select("window_start", "total").as[(Long, Double)].collect().toMap
+    val hour1 = Timestamp.valueOf("2024-01-01 01:00:00").getTime / 1000
+    assert(rows(hour1) == 1.0, s"late row must not be counted: $rows")
+  }
+
+  test("eventStream respects maxFilesPerTrigger backpressure config") {
+    val s = Streaming.eventStream(spark, sfDir, maxFilesPerTrigger = 2)
+    assert(s.isStreaming)
+    assert(s.schema.fieldNames.contains("ts"))
+  }
+}
