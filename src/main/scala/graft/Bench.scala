@@ -42,6 +42,8 @@ object Bench {
       case Some(list)  => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None        => headline
     }
+    // JVM/codegen warmup so the first measured query isn't charged for it
+    spark.range(1000000L).selectExpr("sum(id)").collect()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -49,7 +51,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

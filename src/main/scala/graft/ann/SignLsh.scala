@@ -36,18 +36,15 @@ object SignLsh {
       (md5Long(s"graft:$j:$i") % 2001 - 1000) / 1000.0
     }
 
-  /** Left-fold dot of an array<double> column with a constant plane — same
-    * op order as the oracle's list_reduce, so the sign bit is bit-identical. */
-  private def dotConst(v: Column, plane: Array[Double]): Column =
-    aggregate(
-      zip_with(v, typedLit(plane.toSeq), (x, h) => x * h),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** Bucket id column for an array<double> embedding. */
+  /** Bucket id column for an array<double> embedding. Native codegen
+    * expression ([[graft.expressions.SignLshBucket]]): one pass over the
+    * vector for all planes, same per-plane left-fold op order as the oracle's
+    * list_reduce, so the sign bits are bit-identical. */
   def bucket(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      when(dotConst(v, p) > 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.SignLshBucket(
+        org.apache.spark.sql.graft.bridge.expression(v),
+        planes.map(_.toSeq).toSeq))
 
   // ---- oracle-SQL mirrors (literal-embedded, same fold order) ----
 

@@ -49,18 +49,18 @@ object MinHashDedup {
       TextOps.ngrams(TextOps.tokens(text), w),
       s => pmod(xxhash64(s), lit(P))))
 
-  /** MinHash signature (array<long> of length numHashes) from shingle hashes.
-    * min over shingles of (a_k·h + b_k) mod p; pmod keeps it non-negative.
-    * Empty shingle sets get a sentinel signature of all P (never collides with
-    * a real signature because pmod(_, P) < P). */
+  /** MinHash signature (array<long> of length numHashes) from shingle hashes:
+    * min over shingles of (a_k·h + b_k) mod p. Native single-pass codegen
+    * expression ([[graft.expressions.MinHashSignature]]) — one loop updates
+    * all k accumulators instead of k interpreted array passes. Empty shingle
+    * sets get the natural sentinel of all P (no real hash reaches P because
+    * the affine value is reduced mod P). */
   def signature(shingles: Column, numHashes: Int): Column = {
     val (as, bs) = coefficients(numHashes)
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)), k =>
-      array_min(transform(shingles, h =>
-        pmod(element_at(typedLit(as.toSeq), k + 1) * h
-          + element_at(typedLit(bs.toSeq), k + 1), lit(P)))))
-    when(size(shingles) > 0, sig)
-      .otherwise(typedLit(Seq.fill(numHashes)(P)))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.bridge.expression(shingles),
+        as.toSeq, bs.toSeq, P))
   }
 
   /** (band index, band hash) rows for banded LSH: signature split into
@@ -72,7 +72,13 @@ object MinHashDedup {
   }
 
   /** Near-duplicate candidate pairs with exact-Jaccard verification.
-    * Returns (d1, d2, jac) with d1 < d2 and jac >= cfg.jaccardThreshold·100. */
+    * Returns (d1, d2, jac) with d1 < d2 and jac >= cfg.jaccardThreshold·100.
+    *
+    * Shuffle discipline (the 100 TB shape): the band-bucket self-join and the
+    * (d1,d2) dedup run over ID-ONLY rows — the token arrays never enter the
+    * bucket shuffle. Token sets are re-attached afterwards by two equi-joins
+    * against the prepared table, so the wide payload crosses the wire only
+    * |verified candidates| times, not |bucket pairs|·|bands| times. */
   def nearDupPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
     val prepared = df.select(
       col(cfg.idCol).as("__id"),
@@ -80,11 +86,13 @@ object MinHashDedup {
       shingleHashes(col(cfg.textCol), cfg.shingleSize).as("__shingles"))
       .withColumn("__sig", signature(col("__shingles"), cfg.numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.numHashes))
+    // NOT cached: sketches are cheap single-pass codegen'd expressions, and a
+    // library function pinning executor memory across callers is worse than
+    // recomputing a map stage (callers can cache the input if they choose)
 
     val buckets = prepared
-      .select(col("__id"), col("__toks"), explode(col("__bands")).as("__b"))
-      .select(col("__id"), col("__toks"),
-        col("__b.band").as("__band"), col("__b.bh").as("__bh"))
+      .select(col("__id"), explode(col("__bands")).as("__b"))
+      .select(col("__id"), col("__b.band").as("__band"), col("__b.bh").as("__bh"))
 
     val a = buckets.alias("a")
     val b = buckets.alias("b")
@@ -92,15 +100,19 @@ object MinHashDedup {
         col("a.__band") === col("b.__band") &&
         col("a.__bh") === col("b.__bh") &&
         col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
-        col("a.__toks").as("t1"), col("b.__toks").as("t2"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
       .dropDuplicates("d1", "d2")
+
+    val toks = prepared.select(col("__id"), col("__toks"))
+    val withSets = cand
+      .join(toks.select(col("__id").as("d1"), col("__toks").as("t1")), "d1")
+      .join(toks.select(col("__id").as("d2"), col("__toks").as("t2")), "d2")
 
     val inter = size(array_intersect(col("t1"), col("t2")))
     val union = size(array_union(col("t1"), col("t2")))
     // empty∪empty = 0: such pairs (both texts tokenless) are not duplicates
     // of anything meaningful — score them 0 instead of dividing by zero
-    cand
+    withSets
       .withColumn("jac",
         when(union > 0, round(inter.cast("double") * 100.0 / union, 4))
           .otherwise(lit(0.0)))

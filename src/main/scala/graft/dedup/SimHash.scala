@@ -19,16 +19,16 @@ object SimHash {
       textCol: String = "text",
       maxHammingDistance: Int = 3)
 
-  /** 64-bit simhash of a token array as a Column expression: per-bit left-fold
-    * of +1/−1 votes, then sign. */
-  def simhash(toks: Column): Column = {
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(xxhash64(t), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** 64-bit simhash of a token array: tokens hashed ONCE with Spark's
+    * xxhash64, then a native single-pass expression
+    * ([[graft.expressions.SimHash64]]) tallies all 64 bit votes — identical
+    * votes to a per-bit aggregate() but without 64 interpreted array passes
+    * (and without re-hashing every token per bit). */
+  def simhash(toks: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.SimHash64(
+        org.apache.spark.sql.graft.bridge.expression(
+          transform(toks, t => xxhash64(t)))))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

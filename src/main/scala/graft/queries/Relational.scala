@@ -287,6 +287,33 @@ object Relational {
         .orderBy("n_name")
     },
 
+    // ----- A6 full form: latest-version pick by PRECEDENCE LIST then date —
+    // the reference's getLatest (LatestVersionExtracter.scala:50-59) ranks
+    // docversions by a fixed precedence before falling back to timestamps;
+    // array_position turns the list into a sortable rank on both engines
+    "q_latest_precedence" -> QueryDef.sql("""
+      SELECT o_custkey, o_orderkey, o_orderpriority
+      FROM (SELECT o_custkey, o_orderkey, o_orderpriority,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY list_position(['1-URGENT','2-HIGH','3-MEDIUM',
+                                             '4-NOT SPECIFIED','5-LOW'],
+                                            o_orderpriority),
+                              o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1
+      ORDER BY o_custkey""") { (s, d) =>
+      val precedence = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(array_position(typedLit(precedence), col("o_orderpriority")),
+          desc("o_orderdate"), desc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+        .orderBy("o_custkey")
+    },
+
     // ----- P9/P2: substring & regex predicates (reference contains probe
     // docs/example1.md:13; compactSelector regex Utils.scala:262-273 → rlike)
     "q_contains" -> QueryDef.sql("""

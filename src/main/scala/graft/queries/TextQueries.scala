@@ -27,6 +27,26 @@ object TextQueries {
         .orderBy("token")
     },
 
+    // ----- F1/F2 + A1: the reference's WordCount pipeline (clean digits/
+    // punctuation, drop 1-2 letter words, tokenize, count — WordCount.scala:44-61)
+    // with both regex stages mirrored in the oracle
+    "q_wordcount_clean" -> QueryDef.sql("""
+      SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(
+          regexp_replace(
+            regexp_replace(lower(text), '(\d|,|:|;|\?|!)', '', 'g'),
+            '\b\w{1,2}\b', '', 'g'), ' ')) AS token
+        FROM documents)
+      WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 5
+      ORDER BY token""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(
+          TextOps.dropSmallWords(TextOps.clean(col("text"))))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy("token")
+    },
+
     // ----- M4: n-gram extraction + frequency (reference NGram,
     // Utils.scala:206-216; 5-grams in workflow2, here 3-grams)
     "q_ngram_count" -> QueryDef.sql("""

@@ -96,8 +96,12 @@ object VectorQueries {
             FROM s)
       SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 5
       ORDER BY q_id, rn""") { (s, d) =>
+      // the corpus side carries the O(|probes|·N) kernel work; the testdata is
+      // one small parquet file (1 split), so spread it across cores — on a
+      // real 100 TB table the scan is already thousands of splits
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+        .repartition(s.sparkContext.defaultParallelism)
       val q = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))

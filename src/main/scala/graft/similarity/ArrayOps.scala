@@ -1,14 +1,21 @@
 package graft.similarity
 
+import graft.expressions.{ArrayCosineParts, ArrayDot, ArrayL1, ArraySupportStats}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
-/** Similarity math over `array<float/double>` columns as pure Column
-  * expressions — the embedding-column twin of [[Kernels]]. Everything here
-  * compiles into whole-stage codegen (no UDF), and every fold is a LEFT fold
-  * so results are bit-reproducible against the DuckDB oracle's list_reduce.
+/** Similarity math over `array<float/double>` columns — the embedding-column
+  * twin of [[Kernels]]. Backed by graft's native codegen expressions
+  * ([[graft.expressions.ArrayDot]] etc.): identical LEFT-fold IEEE op order to
+  * the DuckDB oracle's list_reduce (bit-reproducible results), but evaluated
+  * as primitive loops inside whole-stage codegen instead of the interpreted
+  * higher-order-function path — the hot-loop cost of brute-force ANN is
+  * |probes|·|corpus| kernel calls per scan.
   */
 object ArrayOps {
+
+  private def e(c: Column) = bridge.expression(c)
 
   /** Elementwise cast to double (float embeddings → exact double). */
   def asDouble(a: Column): Column = transform(a, _.cast("double"))
@@ -18,33 +25,43 @@ object ArrayOps {
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
   /** Dot product of two array<double> columns (left fold, in index order). */
-  def dot(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => x * y))
+  def dot(a: Column, b: Column): Column = bridge.column(ArrayDot(e(a), e(b)))
 
   /** Squared L2 norm. */
   def norm2sq(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity in [-1, 1]. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2sq(a)) * sqrt(norm2sq(b)))
+  /** One-pass [dot, ‖a‖², ‖b‖²] (1-indexed via element_at). */
+  def cosineParts(a: Column, b: Column): Column =
+    bridge.column(ArrayCosineParts(e(a), e(b)))
+
+  /** Cosine similarity in [-1, 1] — one array pass; codegen subexpression
+    * elimination dedups the parts column. */
+  def cosine(a: Column, b: Column): Column = {
+    val p = cosineParts(a, b)
+    element_at(p, 1) / (sqrt(element_at(p, 2)) * sqrt(element_at(p, 3)))
+  }
 
   /** 0–100 scaled |cosine| (reference kernel convention). */
   def cosine100(a: Column, b: Column): Column = abs(cosine(a, b)) * 100.0
 
   /** L1 distance. */
-  def l1(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => abs(x - y)))
+  def l1(a: Column, b: Column): Column = bridge.column(ArrayL1(e(a), e(b)))
+
+  /** One-pass [|supp(a)|, |supp(b)|, |∩|, mismatches] at threshold (1-indexed
+    * via element_at). */
+  def supportStats(a: Column, b: Column, thr: Double): Column =
+    bridge.column(ArraySupportStats(e(a), e(b), thr))
 
   /** Support size: number of elements strictly above `thr`. */
   def supportSize(a: Column, thr: Double): Column =
-    size(filter(a, x => x > thr))
+    element_at(supportStats(a, a, thr), 1).cast("int")
 
   /** Intersection size of the two >thr supports. */
   def supportIntersect(a: Column, b: Column, thr: Double): Column =
-    size(filter(zip_with(a, b, (x, y) => x > thr && y > thr), p => p))
+    element_at(supportStats(a, b, thr), 3).cast("int")
 
   /** Elementwise mismatch count of the >thr binarizations (hamming distance
     * of the binary patterns). */
   def binaryMismatch(a: Column, b: Column, thr: Double): Column =
-    size(filter(zip_with(a, b, (x, y) => (x > thr) =!= (y > thr)), p => p))
+    element_at(supportStats(a, b, thr), 4).cast("int")
 }
