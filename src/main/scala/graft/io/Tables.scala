@@ -120,4 +120,16 @@ object Tables {
     * utils/MetadataConverter.scala:37 used sc.wholeTextFiles). */
   def wholeText(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
+
+  /** Persist as a bucketed (and per-bucket sorted) catalog table: repeated
+    * equi-joins / aggregations on `cols` then run shuffle-free — the storage-
+    * level answer to the reference's hand `repartition(n, cols)` hints
+    * (ExtractCandidates.scala:103). At 100 TB, bucketing the features table by
+    * primary key turns every pair⋈features join into a local zip. */
+  def writeBucketed(df: DataFrame, table: String, cols: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .saveAsTable(table)
 }

@@ -72,6 +72,21 @@ object EventQueries {
     // ----- §2.13 STREAMING: session windows (30-min gap) per user via
     // session_window() through readStream; per-user rollup matches the
     // lag()-based batch oracle
+    // ----- §2.13 STREAMING: custom per-key state via mapGroupsWithState —
+    // integer-exact running (count, max event time) per user; the memory sink
+    // holds one row per user per micro-batch, rolled up with max()
+    "q_stream_stateful" -> QueryDef.sql("""
+      SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.replayToTable(
+          Streaming.runningUserState(Streaming.eventStream(s, d)).toDF(),
+          s"stream_stateful_${System.nanoTime()}", mode = "update")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("last_us").as("last_us"))
+        .orderBy("user_id")
+    },
+
     // Oracle is microsecond-exact: Spark's session_window end is EXCLUSIVE, so
     // a gap of exactly 30 min starts a new session (diff >= 1800e6 us) — and
     // the testdata does contain near-boundary gaps, so no second-truncation.

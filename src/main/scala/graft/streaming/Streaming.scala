@@ -85,14 +85,42 @@ object Streaming {
   /** Run a streaming aggregation to completion against the finite test input
     * (AvailableNow trigger + memory sink) and return the result table —
     * the bridge that lets the driver's batch oracle check streaming results. */
-  def replayToTable(agg: DataFrame, tableName: String): DataFrame = {
+  def replayToTable(agg: DataFrame, tableName: String,
+                    mode: String = "complete"): DataFrame = {
     val q = agg.writeStream
       .format("memory")
       .queryName(tableName)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     agg.sparkSession.table(tableName)
+  }
+
+  /** Per-user running state via mapGroupsWithState (the custom-state surface
+    * of SURVEY §2.13): event count, value sum, and max event time per user,
+    * carried in an explicit GroupState across micro-batches. State size is
+    * O(users), independent of input size — the bounded-state contract that
+    * matters at 100 TB of events. */
+  final case class UserState(n_events: Long, total: Double, last_us: Long)
+  final case class UserRunning(user_id: Long, n_events: Long, total: Double, last_us: Long)
+
+  def runningUserState(events: DataFrame): org.apache.spark.sql.Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          rows.foreach { case (_, v, us) =>
+            s = UserState(s.n_events + 1, s.total + v, math.max(s.last_us, us))
+          }
+          state.update(s)
+          UserRunning(uid, s.n_events, s.total, s.last_us)
+      }
   }
 }

@@ -73,6 +73,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows(hour1) == 1.0, s"late row must not be counted: $rows")
   }
 
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "value", "ts")
+    val q = Streaming.runningUserState(events).toDF()
+      .writeStream.format("memory").queryName("t_stateful")
+      .outputMode("update").start()
+
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((1L, 2.0, t(0)), (1L, 3.0, t(1)), (2L, 5.0, t(2)))
+    q.processAllAvailable()
+    mem.addData((1L, 10.0, t(5))) // second batch: user 1 state must carry over
+    q.processAllAvailable()
+    q.stop()
+
+    val full = spark.table("t_stateful")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(full.exists(r => r._1 == 1L && r._2 == 3 && r._3 == 15.0),
+      s"user 1 final state must be count=3 total=15: ${full.toSeq}")
+    assert(full.exists(r => r._1 == 2L && r._2 == 1 && r._3 == 5.0))
+  }
+
   test("eventStream respects maxFilesPerTrigger backpressure config") {
     val s = Streaming.eventStream(spark, sfDir, maxFilesPerTrigger = 2)
     assert(s.isStreaming)
