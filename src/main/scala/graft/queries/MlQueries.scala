@@ -23,10 +23,20 @@ object MlQueries {
 
   private val tfidfCfg = FeatureConfig(numTextFeatures = 1024)
 
-  /** documents → (doc_id, lang, n_chars, features) with TF-IDF features. */
+  private val featCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** documents → (doc_id, lang, n_chars, features) with TF-IDF features.
+    * Cached per (session, dir): the k-means fit, the candidate self-join, and
+    * the pair→vector joins all reuse this frame — without the cache the whole
+    * clean→tokenize→TF→IDF lineage recomputes on every reuse (the reference
+    * cached its features parquet for the same reason,
+    * ExtractCandidates.scala:106). */
   private def featurized(s: SparkSession, d: String): DataFrame =
-    FeaturePipeline.features(Tables.documents(s, d), tfidfCfg)
-      .select("doc_id", "lang", "n_chars", "features")
+    featCache.getOrElseUpdate((s, d),
+      FeaturePipeline.features(Tables.documents(s, d), tfidfCfg)
+        .select("doc_id", "lang", "n_chars", "features")
+        .cache())
 
   val defs: Map[String, QueryDef] = Map(
 

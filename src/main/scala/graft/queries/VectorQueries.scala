@@ -114,6 +114,44 @@ object VectorQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ----- extension: embedding-cosine near-dup / similarity join — sign-LSH
+    // bucket + label blocking bounds the candidate set, exact cosine verifies.
+    // (The synthetic embeddings have no true near-dups — max pairwise cosine
+    // ≈0.48 — so the threshold is set to exercise non-trivial output; the
+    // operator IS the near-dup shape: raise the threshold on real data.)
+    "q_embed_neardup" -> QueryDef.sql {
+      val planes = SignLsh.hyperplanes(N_PLANES, DIM)
+      val bucketSql = SignLsh.sqlBucket("v", planes)
+      s"""
+      WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      tb AS (SELECT vec_id, label, v, $bucketSql AS bkt FROM t),
+      s AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> a.v[i]*b.v[i]), (x,y)->x+y)
+                   / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> a.v[i]*a.v[i]), (x,y)->x+y))
+                      * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> b.v[i]*b.v[i]), (x,y)->x+y))) AS cos
+            FROM tb a JOIN tb b
+              ON a.bkt = b.bkt AND a.label = b.label AND b.vec_id > a.vec_id)
+      SELECT d1, d2, ROUND(cos, 6) AS cos FROM s
+      WHERE cos >= 0.35 ORDER BY d1, d2"""
+    } { (s, d) =>
+      val planes = SignLsh.hyperplanes(N_PLANES, DIM)
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          ArrayOps.asDouble(col("embedding")).as("v"))
+        .withColumn("bkt", SignLsh.bucket(col("v"), planes))
+      val a = t.alias("a")
+      val b = t.alias("b")
+      a.join(b,
+          col("a.bkt") === col("b.bkt") &&
+          col("a.label") === col("b.label") &&
+          col("b.vec_id") > col("a.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          ArrayOps.cosine(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
+        .orderBy("d1", "d2")
+    },
+
     // ----- extension: sign-LSH bucketed ANN — same probe set, but the join is
     // bucket-equality instead of a cross product; md5-derived hyperplanes make
     // the buckets reproducible in the oracle
