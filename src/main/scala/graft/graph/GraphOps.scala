@@ -63,6 +63,15 @@ object GraphOps {
       .toDF("vertex", "landmark", "distance")
   }
 
+  /** Connected components via GraphX (integer-exact: component id = min
+    * vertex id in the component). */
+  def connectedComponents(canonical: DataFrame): DataFrame = {
+    val spark = canonical.sparkSession
+    import spark.implicits._
+    toGraphX(canonical).connectedComponents().vertices
+      .map { case (id, cc) => (id, cc) }.toDF("vertex", "component")
+  }
+
   /** G2: PageRank as an iterative DataFrame computation, semantics identical
     * to GraphX staticPageRank: rank₀ = 1.0; rankₖ₊₁ = reset + (1−reset)·Σ
     * rankₖ(neighbor)/deg(neighbor). Isolated vertices keep rank = reset…1.0

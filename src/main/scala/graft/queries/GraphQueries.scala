@@ -85,6 +85,22 @@ object GraphQueries {
         .orderBy("vertex")
     },
 
+    // ----- G-extension: connected components (GraphX; component id = min
+    // vertex id, oracle = recursive reachability closure with min-root rollup)
+    "q_connected_components" -> QueryDef.sql(s"""
+      WITH RECURSIVE e AS ($edgesSql),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      reach AS (
+        SELECT src AS vertex, src AS root FROM sym
+        UNION
+        SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.vertex)
+      SELECT vertex, MIN(root) AS component
+      FROM reach GROUP BY vertex ORDER BY vertex""") { (s, d) =>
+      GraphOps.connectedComponents(
+          GraphOps.canonicalEdges(customerEdges(s, d), "src", "dst"))
+        .orderBy("vertex")
+    },
+
     // ----- G3: landmark shortest paths (GraphX ShortestPaths; integer-exact;
     // oracle = recursive BFS with UNION dedup, depth-bounded over the small
     // subgraph)

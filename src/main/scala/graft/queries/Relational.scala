@@ -235,6 +235,23 @@ object Relational {
         .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
     },
 
+    // ----- A7 extension: exact interpolated quantiles (both engines use the
+    // same linear-interpolation definition; single rounding on both sides)
+    "q_quantiles" -> QueryDef.sql("""
+      SELECT p, ROUND(v, 6) AS v FROM (
+        SELECT unnest([0.25, 0.5, 0.75]) AS p,
+               unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75])) AS v
+        FROM lineitem)
+      ORDER BY p""") { (s, d) =>
+      val ps = Seq(0.25, 0.5, 0.75)
+      Tables.lineitem(s, d)
+        .agg(percentile(col("l_extendedprice"), typedLit(ps)).as("vs"))
+        .select(posexplode(col("vs")).as(Seq("i", "v")))
+        .select(element_at(typedLit(ps), col("i").cast("int") + 1).as("p"),
+          round(col("v"), 6).as("v"))
+        .orderBy("p")
+    },
+
     // ----- O5: deterministic systematic sample (reference Bernoulli sample
     // AnalysisUtils.scala:98-104 is seed-dependent; modulo sampling is the
     // oracle-checkable equivalent)
