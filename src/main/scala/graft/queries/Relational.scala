@@ -264,6 +264,40 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    // ----- extension: ROLLUP multi-level aggregation (no grouping sets in the
+    // reference; a training-data pipeline reports at multiple granularities)
+    "q_rollup" -> QueryDef.sql("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""") { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // ----- extension: PIVOT as conditional aggregation (oracle = FILTER aggs)
+    "q_pivot" -> QueryDef.sql("""
+      SELECT o_orderstatus,
+             COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+             COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low,
+             COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT','5-LOW')) AS mid
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("urgent"),
+          count(when(col("o_orderpriority") === "5-LOW", 1)).as("low"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "5-LOW"), 1)).as("mid"))
+        .orderBy("o_orderstatus")
+    },
+
     // ----- F9/F10: date parsing/truncation (reference getTimestampString_udf +
     // to_timestamp, LatestVersionExtracter.scala:10-48)
     "q_date_trunc" -> QueryDef.sql("""

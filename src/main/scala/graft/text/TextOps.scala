@@ -28,13 +28,13 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
-  /** M4: n-grams over a token array (reference NGram usage Utils.scala:206-216).
-    * Pure expression version of ml.feature.NGram's per-row logic. */
+  /** M4: n-grams over a token array (reference NGram usage Utils.scala:206-216)
+    * — ml.feature.NGram per-row semantics as a native codegen expression
+    * ([[graft.expressions.NGramJoin]]; spec-checked against NGram itself). */
   def ngrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.NGramJoin(
+        org.apache.spark.sql.graft.bridge.expression(toks), n))
 
   /** Exact token count after whitespace split. */
   def tokenCount(c: Column): Column = size(tokens(c))
