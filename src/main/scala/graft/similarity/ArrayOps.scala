@@ -35,10 +35,13 @@ object ArrayOps {
     bridge.column(ArrayCosineParts(e(a), e(b)))
 
   /** Cosine similarity in [-1, 1] — one array pass; codegen subexpression
-    * elimination dedups the parts column. */
+    * elimination dedups the parts column. Zero-norm vectors yield NaN instead
+    * of an ANSI DIVIDE_BY_ZERO error (one degenerate row must not kill a
+    * 1000-executor job). */
   def cosine(a: Column, b: Column): Column = {
     val p = cosineParts(a, b)
-    element_at(p, 1) / (sqrt(element_at(p, 2)) * sqrt(element_at(p, 3)))
+    val denom = sqrt(element_at(p, 2)) * sqrt(element_at(p, 3))
+    when(denom > 0.0, element_at(p, 1) / denom).otherwise(lit(Double.NaN))
   }
 
   /** 0–100 scaled |cosine| (reference kernel convention). */
