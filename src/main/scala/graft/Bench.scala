@@ -1,12 +1,14 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR at local[32] and prints ONE JSON line
   * {"metric":...,"value":N,"unit":"sec","queries":{name:sec,...},"sf":...}.
   *
   * The headline set spans every module (relational, text, events/streaming,
   * vectors/ANN, ML, graph, dedup, aggregators) — one representative per
-  * operator family rather than all ~50 registry entries, so the per-round
+  * operator family rather than all ~65 registry entries, so the per-round
   * bench finishes in minutes while still exercising each physical plan shape.
   * Set SPARK_GRAFT_BENCH_QUERIES=name1,name2 (or "all") to override.
   */
@@ -33,6 +35,18 @@ object Bench {
     "q_pagerank",        // iterative graph
     "q_triangles")       // GraphX triangle count
 
+  private def time(spark: SparkSession, sfDir: String, name: String,
+                   fn: (SparkSession, String) => DataFrame): (String, Double) = {
+    val t0 = System.nanoTime()
+    try { fn(spark, sfDir).count() }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+    name -> dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(
@@ -44,16 +58,13 @@ object Bench {
     }
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val results = names.flatMap { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => Some(time(spark, sfDir, name, fn))
+        case None =>
+          System.err.println(s"[bench] unknown query: $name (skipped)")
+          None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
-      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
