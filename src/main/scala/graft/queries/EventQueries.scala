@@ -72,6 +72,31 @@ object EventQueries {
     // ----- §2.13 STREAMING: session windows (30-min gap) per user via
     // session_window() through readStream; per-user rollup matches the
     // lag()-based batch oracle
+    // ----- extension: AS-OF JOIN — attach each event's most recent prior
+    // purchase (same user, right.ts <= left.ts). Spark-side is the tagged
+    // union + running last() composition (one shuffle, no range explode);
+    // oracle is DuckDB's native ASOF LEFT JOIN
+    "q_asof_join" -> QueryDef.sql("""
+      SELECT l.event_id, l.user_id,
+             r.value AS asof_value,
+             epoch_us(r.ts) AS asof_ts_us
+      FROM events l ASOF LEFT JOIN
+           (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND r.ts <= l.ts
+      ORDER BY l.event_id""") { (s, d) =>
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+      AsOfJoin.leftAsOf(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          keyCol = "user_id", tsCol = "ts", payloadCols = Seq("value", "ts_us"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_value"), col("asof_ts_us"))
+        .orderBy("event_id")
+    },
+
     // ----- §2.13 STREAMING: custom per-key state via mapGroupsWithState —
     // integer-exact running (count, max event time) per user; the memory sink
     // holds one row per user per micro-batch, rolled up with max()
