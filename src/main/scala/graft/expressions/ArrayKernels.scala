@@ -44,11 +44,16 @@ case class ArrayDot(left: Expression, right: Expression) extends ArrayPairFold {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = Math.min($a.numElements(), $b.numElements());
-      double s = 0.0;
-      for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-      ${ev.value} = s;""")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName on every local: two kernel expressions in one codegen
+      // function must not redeclare the same Java variable
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $s = 0.0;
+      for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+      ${ev.value} = $s;"""
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -68,11 +73,14 @@ case class ArrayL1(left: Expression, right: Expression) extends ArrayPairFold {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = Math.min($a.numElements(), $b.numElements());
-      double s = 0.0;
-      for (int i = 0; i < n; i++) { s += Math.abs($a.getDouble(i) - $b.getDouble(i)); }
-      ${ev.value} = s;""")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $s = 0.0;
+      for (int $i = 0; $i < $n; $i++) { $s += Math.abs($a.getDouble($i) - $b.getDouble($i)); }
+      ${ev.value} = $s;"""
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -97,15 +105,20 @@ case class ArrayCosineParts(left: Expression, right: Expression) extends ArrayPa
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = Math.min($a.numElements(), $b.numElements());
-      double dot = 0.0, naa = 0.0, nbb = 0.0;
-      for (int i = 0; i < n; i++) {
-        double x = $a.getDouble(i); double y = $b.getDouble(i);
-        dot += x * y; naa += x * x; nbb += y * y;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val naa = ctx.freshName("naa")
+      val nbb = ctx.freshName("nbb"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $dot = 0.0, $naa = 0.0, $nbb = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+        $dot += $x * $y; $naa += $x * $x; $nbb += $y * $y;
       }
       ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        new double[] {dot, naa, nbb});""")
+        new double[] {$dot, $naa, $nbb});"""
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -135,19 +148,25 @@ case class ArraySupportStats(left: Expression, right: Expression, threshold: Dou
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = Math.min($a.numElements(), $b.numElements());
-      long sa = 0L, sb = 0L, inter = 0L, mism = 0L;
-      for (int i = 0; i < n; i++) {
-        boolean x = $a.getDouble(i) > $threshold;
-        boolean y = $b.getDouble(i) > $threshold;
-        if (x) sa++;
-        if (y) sb++;
-        if (x && y) inter++;
-        if (x != y) mism++;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val sa = ctx.freshName("sa"); val sb = ctx.freshName("sb")
+      val inter = ctx.freshName("inter"); val mism = ctx.freshName("mism")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+      int $n = Math.min($a.numElements(), $b.numElements());
+      long $sa = 0L, $sb = 0L, $inter = 0L, $mism = 0L;
+      for (int $i = 0; $i < $n; $i++) {
+        boolean $x = $a.getDouble($i) > $threshold;
+        boolean $y = $b.getDouble($i) > $threshold;
+        if ($x) $sa++;
+        if ($y) $sb++;
+        if ($x && $y) $inter++;
+        if ($x != $y) $mism++;
       }
       ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        new long[] {sa, sb, inter, mism});""")
+        new long[] {$sa, $sb, $inter, $mism});"""
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -49,19 +49,24 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("as", as.toArray, "long[]")
     val bRef = ctx.addReferenceObj("bs", bs.toArray, "long[]")
-    nullSafeCodeGen(ctx, ev, c => s"""
-      int k = $aRef.length;
-      long[] out = new long[k];
-      java.util.Arrays.fill(out, ${p}L);
-      int n = $c.numElements();
-      for (int i = 0; i < n; i++) {
-        long h = $c.getLong(i);
-        for (int j = 0; j < k; j++) {
-          long v = ($aRef[j] * h + $bRef[j]) % ${p}L;
-          if (v < out[j]) out[j] = v;
+    nullSafeCodeGen(ctx, ev, c => {
+      val k = ctx.freshName("k"); val out = ctx.freshName("out")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val j = ctx.freshName("j"); val v = ctx.freshName("v")
+      s"""
+      int $k = $aRef.length;
+      long[] $out = new long[$k];
+      java.util.Arrays.fill($out, ${p}L);
+      int $n = $c.numElements();
+      for (int $i = 0; $i < $n; $i++) {
+        long $h = $c.getLong($i);
+        for (int $j = 0; $j < $k; $j++) {
+          long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+          if ($v < $out[$j]) $out[$j] = $v;
         }
       }
-      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);""")
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -97,18 +102,24 @@ case class SimHash64(child: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      int[] votes = new int[64];
-      int n = $c.numElements();
-      for (int i = 0; i < n; i++) {
-        long h = $c.getLong(i);
-        for (int j = 0; j < 64; j++) {
-          if (((h >>> j) & 1L) == 1L) votes[j]++; else votes[j]--;
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j"); val j2 = ctx.freshName("j2")
+      val sig = ctx.freshName("sig")
+      s"""
+      int[] $votes = new int[64];
+      int $n = $c.numElements();
+      for (int $i = 0; $i < $n; $i++) {
+        long $h = $c.getLong($i);
+        for (int $j = 0; $j < 64; $j++) {
+          if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
         }
       }
-      long sig = 0L;
-      for (int j = 0; j < 64; j++) { if (votes[j] > 0) sig |= (1L << j); }
-      ${ev.value} = sig;""")
+      long $sig = 0L;
+      for (int $j2 = 0; $j2 < 64; $j2++) { if ($votes[$j2] > 0) $sig |= (1L << $j2); }
+      ${ev.value} = $sig;"""
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -142,15 +153,19 @@ case class SignLshBucket(child: Expression, planes: Seq[Seq[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pRef = ctx.addReferenceObj("planes", flat, "double[]")
     val nPlanes = planes.length
-    nullSafeCodeGen(ctx, ev, c => s"""
-      int n = Math.min($c.numElements(), $dim);
-      long bucket = 0L;
-      for (int j = 0; j < $nPlanes; j++) {
-        double s = 0.0;
-        for (int i = 0; i < n; i++) { s += $c.getDouble(i) * $pRef[j * $dim + i]; }
-        if (s > 0.0) bucket |= (1L << j);
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
+      val j = ctx.freshName("j"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+      int $n = Math.min($c.numElements(), $dim);
+      long $bucket = 0L;
+      for (int $j = 0; $j < $nPlanes; $j++) {
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) { $s += $c.getDouble($i) * $pRef[$j * $dim + $i]; }
+        if ($s > 0.0) $bucket |= (1L << $j);
       }
-      ${ev.value} = bucket;""")
+      ${ev.value} = $bucket;"""
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

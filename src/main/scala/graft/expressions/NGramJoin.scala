@@ -42,17 +42,22 @@ case class NGramJoin(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val spaceRef = ctx.addReferenceObj("space", space,
       "org.apache.spark.unsafe.types.UTF8String")
-    nullSafeCodeGen(ctx, ev, c => s"""
-      int num = $c.numElements();
-      int count = Math.max(0, num - $n + 1);
-      Object[] out = new Object[count];
-      org.apache.spark.unsafe.types.UTF8String[] parts =
+    nullSafeCodeGen(ctx, ev, c => {
+      val num = ctx.freshName("num"); val count = ctx.freshName("count")
+      val out = ctx.freshName("out"); val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      s"""
+      int $num = $c.numElements();
+      int $count = Math.max(0, $num - $n + 1);
+      Object[] $out = new Object[$count];
+      org.apache.spark.unsafe.types.UTF8String[] $parts =
         new org.apache.spark.unsafe.types.UTF8String[$n];
-      for (int i = 0; i < count; i++) {
-        for (int j = 0; j < $n; j++) { parts[j] = $c.getUTF8String(i + j); }
-        out[i] = org.apache.spark.unsafe.types.UTF8String.concatWs($spaceRef, parts);
+      for (int $i = 0; $i < $count; $i++) {
+        for (int $j = 0; $j < $n; $j++) { $parts[$j] = $c.getUTF8String($i + $j); }
+        $out[$i] = org.apache.spark.unsafe.types.UTF8String.concatWs($spaceRef, $parts);
       }
-      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);""")
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

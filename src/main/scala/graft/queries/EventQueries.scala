@@ -19,7 +19,7 @@ object EventQueries {
     // ----- F20: JSON scalar extraction + aggregate
     "q_json_extract" -> QueryDef.sql("""
       SELECT event_type,
-             SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+             CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
              COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
       Tables.events(s, d)
@@ -122,7 +122,7 @@ object EventQueries {
                              >= 1800000000 OR LAG(us) OVER (PARTITION BY user_id ORDER BY us)
                              IS NULL THEN 1 ELSE 0 END AS new_session
             FROM e)
-      SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM g GROUP BY user_id ORDER BY user_id""") { (s, d) =>
       import graft.streaming.Streaming
       Streaming.replayToTable(
@@ -144,7 +144,7 @@ object EventQueries {
                              > 1800 OR LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
                              IS NULL THEN 1 ELSE 0 END AS new_session
             FROM e)
-      SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM g GROUP BY user_id ORDER BY user_id""") { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
       Tables.events(s, d)

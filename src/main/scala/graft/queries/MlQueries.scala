@@ -65,11 +65,13 @@ object MlQueries {
     },
 
     // ----- M9: LDA topics (reference LDAAnalyzer.scala:85-116)
+    // Scalar columns only: the driver's pandas compare cannot sort array
+    // cells (round-1 q_lda_topics crash), so explode term indices to rows.
     "q_lda_topics" -> QueryDef.rowsOnly { (s, d) =>
       val (model, _) = Clustering.lda(featurized(s, d), k = 5, maxIter = 10)
       model.describeTopics(5)
-        .select(col("topic"), col("termIndices"))
-        .orderBy("topic")
+        .select(col("topic"), posexplode(col("termIndices")).as(Seq("pos", "term_index")))
+        .orderBy("topic", "pos")
     },
 
     // ----- M10: key-preserving LSA projection (fixes SURVEY J6)
