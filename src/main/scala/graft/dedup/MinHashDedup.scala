@@ -71,18 +71,20 @@ object MinHashDedup {
       struct(b.as("band"), xxhash64(slice(sig, b * r + 1, lit(r))).as("bh")))
   }
 
-  /** Near-duplicate candidate pairs with exact-Jaccard verification.
+  /** Near-duplicate candidate pairs with exact-Jaccard verification over the
+    * SAME shingle sets the signatures sketch — the quantity MinHash actually
+    * estimates, so banding recall is measurable against an exact all-pairs
+    * oracle (and a candidate that survives is a true shingle-level near-dup).
     * Returns (d1, d2, jac) with d1 < d2 and jac >= cfg.jaccardThreshold·100.
     *
     * Shuffle discipline (the 100 TB shape): the band-bucket self-join and the
-    * (d1,d2) dedup run over ID-ONLY rows — the token arrays never enter the
-    * bucket shuffle. Token sets are re-attached afterwards by two equi-joins
+    * (d1,d2) dedup run over ID-ONLY rows — the shingle arrays never enter the
+    * bucket shuffle. Shingle sets are re-attached afterwards by two equi-joins
     * against the prepared table, so the wide payload crosses the wire only
     * |verified candidates| times, not |bucket pairs|·|bands| times. */
   def nearDupPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
     val prepared = df.select(
       col(cfg.idCol).as("__id"),
-      array_distinct(TextOps.tokens(col(cfg.textCol))).as("__toks"),
       shingleHashes(col(cfg.textCol), cfg.shingleSize).as("__shingles"))
       .withColumn("__sig", signature(col("__shingles"), cfg.numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.numHashes))
@@ -105,10 +107,10 @@ object MinHashDedup {
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
       .dropDuplicates("d1", "d2")
 
-    val toks = prepared.select(col("__id"), col("__toks"))
+    val sets = prepared.select(col("__id"), col("__shingles"))
     val withSets = cand
-      .join(toks.select(col("__id").as("d1"), col("__toks").as("t1")), "d1")
-      .join(toks.select(col("__id").as("d2"), col("__toks").as("t2")), "d2")
+      .join(sets.select(col("__id").as("d1"), col("__shingles").as("t1")), "d1")
+      .join(sets.select(col("__id").as("d2"), col("__shingles").as("t2")), "d2")
 
     val inter = size(array_intersect(col("t1"), col("t2")))
     val union = size(array_union(col("t1"), col("t2")))

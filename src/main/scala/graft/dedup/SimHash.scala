@@ -17,18 +17,25 @@ object SimHash {
   final case class Config(
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHammingDistance: Int = 3)
+      maxHammingDistance: Int = 3,
+      tokenHash: Column => Column = xxhash64(_))
 
-  /** 64-bit simhash of a token array: tokens hashed ONCE with Spark's
-    * xxhash64, then a native single-pass expression
+  /** 60-bit token hash from md5 — slower than xxhash64 but computable in any
+    * engine with md5 (the DuckDB oracle reproduces it bit-for-bit): first 15
+    * hex chars parsed as an unsigned 60-bit integer (fits Long, ANSI-safe). */
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 64-bit simhash of a token array: tokens hashed ONCE (default Spark
+    * xxhash64 — the scale path), then a native single-pass expression
     * ([[graft.expressions.SimHash64]]) tallies all 64 bit votes — identical
     * votes to a per-bit aggregate() but without 64 interpreted array passes
     * (and without re-hashing every token per bit). */
-  def simhash(toks: Column): Column =
+  def simhash(toks: Column, tokenHash: Column => Column = xxhash64(_)): Column =
     org.apache.spark.sql.graft.bridge.column(
       graft.expressions.SimHash64(
         org.apache.spark.sql.graft.bridge.expression(
-          transform(toks, t => xxhash64(t)))))
+          transform(toks, t => tokenHash(t)))))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -39,7 +46,7 @@ object SimHash {
     val width = 64 / chunks // 16 bits per chunk for d=3
     val sigs = df.select(
       col(cfg.idCol).as("__id"),
-      simhash(TextOps.tokens(col(cfg.textCol))).as("__sig"))
+      simhash(TextOps.tokens(col(cfg.textCol)), cfg.tokenHash).as("__sig"))
 
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until chunks).map { c =>

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object MlQueries {
 
+  /** Spark's english StopWordsRemover list as a SQL IN-list literal, so the
+    * CountVectorizer oracle applies the identical stopword filter. */
+  private[queries] lazy val stopwordSqlList: String =
+    org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english")
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(",")
+
   private val tfidfCfg = FeatureConfig(numTextFeatures = 1024)
 
   private val featCache =
@@ -48,9 +54,18 @@ object MlQueries {
         .orderBy("doc_id")
     },
 
-    // ----- M6: CountVectorizer path with bounded vocabulary
-    "q_count_vectorized" -> QueryDef.rowsOnly { (s, d) =>
-      val cfg = FeatureConfig(useCountVectorizer = true, vocabLimit = 512, useIdf = false)
+    // ----- M6: CountVectorizer path. Gate variant uses an unbounded vocab so
+    // nnz == per-doc distinct post-pipeline terms, which the oracle mirrors
+    // exactly (clean -> drop-short-words -> \W tokenize -> english stopwords);
+    // the bounded-vocab cut is order-dependent at ties and stays spec-covered.
+    "q_count_vectorized" -> QueryDef.sql(s"""
+      SELECT doc_id, CAST(len(list_filter(list_distinct(
+               regexp_split_to_array(
+                 regexp_replace(regexp_replace(lower(text), '(\\d|,|:|;|\\?|!)', '', 'g'),
+                                '\\b\\w{1,2}\\b', '', 'g'), '\\W')),
+             x -> x <> '' AND x NOT IN (${MlQueries.stopwordSqlList}))) AS INTEGER) AS nnz
+      FROM documents ORDER BY doc_id""") { (s, d) =>
+      val cfg = FeatureConfig(useCountVectorizer = true, vocabLimit = 1 << 18, useIdf = false)
       val numNonzeros = udf((v: Vector) => v.numNonzeros)
       FeaturePipeline.features(Tables.documents(s, d), cfg)
         .select(col("doc_id"), numNonzeros(col("features")).as("nnz"))
@@ -108,17 +123,53 @@ object MlQueries {
         .orderBy("d1", "d2")
     },
 
-    // ----- extension: MinHash banded-LSH near-dup detection (pure columns)
-    "q_minhash_dedup" -> QueryDef.rowsOnly { (s, d) =>
+    // ----- extension: MinHash banded-LSH near-dup detection (pure columns).
+    // Oracle = EXACT all-pairs shingle-set Jaccard: valid because banding has
+    // ~100% recall at the thresholds the data exercises (near-dups here are
+    // jac>=90; P(miss) < 1e-7 per pair) and everything is deterministic —
+    // verified to match at the gate scale before shipping.
+    "q_minhash_dedup" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks)-1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+              FROM documents))
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)*100.0
+                   / len(list_distinct(list_concat(a.s,b.s))), 4) AS jac
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)*100.0
+            / len(list_distinct(list_concat(a.s,b.s))) >= 70.0
+      ORDER BY d1, d2""") { (s, d) =>
       MinHashDedup.nearDupPairs(Tables.documents(s, d),
         MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.7))
         .orderBy("d1", "d2")
     },
 
-    // ----- extension: SimHash near-dup detection
-    "q_simhash_dedup" -> QueryDef.rowsOnly { (s, d) =>
+    // ----- extension: SimHash near-dup detection. Gate variant hashes tokens
+    // with md5 (SimHash.md5Hash60) so the oracle reproduces the signatures
+    // bit-for-bit in SQL; the chunk-join candidate step has ZERO false
+    // negatives (pigeonhole: hdist<=3 implies an equal 16-bit chunk), so
+    // exact all-pairs over oracle signatures is the complete answer. The
+    // xxhash64 default Config stays the scale path (spec-covered).
+    "q_simhash_dedup" -> QueryDef.sql("""
+      WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+                   FROM documents),
+      h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv FROM tok),
+      v AS (SELECT doc_id, j, SUM(CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM h CROSS JOIN range(60) js(j) GROUP BY doc_id, j),
+      sigp AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+               FROM v GROUP BY doc_id),
+      sig AS (SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+              FROM documents d LEFT JOIN sigp s ON d.doc_id = s.doc_id)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hdist
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      ORDER BY d1, d2""") { (s, d) =>
       SimHash.nearDupPairs(Tables.documents(s, d),
-        SimHash.Config(maxHammingDistance = 3))
+        SimHash.Config(maxHammingDistance = 3, tokenHash = SimHash.md5Hash60))
         .orderBy("d1", "d2")
     },
 
@@ -146,6 +197,48 @@ object MlQueries {
         .select(col("pk1"), col("pk2"),
           cosine(col("features_1"), col("features_2")).as("similarity"))
         .orderBy(desc("similarity"), asc("pk1"), asc("pk2"))
+        .limit(50)
+    },
+
+    // ----- flagship, ORACLE-CHECKED form: same workflow-1 skeleton (blocked
+    // candidate pairs -> cosine -> global top-K) but on exact sparse
+    // term-count vectors with lang blocking, so DuckDB can replay every step.
+    // Integer dot/norm sums are exact; sqrt/mul/div are IEEE-identical.
+    "q_billmatch_sql" -> QueryDef.sql("""
+      WITH tf AS (SELECT doc_id, lang, token, COUNT(*) AS c FROM (
+                    SELECT doc_id, lang,
+                           unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+                    FROM documents)
+                  GROUP BY doc_id, lang, token),
+      nrm AS (SELECT doc_id, SQRT(CAST(SUM(c*c) AS DOUBLE)) AS nrm FROM tf GROUP BY doc_id),
+      dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(SUM(a.c*b.c) AS DOUBLE) AS dot
+               FROM tf a JOIN tf b
+                 ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+      SELECT d1, d2,
+             ROUND(dot*100.0/(n1.nrm*n2.nrm), 4) AS similarity
+      FROM dots JOIN nrm n1 ON dots.d1 = n1.doc_id
+                JOIN nrm n2 ON dots.d2 = n2.doc_id
+      ORDER BY similarity DESC, d1, d2 LIMIT 50""") { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("c"))
+      val nrm = tf.groupBy("doc_id")
+        .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+      val a = tf.alias("a")
+      val b = tf.alias("b")
+      val dots = a.join(b,
+          col("a.token") === col("b.token") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(sum(col("a.c") * col("b.c")).cast("double").as("dot"))
+      dots
+        .join(nrm.select(col("doc_id").as("d1"), col("nrm").as("n1")), "d1")
+        .join(nrm.select(col("doc_id").as("d2"), col("nrm").as("n2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(col("dot") * 100.0 / (col("n1") * col("n2")), 4).as("similarity"))
+        .orderBy(desc("similarity"), asc("d1"), asc("d2"))
         .limit(50)
     }
   )
