@@ -1,0 +1,70 @@
+package graft.ann
+
+import graft.similarity.ArrayOps
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbors over an embedding
+  * column: k-means coarse quantizer → per-centroid partitions → probe only
+  * the nProbe nearest partitions per query.
+  *
+  * The other half of the engine's ANN story next to [[SignLsh]]: LSH buckets
+  * are data-independent (cheap, reproducible, no fit), IVF adapts to the data
+  * distribution (better recall per candidate scanned). With nProbe == k the
+  * search degenerates to exact brute force — the equivalence the spec pins.
+  *
+  * 100 TB shape: centroids are tiny (k·dim doubles → broadcast), the probe
+  * set is config-scale (broadcast after centroid routing), and the corpus is
+  * scanned ONCE through a broadcast-hash join on centroid_id — no shuffle of
+  * the embedding table, no cross join anywhere.
+  */
+object Ivf {
+
+  /** `centroids`: (centroid_id, cvec); `assigned`: input + centroid_id. */
+  final case class Index(centroids: DataFrame, assigned: DataFrame)
+
+  def build(df: DataFrame, vecCol: String, k: Int,
+            seed: Long = 12345L, maxIter: Int = 20): Index = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__mlvec").setPredictionCol("__centroid")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .withColumnRenamed("__centroid", "centroid_id")
+      .drop("__mlvec")
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("centroid_id", "cvec")
+    Index(centroids, assigned)
+  }
+
+  /** Top-K cosine neighbors per probe, searching only the nProbe nearest
+    * centroid partitions. `probes` carries (qIdCol, qVecCol); output is
+    * (qIdCol, cand_id, cos, rn) with rn 1..topK per probe. */
+  def search(index: Index, probes: DataFrame, idCol: String, vecCol: String,
+             qIdCol: String = "q_id", qVecCol: String = "qv",
+             topK: Int = 10, nProbe: Int = 4): DataFrame = {
+    // squared L2 to each centroid as ||q||² + ||c||² − 2·q·c (single-pass
+    // kernels); deterministic centroid tie-break on id
+    val d2 = ArrayOps.norm2sq(col(qVecCol)) + ArrayOps.norm2sq(col("cvec")) -
+      lit(2.0) * ArrayOps.dot(col(qVecCol), col("cvec"))
+    val wc = Window.partitionBy(qIdCol).orderBy(asc("__cd"), asc("centroid_id"))
+    val probed = probes.crossJoin(broadcast(index.centroids))
+      .withColumn("__cd", d2)
+      .withColumn("__crn", row_number().over(wc))
+      .filter(col("__crn") <= nProbe)
+      .select(col(qIdCol), col(qVecCol), col("centroid_id"))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("cos"), asc("cand_id"))
+    broadcast(probed).join(index.assigned, Seq("centroid_id"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("cand_id"),
+        ArrayOps.cosine(col(qVecCol), col(vecCol)).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+  }
+}

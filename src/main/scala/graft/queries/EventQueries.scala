@@ -69,6 +69,22 @@ object EventQueries {
         .orderBy("window_start")
     },
 
+    // ----- §2.13 STREAMING: the sliding aggregation through readStream →
+    // memory sink; same logical plan as the batch twin, same oracle
+    "q_stream_sliding" -> QueryDef.sql("""
+      SELECT window_start, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM (SELECT unnest([b - 1800, b]) AS window_start, value
+            FROM (SELECT CAST(FLOOR(epoch(ts)/1800)*1800 AS BIGINT) AS b, value
+                  FROM events))
+      GROUP BY window_start ORDER BY window_start""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.replayToTable(
+          Streaming.slidingAgg(Streaming.eventStream(s, d)),
+          s"stream_sliding_${System.nanoTime()}")
+        .orderBy("window_start")
+    },
+
     // ----- §2.13 STREAMING: session windows (30-min gap) per user via
     // session_window() through readStream; per-user rollup matches the
     // lag()-based batch oracle

@@ -62,6 +62,17 @@ object TextQueries {
         .orderBy("ngram")
     },
 
+    // ----- M3: Porter-stemmed wordcount (no stemmer exists in offline
+    // DuckDB, so the algorithm is pinned by PorterStemmerSpec's published
+    // vocabulary instead of a SQL oracle)
+    "q_stemmed_wordcount" -> QueryDef.rowsOnly { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.stemTokens(TextOps.tokens(col("text")))).as("stem"))
+        .groupBy("stem").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy("stem")
+    },
+
     // ----- extension: language-ID heuristic (marker-word argmax)
     "q_langid" -> QueryDef.sql("""
       WITH t AS (SELECT doc_id, lang,

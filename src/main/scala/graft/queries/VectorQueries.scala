@@ -152,6 +152,21 @@ object VectorQueries {
         .orderBy("d1", "d2")
     },
 
+    // ----- extension: IVF ANN — k-means coarse quantizer, probe the nProbe
+    // nearest partitions (the data-adaptive scale path next to sign-LSH).
+    // Centroids depend on the k-means fit, so the gate check is rows-only;
+    // IvfSpec pins exact brute-force equivalence at nProbe == k.
+    "q_ann_ivf" -> QueryDef.rowsOnly { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      val index = graft.ann.Ivf.build(t, "v", k = 16)
+      val probes = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.ann.Ivf.search(index, probes, "vec_id", "v", topK = 3, nProbe = 4)
+        .select(col("q_id"), col("cand_id"), round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     // ----- extension: sign-LSH bucketed ANN — same probe set, but the join is
     // bucket-equality instead of a cross product; md5-derived hyperplanes make
     // the buckets reproducible in the oracle

@@ -33,6 +33,7 @@ final case class FeatureConfig(
     vocabLimit: Int = 1 << 16,
     useIdf: Boolean = true,
     minDocFreq: Int = 1,
+    useStemming: Boolean = false,
     extraStopWords: Seq[String] = Nil)
 
 object FeaturePipeline {
@@ -49,13 +50,16 @@ object FeaturePipeline {
       .setInputCol("__tokens").setOutputCol("__filtered")
       .setStopWords(StopWordsRemover.loadDefaultStopWords("english")
         ++ cfg.extraStopWords)
+    val stemmed = if (cfg.useStemming) "__stemmed" else "__filtered"
+    val stemmer = new StemmerStage()
+      .setInputCol("__filtered").setOutputCol("__stemmed")
     val termsCol =
       if (cfg.addNGramFeatures) {
         "__ngrams"
-      } else "__filtered"
+      } else stemmed
     val ngram = new NGram()
       .setN(cfg.nGramGranularity)
-      .setInputCol("__filtered").setOutputCol("__ngrams")
+      .setInputCol(stemmed).setOutputCol("__ngrams")
     val vectorize =
       if (cfg.useCountVectorizer)
         new CountVectorizer()
@@ -66,6 +70,7 @@ object FeaturePipeline {
           .setInputCol(termsCol).setOutputCol(if (cfg.useIdf) "__tf" else cfg.outputCol)
           .setNumFeatures(cfg.numTextFeatures)
     val stages = Seq(tokenizer, stopper) ++
+      (if (cfg.useStemming) Seq(stemmer) else Nil) ++
       (if (cfg.addNGramFeatures) Seq(ngram) else Nil) ++
       Seq(vectorize) ++
       (if (cfg.useIdf)
@@ -85,7 +90,7 @@ object FeaturePipeline {
       TextOps.dropSmallWords(TextOps.clean(col(cfg.inputCol))))
     val model = build(cfg).fit(cleaned)
     val out = model.transform(cleaned)
-      .drop("__clean", "__tokens", "__filtered", "__ngrams", "__tf")
+      .drop("__clean", "__tokens", "__filtered", "__stemmed", "__ngrams", "__tf")
     (model, out)
   }
 

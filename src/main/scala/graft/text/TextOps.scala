@@ -75,4 +75,13 @@ object TextOps {
 
   /** Document fingerprint: md5 hex of the text (content-hash dedup key). */
   def fingerprint(c: Column): Column = md5(c.cast("binary"))
+
+  /** M3: Porter-stem one token ([[graft.expressions.PorterStem]], codegen'd). */
+  def porterStem(token: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.PorterStem(
+        org.apache.spark.sql.graft.bridge.expression(token)))
+
+  /** M3: Porter-stem every token of an array column. */
+  def stemTokens(toks: Column): Column = transform(toks, porterStem(_))
 }
