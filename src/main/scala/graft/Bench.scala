@@ -24,6 +24,7 @@ object Bench {
     "q_stream_tumbling", // same agg through Structured Streaming
     "q_wordcount",       // explode + agg
     "q_ngram_count",     // n-gram explode + agg
+    "q_stemmed_wordcount", // Porter-stem + agg
     "q_dedup_exact",     // content-hash dedup
     "q_minhash_dedup",   // MinHash banded LSH near-dup
     "q_simhash_dedup",   // SimHash near-dup
@@ -56,8 +57,21 @@ object Bench {
       case Some(list)  => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None        => headline
     }
-    // JVM/codegen warmup so the first measured query isn't charged for it
+    // JVM/codegen/datasource/ML warmup so the first measured query isn't
+    // charged for class loading: the parquet reader is ~1 s and the ML
+    // pipeline stack (tokenizer/TF/IDF/KMeans + BLAS init) ~4 s of pure
+    // first-touch cost. Toy data only — nothing the queries read is cached.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    locally {
+      import spark.implicits._
+      val toy = Seq((0L, "alpha beta gamma delta"), (1L, "beta gamma delta epsilon"),
+        (2L, "gamma delta epsilon zeta"), (3L, "delta epsilon zeta eta"))
+        .toDF("doc_id", "text")
+      val feats = graft.text.FeaturePipeline.features(toy,
+        graft.text.FeatureConfig(numTextFeatures = 64))
+      graft.cluster.Clustering.kmeans(feats, k = 2, maxIter = 2)._2.count()
+    }
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) => Some(time(spark, sfDir, name, fn))

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * evaluations per scan.
   *
   * Registered as SQL functions (graft_dot / graft_l1 / graft_cosine_parts /
-  * graft_hamming_support) through [[GraftExtensions]]
+  * graft_support_stats) through [[GraftExtensions]]
   * (SparkSessionExtensions.injectFunction) and exposed as Columns by ArrayOps.
   */
 abstract class ArrayPairFold extends BinaryExpression {

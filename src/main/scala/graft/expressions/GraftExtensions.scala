@@ -1,0 +1,79 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point registering graft's native expressions
+  * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works next
+  * to the Column API (graft.similarity.ArrayOps / graft.text.TextOps).
+  *
+  * Activate with:
+  * {{{
+  *   spark.sql.extensions=graft.expressions.GraftExtensions
+  * }}}
+  * (GraftSession.builder sets it by default.)
+  *
+  * Parameterized sketch expressions whose coefficients are Scala-side arrays
+  * (MinHashSignature, SignLshBucket) stay Column-API-only — their parameters
+  * are derived deterministically from configs, not expressible as SQL
+  * literals a user should retype.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case l: Literal => l.value match {
+      case i: Int => i
+      case i: Long => i.toInt
+      case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$what must be a literal")
+  }
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case l: Literal => l.value match {
+      case d: Double => d
+      case d: Float => d.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case i: Int => i.toDouble
+      case i: Long => i.toDouble
+      case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$what must be a literal")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - left-fold dot product of two array<double>"),
+      (es: Seq[Expression]) => ArrayDot(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_l1"),
+      info("graft_l1", "graft_l1(a, b) - left-fold L1 distance of two array<double>"),
+      (es: Seq[Expression]) => ArrayL1(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_cosine_parts"),
+      info("graft_cosine_parts", "graft_cosine_parts(a, b) - one-pass [dot, ||a||^2, ||b||^2]"),
+      (es: Seq[Expression]) => ArrayCosineParts(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_support_stats"),
+      info("graft_support_stats",
+        "graft_support_stats(a, b, thr) - one-pass [|supp a|, |supp b|, |intersect|, mismatches] at threshold thr"),
+      (es: Seq[Expression]) => ArraySupportStats(es(0), es(1), litDouble(es(2), "thr"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "graft_ngrams(tokens, n) - space-joined word n-grams of a token array"),
+      (es: Seq[Expression]) => NGramJoin(es(0), litInt(es(1), "n"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(hashes) - 64-bit simhash from pre-hashed tokens"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_porter_stem"),
+      info("graft_porter_stem", "graft_porter_stem(token) - classic Porter (1980) stem of a token"),
+      (es: Seq[Expression]) => PorterStem(es(0))))
+  }
+}

