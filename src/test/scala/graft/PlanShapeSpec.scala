@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape guards for the scale-critical queries: the properties
+  * that make them survive a 100 TB input must hold in the PLAN, not just in
+  * intent — a regression that silently introduces a cartesian product or
+  * drops a broadcast would still pass value-level tests at test scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Blocked/bucketed pair generation must be an equi-keyed join, never a
+    * cartesian product (the reference's driver-side pairup collapsed at
+    * scale for exactly this reason). */
+  test("candidate/dedup/ANN joins plan without CartesianProduct") {
+    for (q <- Seq("q_pairs_blocked", "q_minhash_dedup", "q_simhash_dedup",
+                  "q_ann_lsh", "q_billmatch", "q_asof_join", "q_jaccard_pairs")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  /** Probe/dim sides sized in config must be broadcast, keeping the corpus
+    * side shuffle-free where designed. */
+  test("broadcast where intended") {
+    for (q <- Seq("q_join_agg", "q_cosine_topk")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q plans no broadcast")
+    }
+  }
+
+  /** Aggregation queries must keep partial (map-side) aggregation — two
+    * HashAggregate levels around the exchange. */
+  test("partial aggregation present in q1_agg") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  /** Filter + projection must reach the parquet scan (pushdown/pruning). */
+  test("filter pushdown and column pruning reach the scan") {
+    val df = SparkEntry.queries("q_filter_project")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), "no pushed filters on the scan")
+    val scanSchema = "ReadSchema: ([^\\n]+)".r.findFirstMatchIn(p).map(_.group(1))
+    assert(scanSchema.exists(!_.contains("l_comment")), s"scan not pruned: $scanSchema")
+  }
+}
