@@ -1,0 +1,83 @@
+package graft
+
+import graft.candidates.{CandidateConfig, Candidates}
+import graft.cluster.Clustering
+import graft.graph.GraphOps
+import graft.io.Tables
+import graft.post.Post
+import graft.similarity.Kernels
+import graft.text.{FeatureConfig, FeaturePipeline}
+import org.apache.spark.sql.functions._
+
+/** Runnable end-to-end bill-match pipeline — the engine's single-command
+  * replacement for the reference's ExtractCandidates → (14× sharded)
+  * BillAnalyzer → HarvestOutput → Postprocessor chain plus the spark-shell
+  * graph session (reference wrapper_workflow1.py:10-21, docs/graphFrameTest.md):
+  * one declarative plan, runtime-configurable (the reference required
+  * `sbt assembly` per config change — compiled-in HOCON).
+  *
+  * Usage: runMain graft.BillMatch [sfDir] [outDir] [measure] [k] [topK]
+  *   measure ∈ cosine|manhattan|hamming|jaccard|maxasymjaccard|
+  *             weighted_jaccard|left_jaccard|right_jaccard
+  *
+  * Writes:
+  *   outDir/pairs.parquet — canonical-ordered top-K similarity pairs
+  *   outDir/graph.parquet — per-vertex pagerank/triangles over the match graph
+  * and prints a run summary.
+  */
+object BillMatch {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir   = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val outDir  = args.lift(1).getOrElse("/tmp/billmatch_out")
+    val measure = args.lift(2).getOrElse("cosine")
+    val k       = args.lift(3).map(_.toInt).getOrElse(8)
+    val topK    = args.lift(4).map(_.toInt).getOrElse(100)
+    val spark = GraftSession.local()
+
+    // 1. features (clean → tokenize → stopwords → TF-IDF), corpus spread
+    //    across partitions (single-file testdata artifact)
+    val docs = Tables.documents(spark, sfDir).repartition(32)
+    val feats = FeaturePipeline.features(docs, FeatureConfig(numTextFeatures = 1024))
+      .select("doc_id", "lang", "n_chars", "features")
+      .cache()
+
+    // 2. k-means blocking (the reference's ~27× all-pairs cut)
+    val (model, clustered) = Clustering.kmeans(feats, k = k, maxIter = 20)
+    val wssse = model.summary.trainingCost
+
+    // 3. blocked candidate self-join (equi-key on cluster, pk1<pk2, cross-lang)
+    val pairs = Candidates.pairs(clustered, CandidateConfig(
+      keyCol = "doc_id", groupCol = "lang", blockCol = Some("prediction"),
+      lengthCol = Some("n_chars"), maxLengthRatio = 0.26))
+
+    // 4. similarity kernel on candidate pairs (vectors re-attached AFTER the
+    //    pair join — wide payloads never ride the candidate shuffle)
+    val kernel = Kernels.udfFor(measure)
+    val sims = Candidates.attachBothSides(pairs,
+        clustered.select(col("doc_id"), col("features")), "doc_id", "features")
+      .select(col("pk1"), col("pk2"),
+        kernel(col("features_1"), col("features_2")).as("similarity"))
+
+    // 5. post-process: global top-K, canonical order, parquet sink
+    val top = Post.imposeCanonicalOrder(Post.topK(sims, topK), tokenIndex = 0)
+    top.write.mode("overwrite").parquet(s"$outDir/pairs.parquet")
+
+    // 6. graph stage: pagerank + triangles over matches above the median
+    val edges = Post.topK(sims, topK)
+      .select(col("pk1").as("src"), col("pk2").as("dst"))
+    val canonical = GraphOps.canonicalEdges(edges, "src", "dst")
+    val pr = GraphOps.pageRankDF(canonical, numIter = 10)
+    val tri = GraphOps.triangleCounts(canonical)
+    val graphStats = pr.join(tri, Seq("vertex"), "outer")
+    graphStats.write.mode("overwrite").parquet(s"$outDir/graph.parquet")
+
+    val nDocs = feats.count()
+    val nPairs = sims.count()
+    val topRows = top.limit(5).collect()
+    println(f"[billmatch] docs=$nDocs pairs=$nPairs measure=$measure k=$k wssse=$wssse%.3e")
+    topRows.foreach(r => println(s"[billmatch] top: $r"))
+    println(s"[billmatch] wrote $outDir/pairs.parquet and $outDir/graph.parquet")
+    spark.stop()
+  }
+}
