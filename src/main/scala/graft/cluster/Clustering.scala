@@ -1,6 +1,6 @@
 package graft.cluster
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel, LDA, LDAModel}
+import org.apache.spark.ml.clustering.{BisectingKMeans, BisectingKMeansModel, KMeans, KMeansModel, LDA, LDAModel}
 import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
 import org.apache.spark.mllib.linalg.distributed.RowMatrix
 import org.apache.spark.sql.DataFrame
@@ -20,6 +20,17 @@ object Clustering {
   def kmeans(df: DataFrame, k: Int, maxIter: Int = 40, seed: Long = 12345L,
              featuresCol: String = "features"): (KMeansModel, DataFrame) = {
     val model = new KMeans()
+      .setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol(featuresCol)
+      .fit(df)
+    (model, model.transform(df))
+  }
+
+  /** Bisecting k-means — the reference's commented alternative blocker
+    * (feature/Utils.scala:138). Same contract as [[kmeans]]. */
+  def bisectingKmeans(df: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 12345L,
+                      featuresCol: String = "features"): (BisectingKMeansModel, DataFrame) = {
+    val model = new BisectingKMeans()
       .setK(k).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol(featuresCol)
       .fit(df)

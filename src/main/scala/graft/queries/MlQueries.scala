@@ -88,6 +88,14 @@ object MlQueries {
         .orderBy("prediction")
     },
 
+    // ----- M8 alternative: bisecting k-means blocking (the reference's
+    // commented alternative, feature/Utils.scala:138)
+    "q_bisecting_blocks" -> QueryDef.rowsOnly { (s, d) =>
+      val (_, clustered) = Clustering.bisectingKmeans(featurized(s, d), k = 8)
+      clustered.groupBy("prediction").agg(count(lit(1)).as("n"))
+        .orderBy("prediction")
+    },
+
     // ----- M9: LDA topics (reference LDAAnalyzer.scala:85-116)
     // Scalar columns only: the driver's pandas compare cannot sort array
     // cells (round-1 q_lda_topics crash), so explode term indices to rows.

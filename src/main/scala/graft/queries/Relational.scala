@@ -311,6 +311,28 @@ object Relational {
         .orderBy("month")
     },
 
+    // ----- F9 faithful form: parse a '"January 5, 1994"'-style date string
+    // with a custom format, defaulting unparseable input to 1900-12-31 — the
+    // reference's getTimestampString_udf contract
+    // (LatestVersionExtracter.scala:10-44) as try_to_date + coalesce, no UDF.
+    // The string column is synthesized from o_orderdate (with every 7th row
+    // corrupted) so BOTH the format round-trip and the fallback are checked.
+    "q_date_parse" -> QueryDef.sql("""
+      SELECT COALESCE(TRY_STRPTIME(raw, '%B %-d, %Y')::DATE, DATE '1900-12-31') AS d,
+             COUNT(*) AS n
+      FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'not a date'
+                        ELSE strftime(o_orderdate, '%B %-d, %Y') END AS raw
+            FROM orders)
+      GROUP BY d ORDER BY d""") { (s, d) =>
+      Tables.orders(s, d)
+        .select(when(col("o_orderkey") % 7 === 0, lit("not a date"))
+          .otherwise(date_format(col("o_orderdate"), "MMMM d, yyyy")).as("raw"))
+        .select(coalesce(try_to_timestamp(col("raw"), lit("MMMM d, yyyy")).cast(DateType),
+          to_date(lit("1900-12-31"))).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n"))
+        .orderBy("d")
+    },
+
     // ----- F8: CASE WHEN routing (reference takeSmaller/LargerContent_udf,
     // AnalysisUtils.scala:142-156 → when/otherwise)
     "q_case_when" -> QueryDef.sql("""
