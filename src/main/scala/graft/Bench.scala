@@ -32,6 +32,7 @@ object Bench {
     "q_cosine_topk",     // brute-force ANN baseline
     "q_ann_lsh",         // bucketed ANN
     "q_tfidf_features",  // ML feature pipeline
+    "q_kmeans_blocks",   // k-means blocking fit (shared with q_billmatch)
     "q_billmatch",       // flagship end-to-end pipeline
     "q_pagerank",        // iterative graph
     "q_triangles")       // GraphX triangle count

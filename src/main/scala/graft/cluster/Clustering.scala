@@ -18,9 +18,10 @@ object Clustering {
     * input plus a `prediction` column, and the model (for WSSSE =
     * summary.trainingCost, the Spark-4 home of computeCost). */
   def kmeans(df: DataFrame, k: Int, maxIter: Int = 40, seed: Long = 12345L,
-             featuresCol: String = "features"): (KMeansModel, DataFrame) = {
+             featuresCol: String = "features",
+             initMode: String = "k-means||"): (KMeansModel, DataFrame) = {
     val model = new KMeans()
-      .setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setK(k).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
       .setFeaturesCol(featuresCol)
       .fit(df)
     (model, model.transform(df))

@@ -32,6 +32,22 @@ object MlQueries {
   private val featCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Shared k-means blocking (k=8) over [[featurized]] — q_kmeans_blocks,
+    * q_candidates and q_billmatch all consume the same clustered frame (the
+    * reference likewise wrote the clustered features parquet once and fed it
+    * to every downstream stage, ExtractCandidates.scala:145). The FIT is
+    * shared; the frame itself is deliberately NOT cached — model.transform
+    * over the cached features is a trivial map, and an InMemoryRelation here
+    * would inflate Catalyst's size estimate and flip the downstream
+    * pair⋈features joins from broadcast to a shuffle of the wide vectors
+    * (measured 6× slower). */
+  private def clustered8(s: SparkSession, d: String): DataFrame =
+    kmeansCache.getOrElseUpdate((s, d),
+      Clustering.kmeans(featurized(s, d), k = 8, maxIter = 20)._2)
+
   /** The testdata ships one small parquet file per table = ONE input split,
     * which would serialize every per-row featurization map on a single core.
     * Spread it across a fixed fan-out (fixed, not defaultParallelism, so the
@@ -83,7 +99,7 @@ object MlQueries {
 
     // ----- M8: k-means blocking labels (reference Utils.scala:129-149)
     "q_kmeans_blocks" -> QueryDef.rowsOnly { (s, d) =>
-      val (_, clustered) = Clustering.kmeans(featurized(s, d), k = 8, maxIter = 20)
+      val clustered = clustered8(s, d)
       clustered.groupBy("prediction").agg(count(lit(1)).as("n"))
         .orderBy("prediction")
     },
@@ -192,7 +208,7 @@ object MlQueries {
 
     // ----- J2 full form: blocked candidate pairs on a clustered corpus
     "q_candidates" -> QueryDef.rowsOnly { (s, d) =>
-      val (_, clustered) = Clustering.kmeans(featurized(s, d), k = 8, maxIter = 20)
+      val clustered = clustered8(s, d)
       Candidates.pairs(clustered, CandidateConfig(
         keyCol = "doc_id", groupCol = "lang",
         blockCol = Some("prediction"),
@@ -204,7 +220,7 @@ object MlQueries {
     // k-means blocking → candidate join → cosine kernel → global top-K),
     // ExtractCandidates + BillAnalyzer + Postprocessor in one declarative plan
     "q_billmatch" -> QueryDef.rowsOnly { (s, d) =>
-      val (_, clustered) = Clustering.kmeans(featurized(s, d), k = 8, maxIter = 20)
+      val clustered = clustered8(s, d)
       val pairs = Candidates.pairs(clustered, CandidateConfig(
         keyCol = "doc_id", groupCol = "lang", blockCol = Some("prediction")))
       val withVecs = Candidates.attachBothSides(pairs,
