@@ -79,9 +79,10 @@ object GraphOps {
     *
     * Scale: each iteration is one shuffled join rank⋈edges + one groupBy —
     * both keyed on vertex id, so AQE reuses the partitioning; the degree table
-    * is computed once and cached. numIter is small (5-20), so the plan stays
-    * bounded; checkpoint/localCheckpoint would truncate lineage on a real
-    * cluster run with large numIter.
+    * is computed once and cached. Every 8 iterations the rank frame is
+    * localCheckpoint-ed: the logical plan otherwise grows linearly with
+    * numIter (analysis/optimization cost explodes, and a failure would replay
+    * the whole chain) — values are unchanged, only lineage is truncated.
     */
   def pageRankDF(canonical: DataFrame, numIter: Int,
                  resetProb: Double = 0.15): DataFrame = {
@@ -91,7 +92,7 @@ object GraphOps {
       .agg(count(lit(1)).as("deg")).cache()
 
     var ranks = vertices.withColumn("rank", lit(1.0))
-    for (_ <- 0 until numIter) {
+    for (i <- 0 until numIter) {
       val contribs = sym
         .join(ranks.withColumnRenamed("vertex", "src"), "src")
         .join(degrees.withColumnRenamed("vertex", "src"), "src")
@@ -102,6 +103,7 @@ object GraphOps {
         .select(col("vertex"),
           (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("msum"), lit(0.0)))
             .as("rank"))
+      if ((i + 1) % 8 == 0 && i + 1 < numIter) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -67,7 +67,7 @@ object TextQueries {
     // vocabulary instead of a SQL oracle)
     "q_stemmed_wordcount" -> QueryDef.rowsOnly { (s, d) =>
       Tables.documents(s, d)
-        .select(explode(TextOps.stemTokens(TextOps.tokens(col("text")))).as("stem"))
+        .select(explode(TextOps.stemTokens(TextOps.tokens(lower(col("text"))))).as("stem"))
         .groupBy("stem").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
         .orderBy("stem")
