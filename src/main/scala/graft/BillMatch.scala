@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * one declarative plan, runtime-configurable (the reference required
   * `sbt assembly` per config change — compiled-in HOCON).
   *
-  * Usage: runMain graft.BillMatch [sfDir] [outDir] [measure] [k] [topK]
-  *   measure ∈ cosine|manhattan|hamming|jaccard|maxasymjaccard|
-  *             weighted_jaccard|left_jaccard|right_jaccard
+  * Usage: runMain graft.BillMatch [sfDir] [outDir] [measure] [k] [topK] [blocking]
+  *   measure  ∈ cosine|manhattan|hamming|jaccard|maxasymjaccard|
+  *              weighted_jaccard|left_jaccard|right_jaccard
+  *   blocking ∈ kmeans (workflow 1) | minhash (workflow 2: the reference's
+  *              ExtractMinHashLSH — ONE corpus-wide LSH join with the
+  *              cross-group constraint as a join predicate, replacing its
+  *              1225 driver-side per-state-pair jobs)
   *
   * Writes:
   *   outDir/pairs.parquet — canonical-ordered top-K similarity pairs
@@ -30,9 +34,10 @@ object BillMatch {
   def main(args: Array[String]): Unit = {
     val sfDir   = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val outDir  = args.lift(1).getOrElse("/tmp/billmatch_out")
-    val measure = args.lift(2).getOrElse("cosine")
-    val k       = args.lift(3).map(_.toInt).getOrElse(8)
-    val topK    = args.lift(4).map(_.toInt).getOrElse(100)
+    val measure  = args.lift(2).getOrElse("cosine")
+    val k        = args.lift(3).map(_.toInt).getOrElse(8)
+    val topK     = args.lift(4).map(_.toInt).getOrElse(100)
+    val blocking = args.lift(5).getOrElse("kmeans")
     val spark = GraftSession.local()
 
     // 1. features (clean → tokenize → stopwords → TF-IDF), corpus spread
@@ -42,22 +47,40 @@ object BillMatch {
       .select("doc_id", "lang", "n_chars", "features")
       .cache()
 
-    // 2. k-means blocking (the reference's ~27× all-pairs cut)
-    val (model, clustered) = Clustering.kmeans(feats, k = k, maxIter = 20)
-    val wssse = model.summary.trainingCost
-
-    // 3. blocked candidate self-join (equi-key on cluster, pk1<pk2, cross-lang)
-    val pairs = Candidates.pairs(clustered, CandidateConfig(
-      keyCol = "doc_id", groupCol = "lang", blockCol = Some("prediction"),
-      lengthCol = Some("n_chars"), maxLengthRatio = 0.26))
-
-    // 4. similarity kernel on candidate pairs (vectors re-attached AFTER the
-    //    pair join — wide payloads never ride the candidate shuffle)
-    val kernel = Kernels.udfFor(measure)
-    val sims = Candidates.attachBothSides(pairs,
-        clustered.select(col("doc_id"), col("features")), "doc_id", "features")
-      .select(col("pk1"), col("pk2"),
-        kernel(col("features_1"), col("features_2")).as("similarity"))
+    val sims = blocking match {
+      case "minhash" =>
+        // workflow 2: binary TF features (set semantics) → one corpus-wide
+        // MinHash LSH join → cross-lang predicate → scaled similarity
+        // (reference's F6 scaler: 100 − 100·distance)
+        val tf = FeaturePipeline.features(docs,
+          FeatureConfig(numTextFeatures = 1 << 16, useIdf = false))
+          .select("doc_id", "lang", "features")
+        val langs = tf.select(col("doc_id"), col("lang"))
+        graft.lsh.LshJoins.minHashSelfJoin(
+            tf.select("doc_id", "features"), "doc_id", "features",
+            threshold = 0.95, numTables = 32)
+          .join(langs.select(col("doc_id").as("pk1"), col("lang").as("l1")), "pk1")
+          .join(langs.select(col("doc_id").as("pk2"), col("lang").as("l2")), "pk2")
+          .filter(col("l1") =!= col("l2"))
+          .select(col("pk1"), col("pk2"),
+            ((lit(1.0) - col("jaccard_dist")) * 100.0).as("similarity"))
+      case _ =>
+        // workflow 1:
+        // 2. k-means blocking (the reference's ~27× all-pairs cut)
+        val (model, clustered) = Clustering.kmeans(feats, k = k, maxIter = 20)
+        println(f"[billmatch] kmeans wssse=${model.summary.trainingCost}%.3e")
+        // 3. blocked candidate self-join (equi-key on cluster, pk1<pk2, cross-lang)
+        val pairs = Candidates.pairs(clustered, CandidateConfig(
+          keyCol = "doc_id", groupCol = "lang", blockCol = Some("prediction"),
+          lengthCol = Some("n_chars"), maxLengthRatio = 0.26))
+        // 4. similarity kernel on candidate pairs (vectors re-attached AFTER
+        //    the pair join — wide payloads never ride the candidate shuffle)
+        val kernel = Kernels.udfFor(measure)
+        Candidates.attachBothSides(pairs,
+            clustered.select(col("doc_id"), col("features")), "doc_id", "features")
+          .select(col("pk1"), col("pk2"),
+            kernel(col("features_1"), col("features_2")).as("similarity"))
+    }
 
     // 5. post-process: global top-K, canonical order, parquet sink
     val top = Post.imposeCanonicalOrder(Post.topK(sims, topK), tokenIndex = 0)
@@ -75,7 +98,7 @@ object BillMatch {
     val nDocs = feats.count()
     val nPairs = sims.count()
     val topRows = top.limit(5).collect()
-    println(f"[billmatch] docs=$nDocs pairs=$nPairs measure=$measure k=$k wssse=$wssse%.3e")
+    println(s"[billmatch] docs=$nDocs pairs=$nPairs blocking=$blocking measure=$measure k=$k")
     topRows.foreach(r => println(s"[billmatch] top: $r"))
     println(s"[billmatch] wrote $outDir/pairs.parquet and $outDir/graph.parquet")
     spark.stop()
