@@ -80,6 +80,38 @@ object VectorQueries {
         .orderBy("d1", "d2")
     },
 
+    // ----- J8 faithful form: measure-vs-measure Pearson correlation over the
+    // same pair set (the reference's jaccard-vs-cosine study,
+    // docs/correlations.md:94-97 — corr 0.328 over 2.6e9 pairs; here the
+    // bounded all-pairs set). Kernel values are bit-identical per pair;
+    // single rounding after the corr aggregate.
+    "q_corr_kernels" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 60),
+      p AS (SELECT ABS(list_reduce(list_transform(range(1, ${DIM + 1}), i -> a.v[i]*b.v[i]), (x,y)->x+y))
+                   / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> a.v[i]*a.v[i]), (x,y)->x+y))
+                      * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> b.v[i]*b.v[i]), (x,y)->x+y))) * 100.0 AS cosine,
+                   CAST(len(list_filter(range(1, ${DIM + 1}), i -> a.v[i] > $SUP_THR AND b.v[i] > $SUP_THR)) AS DOUBLE)
+                   / (len(list_filter(a.v, x -> x > $SUP_THR)) + len(list_filter(b.v, x -> x > $SUP_THR))
+                      - len(list_filter(range(1, ${DIM + 1}), i -> a.v[i] > $SUP_THR AND b.v[i] > $SUP_THR))) * 100.0 AS jaccard
+            FROM t a JOIN t b ON a.vec_id < b.vec_id)
+      SELECT ROUND(CORR(cosine, jaccard), 4) AS corr_cos_jac FROM p""") { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 60)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      val a = t.alias("a")
+      val b = t.alias("b")
+      val (va, vb) = (col("a.v"), col("b.v"))
+      val inter = ArrayOps.supportIntersect(va, vb, SUP_THR)
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(
+          (abs(ArrayOps.cosine(va, vb)) * 100.0).as("cosine"),
+          (inter.cast("double") /
+            (ArrayOps.supportSize(va, SUP_THR) + ArrayOps.supportSize(vb, SUP_THR) - inter)
+            * 100.0).as("jaccard"))
+        .agg(round(corr(col("cosine"), col("jaccard")), 4).as("corr_cos_jac"))
+    },
+
     // ----- extension: brute-force cosine top-k — the ANN correctness baseline.
     // The probe set is broadcast (it is config-scale), candidates stream:
     // exactly the shape that survives a 1000-executor scan of a 100 TB table.
