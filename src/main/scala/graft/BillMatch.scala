@@ -82,22 +82,28 @@ object BillMatch {
             kernel(col("features_1"), col("features_2")).as("similarity"))
     }
 
-    // 5. post-process: global top-K, canonical order, parquet sink
-    val top = Post.imposeCanonicalOrder(Post.topK(sims, topK), tokenIndex = 0)
+    // 5. post-process: global top-K, parquet sink. The candidate joins already
+    // guarantee pk1 < pk2, which IS canonical order for numeric doc ids —
+    // Post.imposeCanonicalOrder's state-token reorder applies to the
+    // reference's "STATE_year_docid" string keys, not here. The similarity
+    // frame is persisted once: top-K, the graph edges and the pair count all
+    // reuse it instead of re-running the join+kernel plan.
+    val simsP = sims.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = Post.topK(simsP, topK).cache()
     top.write.mode("overwrite").parquet(s"$outDir/pairs.parquet")
 
-    // 6. graph stage: pagerank + triangles over matches above the median
-    val edges = Post.topK(sims, topK)
-      .select(col("pk1").as("src"), col("pk2").as("dst"))
+    // 6. graph stage: pagerank + triangles over the top matches
+    val edges = top.select(col("pk1").as("src"), col("pk2").as("dst"))
     val canonical = GraphOps.canonicalEdges(edges, "src", "dst")
     val pr = GraphOps.pageRankDF(canonical, numIter = 10)
     val tri = GraphOps.triangleCounts(canonical)
     val graphStats = pr.join(tri, Seq("vertex"), "outer")
     graphStats.write.mode("overwrite").parquet(s"$outDir/graph.parquet")
 
-    val nDocs = feats.count()
-    val nPairs = sims.count()
+    val nDocs = docs.count()
+    val nPairs = simsP.count()
     val topRows = top.limit(5).collect()
+    simsP.unpersist()
     println(s"[billmatch] docs=$nDocs pairs=$nPairs blocking=$blocking measure=$measure k=$k")
     topRows.foreach(r => println(s"[billmatch] top: $r"))
     println(s"[billmatch] wrote $outDir/pairs.parquet and $outDir/graph.parquet")

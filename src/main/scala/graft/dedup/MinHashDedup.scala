@@ -49,6 +49,13 @@ object MinHashDedup {
       TextOps.ngrams(TextOps.tokens(text), w),
       s => pmod(xxhash64(s), lit(P))))
 
+  /** Distinct FULL-64-bit shingle ids — used for the exact-Jaccard verify
+    * step, where the 31-bit signature domain would admit ~2^-31 per-pair
+    * cross-collisions that perturb |∩|/|∪| (the signature path tolerates
+    * those; the reported exact jac should not). */
+  def shingleIds(text: Column, w: Int): Column =
+    array_distinct(transform(TextOps.ngrams(TextOps.tokens(text), w), xxhash64(_)))
+
   /** MinHash signature (array<long> of length numHashes) from shingle hashes:
     * min over shingles of (a_k·h + b_k) mod p. Native single-pass codegen
     * expression ([[graft.expressions.MinHashSignature]]) — one loop updates
@@ -85,7 +92,8 @@ object MinHashDedup {
   def nearDupPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
     val prepared = df.select(
       col(cfg.idCol).as("__id"),
-      shingleHashes(col(cfg.textCol), cfg.shingleSize).as("__shingles"))
+      shingleHashes(col(cfg.textCol), cfg.shingleSize).as("__shingles"),
+      shingleIds(col(cfg.textCol), cfg.shingleSize).as("__sids"))
       .withColumn("__sig", signature(col("__shingles"), cfg.numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.numHashes))
       // persisted (spill-safe): four plan branches reuse this frame — the two
@@ -107,21 +115,22 @@ object MinHashDedup {
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
       .dropDuplicates("d1", "d2")
 
-    val sets = prepared.select(col("__id"), col("__shingles"))
+    val sets = prepared.select(col("__id"), col("__sids"))
     val withSets = cand
-      .join(sets.select(col("__id").as("d1"), col("__shingles").as("t1")), "d1")
-      .join(sets.select(col("__id").as("d2"), col("__shingles").as("t2")), "d2")
+      .join(sets.select(col("__id").as("d1"), col("__sids").as("t1")), "d1")
+      .join(sets.select(col("__id").as("d2"), col("__sids").as("t2")), "d2")
 
     val inter = size(array_intersect(col("t1"), col("t2")))
     val union = size(array_union(col("t1"), col("t2")))
-    // empty∪empty = 0: such pairs (both texts tokenless) are not duplicates
-    // of anything meaningful — score them 0 instead of dividing by zero
+    // Threshold on the RAW ratio, round only for output — oracle-identical
+    // boundary semantics. empty∪empty = 0: such pairs (both texts tokenless)
+    // are not duplicates of anything meaningful — score 0, never divide by 0.
+    val jacRaw = when(union > 0, inter.cast("double") * 100.0 / union)
+      .otherwise(lit(0.0))
     withSets
-      .withColumn("jac",
-        when(union > 0, round(inter.cast("double") * 100.0 / union, 4))
-          .otherwise(lit(0.0)))
-      .filter(col("jac") >= cfg.jaccardThreshold * 100.0)
-      .select("d1", "d2", "jac")
+      .withColumn("__jac_raw", jacRaw)
+      .filter(col("__jac_raw") >= cfg.jaccardThreshold * 100.0)
+      .select(col("d1"), col("d2"), round(col("__jac_raw"), 4).as("jac"))
   }
 
   /** Exact-duplicate removal by content hash: keeps the smallest id per

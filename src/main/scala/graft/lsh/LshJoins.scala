@@ -30,11 +30,16 @@ object LshJoins {
   def minHashSelfJoin(df: DataFrame, idCol: String, featuresCol: String,
                       threshold: Double, numTables: Int = 16,
                       seed: Long = 12345L): DataFrame = {
+    // MinHashLSH requires >= 1 nonzero entry per vector; docs whose text
+    // reduces to nothing (all stopwords/digits) are empty SETS — no near-dup
+    // semantics — and would otherwise kill the whole job
+    val nnz = udf((v: Vector) => v.numNonzeros)
+    val nonEmpty = df.filter(nnz(col(featuresCol)) > 0)
     val model = new MinHashLSH()
       .setInputCol(featuresCol).setOutputCol("__hashes")
       .setNumHashTables(numTables).setSeed(seed)
-      .fit(df)
-    val joined = model.approxSimilarityJoin(df, df, threshold, "jaccard_dist")
+      .fit(nonEmpty)
+    val joined = model.approxSimilarityJoin(nonEmpty, nonEmpty, threshold, "jaccard_dist")
     val asym = udf { (x: Vector, y: Vector) =>
       1.0 - math.max(Kernels.leftJaccard(x, y), Kernels.rightJaccard(x, y)) / 100.0
     }
@@ -71,11 +76,13 @@ object LshJoins {
   def minHashKnn(df: DataFrame, idCol: String, featuresCol: String,
                  probe: Vector, k: Int, numTables: Int = 16,
                  seed: Long = 12345L): DataFrame = {
+    val nnz = udf((v: Vector) => v.numNonzeros)
+    val nonEmpty = df.filter(nnz(col(featuresCol)) > 0)
     val model = new MinHashLSH()
       .setInputCol(featuresCol).setOutputCol("__hashes")
       .setNumHashTables(numTables).setSeed(seed)
-      .fit(df)
-    model.approxNearestNeighbors(df, probe, k, "jaccard_dist")
+      .fit(nonEmpty)
+    model.approxNearestNeighbors(nonEmpty, probe, k, "jaccard_dist")
       .select(col(idCol), col("jaccard_dist"))
   }
 }

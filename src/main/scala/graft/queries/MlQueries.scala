@@ -160,7 +160,9 @@ object MlQueries {
     // Oracle = EXACT all-pairs shingle-set Jaccard: valid because banding has
     // ~100% recall at the thresholds the data exercises (near-dups here are
     // jac>=90; P(miss) < 1e-7 per pair) and everything is deterministic —
-    // verified to match at the gate scale before shipping.
+    // verified to match at the gate scale before shipping. Verify sets use
+    // full-64-bit shingle ids (collision odds ~2^-64) and threshold the raw
+    // ratio before rounding, so boundary semantics equal the oracle's.
     "q_minhash_dedup" -> QueryDef.sql("""
       WITH t AS (SELECT doc_id,
           list_distinct(list_transform(range(1, len(toks)-1),

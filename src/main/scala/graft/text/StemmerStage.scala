@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
@@ -11,9 +11,11 @@ import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructTyp
   * the engine's stand-in for the reference's external Snowball stage
   * (reference feature/Utils.scala:200-204, spark-stemming jar absent
   * offline). Stateless; per-token work runs through the codegen'd
-  * [[graft.expressions.PorterStem]] expression.
+  * [[graft.expressions.PorterStem]] expression. DefaultParamsWritable so a
+  * PipelineModel containing this stage save/loads like any stock stage.
   */
-class StemmerStage(override val uid: String) extends Transformer {
+class StemmerStage(override val uid: String)
+    extends Transformer with DefaultParamsWritable {
   def this() = this(Identifiable.randomUID("graftStemmer"))
 
   final val inputCol = new Param[String](this, "inputCol", "input token column")
@@ -29,4 +31,8 @@ class StemmerStage(override val uid: String) extends Transformer {
       StructField($(outputCol), ArrayType(StringType, containsNull = true)))
 
   override def copy(extra: ParamMap): StemmerStage = defaultCopy(extra)
+}
+
+object StemmerStage extends DefaultParamsReadable[StemmerStage] {
+  override def load(path: String): StemmerStage = super.load(path)
 }

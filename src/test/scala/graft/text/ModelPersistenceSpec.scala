@@ -30,6 +30,22 @@ class ModelPersistenceSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("FeaturePipeline with stemming stage save/loads (StemmerStage is MLWritable)") {
+    val docs = Tables.documents(spark, dir).limit(50).cache()
+    val cfg = FeatureConfig(numTextFeatures = 256, useStemming = true)
+    val (model, out) = FeaturePipeline.fitTransform(docs, cfg)
+    val path = "/tmp/graft_test_stem_pipeline_model"
+    model.write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    val cleaned = docs.withColumn("__clean",
+      TextOps.dropSmallWords(TextOps.clean(col("text"))))
+    val out2 = reloaded.transform(cleaned)
+      .drop("__clean", "__tokens", "__filtered", "__stemmed", "__ngrams", "__tf")
+    val a = out.select("doc_id", "features").collect().map(_.toString).sorted
+    val b = out2.select("doc_id", "features").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("KMeans blocking model save/load predicts identically") {
     val docs = Tables.documents(spark, dir).limit(100)
     val feats = FeaturePipeline.features(docs, FeatureConfig(numTextFeatures = 256))
