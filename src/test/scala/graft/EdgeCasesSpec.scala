@@ -77,4 +77,49 @@ class EdgeCasesSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(sig.forall(_ == (1L << 31) - 1))
   }
+
+  test("porter stem expression: empty string, nulls, and non-letters pass through") {
+    val r = Seq(Some(""), None, Some("123"), Some("a")).toDF("t")
+      .select(TextOps.porterStem(col("t")).as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(r.toSeq == Seq(Some(""), None, Some("123"), Some("a")))
+  }
+
+  test("simhash md5Hash60 is non-negative and deterministic incl. empty string") {
+    val r = Seq("", "alpha", "alpha").toDF("t")
+      .select(SimHash.md5Hash60(col("t")).as("h")).as[Long].collect()
+    assert(r.forall(_ >= 0L))
+    assert(r(1) == r(2))
+  }
+
+  test("LSH joins survive docs that vectorize to all-zero") {
+    val docs = Seq((1L, "the of and to"), (2L, "unique words here"),
+      (3L, "unique words here")).toDF("doc_id", "text")
+    val tf = graft.text.FeaturePipeline.features(docs,
+      graft.text.FeatureConfig(numTextFeatures = 64, useIdf = false))
+      .select("doc_id", "features")
+    // doc 1 is all stopwords → zero vector; join must not throw and must
+    // still pair 2 with 3
+    val got = graft.lsh.LshJoins.minHashSelfJoin(tf, "doc_id", "features",
+      threshold = 0.5).select("pk1", "pk2").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 3L)))
+  }
+
+  test("IVF build/search with k larger than corpus degrades gracefully") {
+    val t = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "v")
+    val idx = graft.ann.Ivf.build(t, "v", k = 2)
+    val probes = t.limit(1).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val res = graft.ann.Ivf.search(idx, probes, "vec_id", "v",
+      topK = 10, nProbe = 99)
+    assert(res.count() == 2) // all other vectors returned, self excluded
+  }
+
+  test("date parse fallback: unparseable strings become the default date") {
+    val r = Seq("not a date").toDF("raw")
+      .select(coalesce(try_to_timestamp(col("raw"), lit("MMMM d, yyyy")).cast("date"),
+        to_date(lit("1900-12-31"))).as("d"))
+      .head().getDate(0).toString
+    assert(r == "1900-12-31")
+  }
 }
