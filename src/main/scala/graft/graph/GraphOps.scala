@@ -79,10 +79,12 @@ object GraphOps {
     *
     * Scale: each iteration is one shuffled join rank⋈edges + one groupBy —
     * both keyed on vertex id, so AQE reuses the partitioning; the degree table
-    * is computed once and cached. Every 8 iterations the rank frame is
-    * localCheckpoint-ed: the logical plan otherwise grows linearly with
-    * numIter (analysis/optimization cost explodes, and a failure would replay
-    * the whole chain) — values are unchanged, only lineage is truncated.
+    * is computed once and cached. On LONG runs (numIter > 16) the rank frame
+    * is localCheckpoint-ed every 8 iterations: the logical plan otherwise
+    * grows linearly with numIter (analysis/optimization cost explodes, and a
+    * failure would replay the whole chain). Short runs skip it — the eager
+    * materialization costs more than the lineage it trims (measured 4× on
+    * the 10-iteration gate query).
     */
   def pageRankDF(canonical: DataFrame, numIter: Int,
                  resetProb: Double = 0.15): DataFrame = {
@@ -103,7 +105,8 @@ object GraphOps {
         .select(col("vertex"),
           (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("msum"), lit(0.0)))
             .as("rank"))
-      if ((i + 1) % 8 == 0 && i + 1 < numIter) ranks = ranks.localCheckpoint()
+      if (numIter > 16 && (i + 1) % 8 == 0 && i + 1 < numIter)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
