@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR at local[32] and prints ONE JSON line
@@ -72,6 +73,15 @@ object Bench {
       val feats = graft.text.FeaturePipeline.features(toy,
         graft.text.FeatureConfig(numTextFeatures = 64))
       graft.cluster.Clustering.kmeans(feats, k = 2, maxIter = 2)._2.count()
+      // streaming engine first-touch (state store, offset log, memory sink)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Double)]
+      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      graft.streaming.Streaming.replayToTable(
+        graft.streaming.Streaming.tumblingAgg(
+          ms.toDF().toDF("ts", "value").withColumn("event_type", lit("w"))),
+        "bench_warmup_stream").count()
     }
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {

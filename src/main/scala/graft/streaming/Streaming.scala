@@ -87,14 +87,24 @@ object Streaming {
     * the bridge that lets the driver's batch oracle check streaming results. */
   def replayToTable(agg: DataFrame, tableName: String,
                     mode: String = "complete"): DataFrame = {
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    agg.sparkSession.table(tableName)
+    val spark = agg.sparkSession
+    // Stateful ops pin the shuffle-partition count into the checkpoint at
+    // query start; each state partition carries a state-store instance whose
+    // per-batch commit is the dominant fixed cost on finite replays. The
+    // replay checkpoint is fresh every call, so a smaller pinned count is
+    // purely a runtime choice (results identical, state size unchanged).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(tableName)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(tableName)
   }
 
   /** Per-user running state via mapGroupsWithState (the custom-state surface
