@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.lit
 
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR at local[32] and prints ONE JSON line
@@ -63,6 +63,10 @@ object Bench {
     // charged for class loading: the parquet reader is ~1 s and the ML
     // pipeline stack (tokenizer/TF/IDF/KMeans + BLAS init) ~4 s of pure
     // first-touch cost. Toy data only — nothing the queries read is cached.
+    // Guarded: a warmup failure must never stop the measured queries or the
+    // driver-contract JSON line (the same failure in a measured query is
+    // caught by time()).
+    try {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     locally {
@@ -82,6 +86,9 @@ object Bench {
         graft.streaming.Streaming.tumblingAgg(
           ms.toDF().toDF("ts", "value").withColumn("event_type", lit("w"))),
         "bench_warmup_stream").count()
+    }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {

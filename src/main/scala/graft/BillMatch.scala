@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *              1225 driver-side per-state-pair jobs)
   *
   * Writes:
-  *   outDir/pairs.parquet — canonical-ordered top-K similarity pairs
+  *   outDir/pairs.parquet — top-K similarity pairs (pk1 < pk2, numeric ids;
+  *     reference-style string keys would add Post.imposeCanonicalOrder here)
   *   outDir/graph.parquet — per-vertex pagerank/triangles over the match graph
   * and prints a run summary.
   */

@@ -96,10 +96,14 @@ object MinHashDedup {
       shingleIds(col(cfg.textCol), cfg.shingleSize).as("__sids"))
       .withColumn("__sig", signature(col("__shingles"), cfg.numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.numHashes))
+      // only the band keys and the verify sets survive the persist —
+      // __shingles/__sig are dead once __bands is computed, and caching them
+      // would double the sketch footprint at scale
+      .select(col("__id"), col("__sids"), col("__bands"))
       // persisted (spill-safe): four plan branches reuse this frame — the two
-      // bucket-join sides and the two token re-joins — and Catalyst cannot
+      // bucket-join sides and the two set re-joins — and Catalyst cannot
       // share an uncached subplan across them (measured 27x slower uncached).
-      // Sketch rows are bounded (ids + hashes + token sets, no raw text).
+      // Sketch rows are bounded (ids + hashes + shingle-id sets, no raw text).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = prepared

@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object LshJoins {
 
+  /** Nonzero-entry count — MinHashLSH requires >= 1 per vector. */
+  private val nnz = udf((v: Vector) => v.numNonzeros)
+
   /** MinHash LSH self-join. Input must carry a binary-ish sparse Vector column
     * (nonzero entries = set members). Returns (pk1, pk2, jaccard_dist,
     * asym_jaccard_dist) with pk1 < pk2, jaccard_dist < threshold.
@@ -30,10 +33,8 @@ object LshJoins {
   def minHashSelfJoin(df: DataFrame, idCol: String, featuresCol: String,
                       threshold: Double, numTables: Int = 16,
                       seed: Long = 12345L): DataFrame = {
-    // MinHashLSH requires >= 1 nonzero entry per vector; docs whose text
-    // reduces to nothing (all stopwords/digits) are empty SETS — no near-dup
-    // semantics — and would otherwise kill the whole job
-    val nnz = udf((v: Vector) => v.numNonzeros)
+    // docs whose text reduces to nothing (all stopwords/digits) are empty
+    // SETS — no near-dup semantics — and would otherwise kill the whole job
     val nonEmpty = df.filter(nnz(col(featuresCol)) > 0)
     val model = new MinHashLSH()
       .setInputCol(featuresCol).setOutputCol("__hashes")
@@ -76,8 +77,12 @@ object LshJoins {
   def minHashKnn(df: DataFrame, idCol: String, featuresCol: String,
                  probe: Vector, k: Int, numTables: Int = 16,
                  seed: Long = 12345L): DataFrame = {
-    val nnz = udf((v: Vector) => v.numNonzeros)
     val nonEmpty = df.filter(nnz(col(featuresCol)) > 0)
+    // an empty-set probe has no neighbors under Jaccard — and would trip
+    // MinHashLSH's nonzero requirement
+    if (probe.numNonzeros == 0)
+      return df.filter(lit(false))
+        .select(col(idCol), lit(null).cast("double").as("jaccard_dist"))
     val model = new MinHashLSH()
       .setInputCol(featuresCol).setOutputCol("__hashes")
       .setNumHashTables(numTables).setSeed(seed)

@@ -46,7 +46,7 @@ object MlQueries {
     * (measured 6× slower). */
   private def clustered8(s: SparkSession, d: String): DataFrame =
     kmeansCache.getOrElseUpdate((s, d),
-      Clustering.kmeans(featurized(s, d), k = 8, maxIter = 20)._2)
+      Clustering.kmeans(featurized(s, d), k = 8, maxIter = 10)._2)
 
   /** The testdata ships one small parquet file per table = ONE input split,
     * which would serialize every per-row featurization map on a single core.

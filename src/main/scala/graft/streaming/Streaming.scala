@@ -94,7 +94,8 @@ object Streaming {
     // replay checkpoint is fresh every call, so a smaller pinned count is
     // purely a runtime choice (results identical, state size unchanged).
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val pinned = math.min(scala.util.Try(prev.toInt).getOrElse(8), 8)
+    spark.conf.set("spark.sql.shuffle.partitions", pinned.toString)
     try {
       val q = agg.writeStream
         .format("memory")
