@@ -58,6 +58,24 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: deterministic byte-subsampling to a payload sized for the
+    * target dimensions (a real deployment swaps in a codec resize). Runs as a
+    * narrow per-row map — at scale, resize cost is pure map-side CPU and the
+    * output column shrinks shuffle/storage footprint downstream. */
+  def resizeStub(ds: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val targetBytes = math.max(1, targetW * targetH)
+    ds.map { r =>
+      if (r.payload.length <= targetBytes) r
+      else {
+        val stride = r.payload.length.toDouble / targetBytes
+        val out = Array.tabulate(targetBytes)(i => r.payload((i * stride).toInt))
+        r.copy(payload = out)
+      }
+    }
+  }
+
   /** Frame-sampling stub for video-kind payloads: every `stride`-th byte
     * starts a "frame"; emits (id, frame_index, frame_hash) rows. Demonstrates
     * the 1→N generator shape (posexplode equivalent) over binary columns. */

@@ -96,6 +96,39 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- extension: language-ID via character n-gram profiles (the classic
+    // n-gram heuristic; profiles shared with the oracle via one Scala source)
+    "q_langid_ngram" -> QueryDef.sql {
+      def inList(lang: String) = TextOps.langTrigramProfiles(lang)
+        .map(t => "'" + t.replace("'", "''") + "'").mkString(",")
+      s"""
+      WITH t AS (SELECT doc_id, lang, lower(text) AS x FROM documents),
+      g AS (SELECT doc_id, lang,
+              CASE WHEN strlen(x) >= 3
+                   THEN list_transform(range(1, strlen(x) - 1),
+                                       i -> substr(x, CAST(i AS INTEGER), 3))
+                   ELSE CAST([] AS VARCHAR[]) END AS tg
+            FROM t),
+      s AS (SELECT doc_id, lang,
+              len(list_filter(tg, y -> y IN (${inList("en")}))) AS en,
+              len(list_filter(tg, y -> y IN (${inList("es")}))) AS es,
+              len(list_filter(tg, y -> y IN (${inList("de")}))) AS de,
+              len(list_filter(tg, y -> y IN (${inList("fr")}))) AS fr
+            FROM g)
+      SELECT doc_id, lang,
+             CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                  WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                  WHEN de >= fr AND de > 0 THEN 'de'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und' END AS predicted
+      FROM s ORDER BY doc_id"""
+    } { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.langIdNgram(col("text")).as("predicted"))
+        .orderBy("doc_id")
+    },
+
     // ----- extension: quality scoring (length/stopword/token-shape ratios)
     "q_quality" -> QueryDef.sql("""
       WITH t AS (SELECT doc_id,

@@ -54,6 +54,35 @@ object TextOps {
   def markerScore(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
+  /** Character trigrams of a string (1-based substrings; empty below 3 chars).
+    * The guard matters: sequence(1, n) with n < 1 would DESCEND ([1, 0]). */
+  def charTrigrams(c: Column): Column =
+    when(length(c) >= 3,
+      transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-language character-trigram profiles (trigrams of the marker words,
+    * space-padded) for the n-gram language heuristic. */
+  val langTrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "he ", " th", "ing", "and", " of"),
+    "es" -> Seq("el ", "la ", " de", "los", " qu", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich"),
+    "fr" -> Seq("le ", "les", " et", "est", "une", " la"))
+
+  /** Language ID via character n-gram profile hits — the classic n-gram
+    * heuristic (complement of the marker-word [[langId]]); deterministic
+    * tie-break en > es > de > fr > und. */
+  def langIdNgram(text: Column): Column = {
+    val tg = charTrigrams(lower(text))
+    def score(lang: String) = markerScore(tg, langTrigramProfiles(lang))
+    val en = score("en"); val es = score("es"); val de = score("de"); val fr = score("fr")
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
   /** Language-ID heuristic: argmax of marker-word hits with deterministic
     * tie-break order en > es > de > fr > und. */
   def langId(text: Column): Column = {

@@ -35,6 +35,18 @@ class MultimodalSpec extends SparkSpec {
       "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
   }
 
+  test("resizeStub: deterministic subsample to target byte budget") {
+    val ds = Multimodal.payloadFrom(
+      Seq((1L, "x" * 1000), (2L, "y" * 10)).toDF("doc_id", "text"), "doc_id", "text")
+    val resized = Multimodal.resizeStub(ds, targetW = 8, targetH = 8)
+      .collect().map(r => r.id -> r.payload).toMap
+    assert(resized(1L).length == 64)          // shrunk to targetW*targetH
+    assert(resized(2L).length == 10)          // already below budget: untouched
+    val again = Multimodal.resizeStub(ds, 8, 8)
+      .collect().map(r => r.id -> r.payload).toMap
+    assert(resized(1L).sameElements(again(1L))) // deterministic
+  }
+
   test("sampleFrames: stride chunks with stable hashes") {
     val ds = Multimodal.payloadFrom(
       Seq((7L, "a" * 600)).toDF("doc_id", "text"), "doc_id", "text", "video")

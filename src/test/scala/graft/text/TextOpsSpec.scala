@@ -50,6 +50,15 @@ class TextOpsSpec extends SparkSpec {
     assert(one(TextOps.langId(col("t")), "xyzzy plugh") == Row("und"))
   }
 
+  test("langIdNgram: trigram-profile heuristic; short/empty input is und") {
+    assert(one(TextOps.langIdNgram(col("t")), "the thing and the other thing") == Row("en"))
+    assert(one(TextOps.langIdNgram(col("t")), "der hund und die katze ist") == Row("de"))
+    assert(one(TextOps.langIdNgram(col("t")), "ab") == Row("und"))
+    assert(one(TextOps.langIdNgram(col("t")), "") == Row("und"))
+    val tg = one(TextOps.charTrigrams(col("t")), "abcd").getSeq[String](0)
+    assert(tg == Seq("abc", "bcd"))
+  }
+
   test("tokenCount and bpeishCount") {
     assert(one(TextOps.tokenCount(col("t")), "one two  three") == Row(3))
     // "don't stop" → don + t + stop word pieces + 1 apostrophe = 4
