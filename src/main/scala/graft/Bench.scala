@@ -77,6 +77,16 @@ object Bench {
       val feats = graft.text.FeaturePipeline.features(toy,
         graft.text.FeatureConfig(numTextFeatures = 64))
       graft.cluster.Clustering.kmeans(feats, k = 2, maxIter = 2)._2.count()
+      // KMeans block-solver first touch (BLAS gemm + netlib instance probe):
+      // the 4-row toy above goes through the row solver, so the first REAL
+      // fit would otherwise absorb ~3 s of one-time cost. Representative
+      // density matters — ~5% nnz picks the block path like the corpus does.
+      val sparseToy = Seq.tabulate(256) { i =>
+        val idx = Array.tabulate(50)(j => (i * 53 + j * 19) % 1024).distinct.sorted
+        (i.toLong, org.apache.spark.ml.linalg.Vectors.sparse(
+          1024, idx, idx.map(x => ((x * 31 + i) % 97 + 1) / 97.0)))
+      }.toDF("doc_id", "features")
+      graft.cluster.Clustering.kmeans(sparseToy, k = 8, maxIter = 2)._2.count()
       // streaming engine first-touch (state store, offset log, memory sink)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val ms = org.apache.spark.sql.execution.streaming.runtime
