@@ -75,5 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_porter_stem"),
       info("graft_porter_stem", "graft_porter_stem(token) - classic Porter (1980) stem of a token"),
       (es: Seq[Expression]) => PorterStem(es(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(text, k, w) - winnowing fingerprints packed (pos << 32) | hash"),
+      (es: Seq[Expression]) => WinnowPack(es(0), litInt(es(1), "k"), litInt(es(2), "w"))))
   }
 }

@@ -116,6 +116,21 @@ object EventQueries {
     // ----- §2.13 STREAMING: custom per-key state via mapGroupsWithState —
     // integer-exact running (count, max event time) per user; the memory sink
     // holds one row per user per micro-batch, rolled up with max()
+    // ----- §2.13 × dedup: streaming exact dedup — dropDuplicates keeps the
+    // first sighting of each key across micro-batches; the emitted KEY SET
+    // equals batch DISTINCT regardless of batch order, which is what the
+    // oracle checks. Bounded-state (watermarked) variant spec'd in
+    // StreamingSpec (eviction behavior is by design not batch-equivalent).
+    "q_stream_dedup" -> QueryDef.sql("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.replayToTable(
+          Streaming.dedupKeys(Streaming.eventStream(s, d)),
+          s"stream_dedup_${System.nanoTime()}", mode = "append")
+        .orderBy("user_id", "event_type")
+    },
+
     "q_stream_stateful" -> QueryDef.sql("""
       SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_us
       FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>

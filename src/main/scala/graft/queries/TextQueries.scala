@@ -182,6 +182,95 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- extension: winnowing fingerprints (Schleimer et al. 2003) —
+    // rolling-hash character 12-grams, min-per-window-of-4 selection
+    // (rightmost on ties). The oracle replays the exact polynomial hash
+    // (B=257, M=1000003; B^j mod M constants inlined) and the rightmost-min
+    // rule via list_reverse + list_position. k=12 because the synthetic corpus
+    // draws from a small word vocabulary — 5-grams collapse to ~900 distinct
+    // hashes corpus-wide, 12-grams stay discriminative (~25k).
+    // graft.text.Winnowing / WinnowPack.
+    "q_winnow" -> QueryDef.sql("""
+      WITH h AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - 10), i ->
+                 (ascii(text[i:i]) * 731977 + ascii(text[i+1:i+1]) * 555379
+                + ascii(text[i+2:i+2]) * 126675 + ascii(text[i+3:i+3]) * 381817
+                + ascii(text[i+4:i+4]) * 709659 + ascii(text[i+5:i+5]) * 107820
+                + ascii(text[i+6:i+6]) * 529604 + ascii(text[i+7:i+7]) * 457315
+                + ascii(text[i+8:i+8]) * 974545 + ascii(text[i+9:i+9]) * 66049
+                + ascii(text[i+10:i+10]) * 257 + ascii(text[i+11:i+11])) % 1000003) AS hs
+        FROM documents),
+      sel AS (
+        -- (pos << 32) | hash packed into one BIGINT (list_distinct cannot
+        -- dedup nested lists), same packing as graft.text.Winnowing
+        SELECT doc_id, list_distinct(list_transform(range(0, len(hs) - 3), p ->
+          (p + 4 - list_position(list_reverse(hs[p+1:p+4]),
+                                 list_min(hs[p+1:p+4]))) * 4294967296
+          + list_min(hs[p+1:p+4]))) AS fps
+        FROM h WHERE len(hs) >= 4)
+      SELECT doc_id, CAST(f // 4294967296 AS BIGINT) AS pos,
+             CAST(f % 4294967296 AS BIGINT) AS fp
+      FROM (SELECT doc_id, unnest(fps) AS f FROM sel) u
+      ORDER BY doc_id, pos""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.winnow(col("text"), 12, 4)).as("packed"))
+        .select(col("doc_id"),
+          shiftright(col("packed"), 32).as("pos"),
+          col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("fp"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ----- extension: near-dup detection via winnowing-fingerprint-set
+    // Jaccard — the MOSS shape: fingerprints form an inverted index, candidate
+    // pairs fall out of an equi-join on the hash (no all-pairs scan), and the
+    // set-overlap ratio approximates document similarity. On the gate corpus
+    // true near-dups sit at jac ≈ 1.0 and everything else at ≤ 0.15, so the
+    // 0.5 threshold is far from any boundary sensitivity.
+    "q_winnow_neardup" -> QueryDef.sql("""
+      WITH h AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - 10), i ->
+                 (ascii(text[i:i]) * 731977 + ascii(text[i+1:i+1]) * 555379
+                + ascii(text[i+2:i+2]) * 126675 + ascii(text[i+3:i+3]) * 381817
+                + ascii(text[i+4:i+4]) * 709659 + ascii(text[i+5:i+5]) * 107820
+                + ascii(text[i+6:i+6]) * 529604 + ascii(text[i+7:i+7]) * 457315
+                + ascii(text[i+8:i+8]) * 974545 + ascii(text[i+9:i+9]) * 66049
+                + ascii(text[i+10:i+10]) * 257 + ascii(text[i+11:i+11])) % 1000003) AS hs
+        FROM documents),
+      sel AS (
+        SELECT doc_id, list_distinct(list_transform(range(0, len(hs) - 3), p ->
+          list_min(hs[p+1:p+4]))) AS fps
+        FROM h WHERE len(hs) >= 4),
+      fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+      sh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ns
+             FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT d1, d2, CAST(ns AS BIGINT) AS n_shared,
+             ROUND(CAST(ns AS DOUBLE) / (s1.n + s2.n - ns), 4) AS jac
+      FROM sh JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      WHERE CAST(ns AS DOUBLE) / (s1.n + s2.n - ns) >= 0.5
+      ORDER BY d1, d2""") { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.winnow(col("text"), 12, 4)).as("packed"))
+        .select(col("doc_id"), col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("fp"))
+        .distinct()
+      val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = fp.alias("a")
+      val b = fp.alias("b")
+      val sh = a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("ns"))
+      val jac = col("ns").cast("double") / (col("n1") + col("n2") - col("ns"))
+      sh.join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .filter(jac >= 0.5)
+        .select(col("d1"), col("d2"), col("ns").as("n_shared"),
+          round(jac, 4).as("jac"))
+        .orderBy("d1", "d2")
+    },
+
     // ----- extension: exact dedup via content-hash groupBy (scale path: the
     // md5 group key shuffles 16 bytes/row instead of the full text)
     "q_dedup_exact" -> QueryDef.sql("""

@@ -108,6 +108,24 @@ object Streaming {
     spark.table(tableName)
   }
 
+  /** Streaming exact dedup by key — the streaming-ingestion face of the
+    * dedup family: emits each (user_id, event_type) the first time it is
+    * seen, exact across all micro-batches (state = full key set; exact-dedup
+    * contract, same answer as batch DISTINCT). */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+
+  /** Bounded-state variant: duplicates are only suppressed while the first
+    * sighting is within the watermark horizon; state for keys older than the
+    * watermark is evicted. The 100 TB shape — state size is
+    * O(keys per horizon), not O(all keys ever) — at the cost of re-emitting a
+    * key whose duplicates arrive further apart than `horizon`. */
+  def dedupKeysWithinWatermark(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Per-user running state via mapGroupsWithState (the custom-state surface
     * of SURVEY §2.13): event count, value sum, and max event time per user,
     * carried in an explicit GroupState across micro-batches. State size is

@@ -105,6 +105,13 @@ object TextOps {
   /** Document fingerprint: md5 hex of the text (content-hash dedup key). */
   def fingerprint(c: Column): Column = md5(c.cast("binary"))
 
+  /** Winnowing fingerprints (rolling-hash k-grams, min-per-window — see
+    * [[Winnowing]]), packed (pos << 32) | hash per selected k-gram. */
+  def winnow(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.WinnowPack(
+        org.apache.spark.sql.graft.bridge.expression(c), k, w))
+
   /** M3: Porter-stem one token ([[graft.expressions.PorterStem]], codegen'd). */
   def porterStem(token: Column): Column =
     org.apache.spark.sql.graft.bridge.column(

@@ -73,6 +73,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows(hour1) == 1.0, s"late row must not be counted: $rows")
   }
 
+  test("streaming dedup: exact across batches; watermarked variant evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+
+    // exact dedup: duplicate keys across batches emit once
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Streaming.dedupKeys(mem.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("t_dedup_exact")
+      .outputMode("append").start()
+    mem.addData((t(1), 1L, "a"), (t(1), 1L, "a"), (t(1), 2L, "b"))
+    q.processAllAvailable()
+    mem.addData((t(2), 1L, "a")) // dup in a later batch — state must remember
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t_dedup_exact").count() == 2)
+
+    // watermarked dedup: dup within horizon dropped; key re-emitted once the
+    // first sighting's state has been evicted past the watermark
+    val mem2 = MemoryStream[(Timestamp, Long, String)]
+    val q2 = Streaming.dedupKeysWithinWatermark(
+        mem2.toDF().toDF("ts", "user_id", "event_type"), horizon = "1 hour")
+      .writeStream.format("memory").queryName("t_dedup_wm")
+      .outputMode("append").start()
+    mem2.addData((t(1), 1L, "a"))
+    q2.processAllAvailable()
+    mem2.addData((t(1), 1L, "a")) // within horizon → dropped
+    q2.processAllAvailable()
+    mem2.addData((t(10), 9L, "z")) // watermark → 09:30, evicts key (1,a)
+    q2.processAllAvailable()
+    mem2.addData((t(11), 1L, "a")) // same key, state gone → emitted again
+    q2.processAllAvailable()
+    q2.stop()
+    val emitted = spark.table("t_dedup_wm")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+    assert(emitted.count(_ == (1L, "a")) == 2,
+      s"key must re-emit after state eviction: $emitted")
+    assert(emitted.size == 3)
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double, Timestamp)]
