@@ -224,9 +224,12 @@ object TextQueries {
     // ----- extension: near-dup detection via winnowing-fingerprint-set
     // Jaccard — the MOSS shape: fingerprints form an inverted index, candidate
     // pairs fall out of an equi-join on the hash (no all-pairs scan), and the
-    // set-overlap ratio approximates document similarity. On the gate corpus
-    // true near-dups sit at jac ≈ 1.0 and everything else at ≤ 0.15, so the
-    // 0.5 threshold is far from any boundary sensitivity.
+    // set-overlap ratio approximates document similarity. Fingerprints seen in
+    // more than 50 documents are dropped first: winnowing's min-selection
+    // picks the SAME low-hash k-grams everywhere, so high-df fingerprints are
+    // both signal-free and the hot keys that would skew the join at scale.
+    // On the gate corpus true near-dups sit at jac ≥ 0.95 and everything else
+    // at ≤ 0.15, so the 0.5 threshold is far from any boundary sensitivity.
     "q_winnow_neardup" -> QueryDef.sql("""
       WITH h AS (
         SELECT doc_id,
@@ -243,9 +246,11 @@ object TextQueries {
           list_min(hs[p+1:p+4]))) AS fps
         FROM h WHERE len(hs) >= 4),
       fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+      rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 50),
+      rfp AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r ON f.fp = r.fp),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM rfp GROUP BY doc_id),
       sh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ns
-             FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             FROM rfp a JOIN rfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
       SELECT d1, d2, CAST(ns AS BIGINT) AS n_shared,
              ROUND(CAST(ns AS DOUBLE) / (s1.n + s2.n - ns), 4) AS jac
@@ -256,9 +261,12 @@ object TextQueries {
         .select(col("doc_id"), explode(TextOps.winnow(col("text"), 12, 4)).as("packed"))
         .select(col("doc_id"), col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("fp"))
         .distinct()
-      val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = fp.alias("a")
-      val b = fp.alias("b")
+      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("fp")
+      val rfp = fp.join(rare, "fp")
+      val sz = rfp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = rfp.alias("a")
+      val b = rfp.alias("b")
       val sh = a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("ns"))
