@@ -21,10 +21,24 @@ class PlanShapeSpec extends SparkSpec {
     * scale for exactly this reason). */
   test("candidate/dedup/ANN joins plan without CartesianProduct") {
     for (q <- Seq("q_pairs_blocked", "q_minhash_dedup", "q_simhash_dedup",
-                  "q_ann_lsh", "q_billmatch", "q_asof_join", "q_jaccard_pairs")) {
+                  "q_ann_lsh", "q_billmatch", "q_asof_join", "q_jaccard_pairs",
+                  "q_winnow_neardup")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
+  }
+
+  /** Winnowing fingerprint extraction must stay inside whole-stage codegen
+    * (WinnowPack is an interpreted-fallback-prone custom expression; a
+    * regression here costs the map-side of the whole dedup family). */
+  test("q_winnow fingerprint pass stays in whole-stage codegen") {
+    val df = SparkEntry.queries("q_winnow")(spark, dir)
+    df.collect() // AQE only materializes codegen stages in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Op" in the simple plan string; the
+    // Generate(graft_winnow) node must carry the marker
+    assert("""\*\(\d+\) Generate explode\(graft_winnow""".r.findFirstIn(p).isDefined,
+      s"q_winnow fingerprint pass not whole-stage-codegen'd:\n$p")
   }
 
   /** Probe/dim sides sized in config must be broadcast, keeping the corpus
