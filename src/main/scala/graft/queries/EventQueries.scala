@@ -116,6 +116,24 @@ object EventQueries {
     // ----- §2.13 STREAMING: custom per-key state via mapGroupsWithState —
     // integer-exact running (count, max event time) per user; the memory sink
     // holds one row per user per micro-batch, rolled up with max()
+    // ----- §2.13: stream-stream time-bounded inner join (click → purchase
+    // within 30 min, same user) — both sides watermarked, state evicted by
+    // the time-range condition. Same definition runs as a batch self-join;
+    // the oracle replays it in SQL.
+    "q_stream_join" -> QueryDef.sql("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events)
+      SELECT c.user_id, c.us AS first_us, p.us AS then_us
+      FROM e c JOIN e p ON c.user_id = p.user_id
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.us >= c.us AND p.us - c.us <= 1800000000
+      ORDER BY c.user_id, first_us, then_us""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.replayToTable(
+          Streaming.followWithin(Streaming.eventStream(s, d), "click", "purchase"),
+          s"stream_join_${System.nanoTime()}", mode = "append")
+        .orderBy("user_id", "first_us", "then_us")
+    },
+
     // ----- §2.13 × dedup: streaming exact dedup — dropDuplicates keeps the
     // first sighting of each key across micro-batches; the emitted KEY SET
     // equals batch DISTINCT regardless of batch order, which is what the

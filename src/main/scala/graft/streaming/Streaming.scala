@@ -108,6 +108,31 @@ object Streaming {
     spark.table(tableName)
   }
 
+  /** Stream-stream inner join: for every `firstType` event, the `thenType`
+    * events of the SAME user within `within` afterwards (funnel/attribution
+    * shape, e.g. click → purchase). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so each side's buffered state is
+    * evicted once the other side's watermark passes — state is
+    * O(events per horizon), the stream-stream-join contract at scale.
+    * Works identically on a batch frame (watermark is a no-op there): the
+    * batch run IS the oracle surface. */
+  def followWithin(events: DataFrame, firstType: String, thenType: String,
+                   within: String = "30 minutes",
+                   horizon: String = "2 hours"): DataFrame = {
+    val a = events.filter(col("event_type") === firstType)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", horizon)
+    val b = events.filter(col("event_type") === thenType)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", horizon)
+    a.join(b, col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("a_user").as("user_id"),
+        unix_micros(col("a_ts")).as("first_us"),
+        unix_micros(col("b_ts")).as("then_us"))
+  }
+
   /** Streaming exact dedup by key — the streaming-ingestion face of the
     * dedup family: emits each (user_id, event_type) the first time it is
     * seen, exact across all micro-batches (state = full key set; exact-dedup

@@ -73,6 +73,18 @@ class StreamingSpec extends SparkSpec {
     assert(rows(hour1) == 1.0, s"late row must not be counted: $rows")
   }
 
+  test("stream-stream time-bounded join equals the batch self-join") {
+    val streamed = Streaming.replayToTable(
+        Streaming.followWithin(Streaming.eventStream(spark, sfDir), "click", "purchase"),
+        "t_stream_join", mode = "append")
+      .select("user_id", "first_us", "then_us")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val batch = Streaming.followWithin(
+        graft.io.Tables.events(spark, sfDir), "click", "purchase")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup: exact across batches; watermarked variant evicts state") {
     implicit val sqlCtx = spark.sqlContext
     def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
