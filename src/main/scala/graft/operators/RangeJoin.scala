@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join: pair each left "point" row (a timestamp)
+  * with every right "interval" row whose `[start, end)` contains it. No equi
+  * key exists, so Spark's only native plan is BroadcastNestedLoopJoin —
+  * O(|L|·|R|) comparisons and a single-threaded build at scale.
+  *
+  * This is the scale-correct encoding: quantize time into fixed-width bins,
+  * explode each interval into the bins it overlaps, map each point to its ONE
+  * bin, then hash equi-join on the bin id and re-check the exact range
+  * predicate. Each matching (point, interval) pair surfaces exactly once —
+  * the point owns a single bin — so no dedup pass is needed. The shuffle is
+  * an ordinary hash exchange on the bin id; cost scales with
+  * |L| + |R|·(intervalWidth/binWidth) rather than |L|·|R|, and AQE splits any
+  * hot bin. Bin width should be on the order of the typical interval length:
+  * wider bins cut interval replication, narrower bins cut false candidates.
+  *
+  * (The reference has no range join; its only theta conditions are the
+  * candidate-pair predicates, `Utils.scala:46-105`. This operator is part of
+  * the training-pipeline extension surface, alongside [[AsOfJoin]].)
+  */
+object RangeJoin {
+
+  /** @param points     left side; `ptCol` is a timestamp column
+    * @param intervals  right side; `startCol`/`endCol` are timestamps,
+    *                   interval semantics are half-open `[start, end)`
+    * @param binSeconds quantization width — choose ≈ the typical interval
+    *                   length so each interval lands in O(1) bins
+    * @return inner-join result carrying all columns of both inputs (callers
+    *         should pre-alias collisions)
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      ptCol: String, startCol: String, endCol: String,
+                      binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val bin = lit(binSeconds)
+    val p = points.withColumn("__bin", floor(unix_seconds(col(ptCol)) / bin))
+    // end is exclusive: an interval closing exactly on a bin boundary does
+    // not reach into that bin
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(unix_seconds(col(startCol)) / bin),
+        floor((unix_seconds(col(endCol)) - 1) / bin))))
+    p.join(i, p("__bin") === i("__bin") &&
+        col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bin")
+  }
+}

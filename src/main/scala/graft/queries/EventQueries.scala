@@ -113,6 +113,35 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // ----- extension: RANGE JOIN — clicks landing inside each purchase's
+    // one-hour window, NO equi key (pure point-in-interval). Spark's native
+    // plan would be BroadcastNestedLoopJoin; RangeJoin bins time and hash
+    // equi-joins on the bin (see operators.RangeJoin). Oracle is the naive
+    // non-equi join in DuckDB.
+    "q_range_join" -> QueryDef.sql("""
+      WITH w AS (SELECT event_id AS win_id, ts AS start_ts,
+                        ts + INTERVAL 1 HOUR AS end_ts
+                 FROM events WHERE event_type = 'purchase'),
+           p AS (SELECT ts, value FROM events WHERE event_type = 'click')
+      SELECT w.win_id, COUNT(*) AS n_clicks,
+             CAST(SUM(CAST(p.value AS DECIMAL(30,2))) AS DOUBLE) AS click_value
+      FROM p JOIN w ON p.ts >= w.start_ts AND p.ts < w.end_ts
+      GROUP BY w.win_id ORDER BY w.win_id""") { (s, d) =>
+      import graft.operators.RangeJoin
+      val ev = Tables.events(s, d)
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("win_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts"), col("value"))
+      RangeJoin.pointInInterval(clicks, windows, "ts", "start_ts", "end_ts")
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("value").cast("decimal(30,2)")).cast("double")
+            .as("click_value"))
+        .orderBy("win_id")
+    },
+
     // ----- §2.13 STREAMING: custom per-key state via mapGroupsWithState —
     // integer-exact running (count, max event time) per user; the memory sink
     // holds one row per user per micro-batch, rolled up with max()

@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Point-in-interval range join: half-open semantics, exactly-once pairing,
+  * and the plan-shape contract (hash equi-join on the bin, never a
+  * nested-loop join).
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+
+  // intervals: [0h,1h), [0h30,1h30), [2h,3h) — first two overlap
+  private lazy val intervals = Seq(
+    ("w1", ts(0), ts(60)),
+    ("w2", ts(30), ts(90)),
+    ("w3", ts(120), ts(180))
+  ).toDF("win", "start_ts", "end_ts")
+
+  private lazy val points = Seq(
+    ("p0", ts(0)),    // w1 only (w2 starts at 30)
+    ("p1", ts(45)),   // w1 AND w2 (overlap region)
+    ("p2", ts(60)),   // w2 only — end is EXCLUSIVE, not w1
+    ("p3", ts(119)),  // no window (gap)
+    ("p4", ts(120)),  // w3 start is inclusive
+    ("p5", ts(180))   // w3 end is exclusive → no window
+  ).toDF("pt", "ts")
+
+  private def pairs(binSeconds: Long) =
+    RangeJoin.pointInInterval(points, intervals, "ts", "start_ts", "end_ts",
+        binSeconds)
+      .select("pt", "win").as[(String, String)].collect().toSet
+
+  private val expected = Set(
+    "p0" -> "w1", "p1" -> "w1", "p1" -> "w2", "p2" -> "w2", "p4" -> "w3")
+
+  test("half-open [start,end): starts inclusive, ends exclusive, overlaps " +
+      "yield one row per matching interval") {
+    assert(pairs(3600) == expected)
+  }
+
+  test("result is bin-width invariant (each pair exactly once, no dedup)") {
+    // also as multisets: no duplicated pairs at any bin width
+    for (w <- Seq(60L, 600L, 86400L)) {
+      val rows = RangeJoin.pointInInterval(points, intervals,
+          "ts", "start_ts", "end_ts", w)
+        .select("pt", "win").as[(String, String)].collect().toSeq
+      assert(rows.size == rows.toSet.size, s"duplicate pairs at bin=$w")
+      assert(rows.toSet == expected, s"wrong pairs at bin=$w")
+    }
+  }
+
+  test("plan is a hash equi-join on the bin, not a nested-loop join") {
+    val df = RangeJoin.pointInInterval(points, intervals,
+      "ts", "start_ts", "end_ts", 3600)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+}
