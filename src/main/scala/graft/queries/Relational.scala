@@ -194,6 +194,38 @@ object Relational {
     },
 
     // ----- A2: countDistinct (reference docs/tuning_kmeans.md:21,117)
+    // ----- extension: SKEW — salted shuffle join (operators.SkewOps). Same
+    // result as the plain lineitem⋈orders join; the salt spreads any hot
+    // orderkey over 8 shuffle partitions. merge hint keeps it shuffle-based
+    // (salting a broadcast join would be pointless).
+    "q_salted_join" -> QueryDef.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+      import graft.operators.SkewOps
+      SkewOps.saltedJoin(
+          Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+            .withColumnRenamed("o_orderkey", "l_orderkey").hint("merge"),
+          Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ----- extension: SKEW — two-shuffle exact distinct (dedup on
+    // (key,value) first, count second) so one hot key's duplicate values
+    // can't pin a single reducer
+    "q_distinct_rewrite" -> QueryDef.sql("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+      FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      graft.operators.SkewOps.exactCountDistinct(
+          Tables.events(s, d), Seq("event_type"), "user_id")
+        .orderBy("event_type")
+    },
+
     "q_count_distinct" -> QueryDef.sql("""
       SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_cust
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
