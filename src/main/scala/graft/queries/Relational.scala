@@ -194,6 +194,38 @@ object Relational {
     },
 
     // ----- A2: countDistinct (reference docs/tuning_kmeans.md:21,117)
+    // ----- extension: bloom-prefiltered selective join — big-side rows that
+    // cannot match are dropped before the shuffle (operators.BloomPrefilter);
+    // false positives only waste a row in the exact join, so the result is
+    // exactly the plain join and the plain join IS the oracle
+    "q_bloom_join" -> QueryDef.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+      import graft.operators.BloomPrefilter
+      BloomPrefilter.join(
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          "l_orderkey", expected = 1000000L, fpp = 0.01)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ----- extension: sketch cardinality — HLL++ approx distinct per key.
+    // No SQL oracle (DuckDB's HLL differs); rows-only + error-band spec in
+    // SketchesSpec.
+    "q_approx_distinct" -> QueryDef.rowsOnly { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+
     // ----- extension: SKEW — salted shuffle join (operators.SkewOps). Same
     // result as the plain lineitem⋈orders join; the salt spreads any hot
     // orderkey over 8 shuffle partitions. merge hint keeps it shuffle-based
