@@ -211,6 +211,33 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // ----- §2.13 STREAMING: sessionization rebuilt on flatMapGroupsWithState
+    // (explicit GroupState + event-time timeout) instead of session_window();
+    // the emitted update-mode log rolls up to the batch sessions (max
+    // n_events per (user, session_start) — see Streaming.sessionizeStateful)
+    "q_stream_sessions_custom" -> QueryDef.sql("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      g AS (SELECT user_id, us,
+              CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                        OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                           > 1800000000
+                   THEN 1 ELSE 0 END AS new_s
+            FROM e),
+      s AS (SELECT user_id, us,
+              SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+      SELECT user_id, MIN(us) AS session_start, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.replayToTable(
+          Streaming.sessionizeStateful(Streaming.eventStream(s, d)).toDF(),
+          s"stream_sessions_custom_${System.nanoTime()}", mode = "update")
+        .groupBy("user_id", "session_start")
+        .agg(max("n_events").as("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ----- §2.13: sessionization (30-min inactivity gap) as window functions;
     // the streaming twin uses session_window()/flatMapGroupsWithState
     "q_sessionize" -> QueryDef.sql("""

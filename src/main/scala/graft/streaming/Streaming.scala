@@ -177,4 +177,68 @@ object Streaming {
           UserRunning(uid, s.n_events, s.total, s.last_us)
       }
   }
+
+  /** Custom sessionization via flatMapGroupsWithState — the multi-output
+    * arbitrary-state surface: per user, an open session lives in GroupState,
+    * a >`gap` quiet period closes it, and an EVENT-TIME TIMEOUT closes idle
+    * sessions once the watermark passes (state is freed without waiting for
+    * the user's next event — the bounded-state contract session_window gives
+    * you for free, rebuilt on the explicit-state API for session shapes
+    * session_window can't express).
+    *
+    * Emission protocol (update-mode): every touched session is emitted each
+    * micro-batch with its current size; a session's final row is the one with
+    * max n_events, so `groupBy(user_id, session_start).agg(max(n_events))`
+    * rolls the emitted log up to exactly the batch sessionization (assumes
+    * per-key in-order arrival; late rows within the watermark start a new
+    * session rather than corrupting a closed one).
+    */
+  final case class OpenSession(start_us: Long, last_us: Long, n_events: Long)
+  final case class SessionOut(user_id: Long, session_start: Long,
+      n_events: Long, closed: Boolean)
+
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30,
+      horizon: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    // the event-time watermark tag rides on the TIMESTAMP attribute — it must
+    // reach the FlatMapGroupsWithState input un-projected (converting to
+    // epoch micros here would strip it and fail analysis)
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events.withWatermark("ts", horizon)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+          OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start_us, s.n_events, closed = true))
+          } else {
+            val ts = rows.map(r => us(r._2)).toArray.sorted
+            val closed = List.newBuilder[SessionOut]
+            var s = state.getOption
+              .getOrElse(OpenSession(ts.head, ts.head, 0L))
+            ts.foreach { u =>
+              if (u - s.last_us > gapUs) {
+                closed += SessionOut(uid, s.start_us, s.n_events, closed = true)
+                s = OpenSession(u, u, 1L)
+              } else s = OpenSession(s.start_us, math.max(s.last_us, u),
+                s.n_events + 1)
+            }
+            state.update(s)
+            // close the open session once the watermark passes last + gap
+            state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L)
+            (closed += SessionOut(uid, s.start_us, s.n_events,
+              closed = false)).result().iterator
+          }
+      }
+  }
 }

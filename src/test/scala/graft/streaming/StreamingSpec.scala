@@ -73,6 +73,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows(hour1) == 1.0, s"late row must not be counted: $rows")
   }
 
+  test("flatMapGroupsWithState sessionizer: gap-close, cross-batch extend, " +
+      "event-time-timeout close") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val out = Streaming.sessionizeStateful(
+      mem.toDF().toDF("user_id", "ts"), gapMinutes = 30, horizon = "1 hour")
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("t_fmgws_sessions").outputMode("update").start()
+
+    // batch 1: u1 two events 10 min apart → one open session of 2
+    mem.addData((1L, t(0, 0)), (1L, t(0, 10)))
+    q.processAllAvailable()
+    // batch 2: u1 extends (gap 20 min); u2 starts
+    mem.addData((1L, t(0, 30)), (2L, t(0, 30)))
+    q.processAllAvailable()
+    // batch 3: u1 jumps 2 h ahead → old session closes by GAP, new one opens;
+    // the advanced watermark (1:30) also times out u2's idle session
+    mem.addData((1L, t(2, 30)))
+    q.processAllAvailable()
+    mem.addData((1L, t(5, 0))) // extra batch so the timeout actually fires
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t_fmgws_sessions")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+    // rollup = final session set
+    val finals = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, v) => (k._1, k._2, v.map(_._3).max) }.toSet
+    assert(finals == Set(
+      (1L, us(0, 0), 3L),  // u1 session 1: 0:00,0:10,0:30
+      (1L, us(2, 30), 1L), // u1 session 2 (gap-closed predecessor)
+      (1L, us(5, 0), 1L),
+      (2L, us(0, 30), 1L)))
+    // u1's first session was closed by the GAP path, u2's by the TIMEOUT path
+    assert(rows.contains((1L, us(0, 0), 3L, true)))
+    assert(rows.contains((2L, us(0, 30), 1L, true)))
+  }
+
   test("stream-stream time-bounded join equals the batch self-join") {
     val streamed = Streaming.replayToTable(
         Streaming.followWithin(Streaming.eventStream(spark, sfDir), "click", "purchase"),
