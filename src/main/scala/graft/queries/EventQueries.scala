@@ -190,6 +190,23 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // ----- §2.13 STREAMING: the same running per-user state on
+    // transformWithState (Spark 4 arbitrary-state API, RocksDB store) —
+    // same rollup, same oracle as q_stream_stateful
+    "q_stream_stateful_tws" -> QueryDef.sql("""
+      SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.withRocksDb(s) {
+        Streaming.replayToTable(
+            Streaming.runningUserStateTws(Streaming.eventStream(s, d)).toDF(),
+            s"stream_stateful_tws_${System.nanoTime()}", mode = "update")
+          .groupBy("user_id")
+          .agg(max("n_events").as("n_events"), max("last_us").as("last_us"))
+          .orderBy("user_id")
+      }
+    },
+
     // Oracle is microsecond-exact: Spark's session_window end is EXCLUSIVE, so
     // a gap of exactly 30 min starts a new session (diff >= 1800e6 us) — and
     // the testdata does contain near-boundary gaps, so no second-truncation.

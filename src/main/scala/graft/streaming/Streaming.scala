@@ -178,6 +178,58 @@ object Streaming {
       }
   }
 
+  /** Per-user running aggregate on transformWithState (Spark 4's arbitrary-
+    * state API, successor to [map|flatMap]GroupsWithState): typed ValueState
+    * behind a StatefulProcessor, RocksDB-backed — the state store that
+    * actually holds 100 TB-scale key spaces (spillable, incremental
+    * checkpoint), where the HDFS-backed store keeps all state on heap. Same
+    * semantics and oracle as [[runningUserState]]; TTLConfig.NONE here, but
+    * the same handle takes a TTL so idle users age out without timer
+    * plumbing. */
+  class UserStateProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, Double, Long), UserRunning] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("running",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double, Long)],
+        timers: TimerValues): Iterator[UserRunning] = {
+      var s = if (state.exists()) state.get() else UserState(0L, 0.0, Long.MinValue)
+      rows.foreach { case (_, v, us) =>
+        s = UserState(s.n_events + 1, s.total + v, math.max(s.last_us, us))
+      }
+      state.update(s)
+      Iterator.single(UserRunning(uid, s.n_events, s.total, s.last_us))
+    }
+  }
+
+  def runningUserStateTws(events: DataFrame): org.apache.spark.sql.Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStateProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** transformWithState requires the RocksDB state store; scope the provider
+    * override to one replay (the HDFS-backed default is faster for the tiny
+    * finite replays every other gate query runs). */
+  def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Custom sessionization via flatMapGroupsWithState — the multi-output
     * arbitrary-state surface: per user, an open session lives in GroupState,
     * a >`gap` quiet period closes it, and an EVENT-TIME TIMEOUT closes idle

@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows(hour1) == 1.0, s"late row must not be counted: $rows")
   }
 
+  test("transformWithState accumulates per-user state across micro-batches " +
+      "on the RocksDB store") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    Streaming.withRocksDb(spark) {
+      val out = Streaming.runningUserStateTws(
+        mem.toDF().toDF("user_id", "ts", "value"))
+      val q = out.toDF().writeStream.format("memory").queryName("t_tws")
+        .outputMode("update").start()
+      mem.addData((1L, t(1), 10.0), (2L, t(1), 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, t(2), 5.0)) // u1's state must carry n=1, total=10
+      q.processAllAvailable()
+      q.stop()
+    }
+    val finals = spark.table("t_tws")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n"), max("total").as("total"),
+        max("last_us").as("last_us"))
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(finals(1L) == ((1L, 2L, 15.0, t(2).getTime * 1000L)))
+    assert(finals(2L) == ((2L, 1L, 1.0, t(1).getTime * 1000L)))
+  }
+
   test("flatMapGroupsWithState sessionizer: gap-close, cross-batch extend, " +
       "event-time-timeout close") {
     implicit val sqlCtx = spark.sqlContext
