@@ -193,6 +193,75 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // ----- extension: CUBE over two independent dims (ROLLUP: q_rollup)
+    "q_cube" -> QueryDef.sql("""
+      SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+             COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus, o_orderpriority""") { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // ----- extension: the real RelationalGroupedDataset.pivot() operator —
+    // event counts per user across a FIXED pivot-column domain (explicit
+    // value list keeps the plan single-pass and the schema static; the
+    // conditional-aggregation encoding of the same shape is q_pivot)
+    "q_pivot_wide" -> QueryDef.sql("""
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type='click' THEN 1 END), 0) AS BIGINT) AS click,
+             CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+             CAST(COALESCE(SUM(CASE WHEN event_type='view' THEN 1 END), 0) AS BIGINT) AS view
+      FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "purchase", "view"))
+        .orderBy("user_id")
+    },
+
+    // ----- extension: UNPIVOT/melt — wide metrics back to long form
+    "q_unpivot" -> QueryDef.sql("""
+      SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val FROM (
+        SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders)
+      WHERE o_orderkey <= 1000 ORDER BY o_orderkey, metric""") { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), col("o_totalprice").as("totalprice"),
+          col("o_custkey").cast("double").as("custkey"))
+        .unpivot(Array(col("o_orderkey")), Array(col("totalprice"), col("custkey")),
+          "metric", "val")
+        .orderBy("o_orderkey", "metric")
+    },
+
+    // ----- extension: INTERSECT / EXCEPT (reference has neither, SURVEY
+    // §2.7 — completeness): customers appearing in both halves / only the
+    // first half of an order split
+    "q_set_ops" -> QueryDef.sql("""
+      WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+           ur AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT 'both' AS side, o_custkey FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM ur)
+      UNION ALL
+      SELECT 'hi_only', o_custkey FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM ur)
+      ORDER BY side, o_custkey""") { (s, d) =>
+      val o = Tables.orders(s, d)
+      val hi = o.filter(col("o_totalprice") > 150000.0).select("o_custkey").distinct()
+      val ur = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey").distinct()
+      hi.intersect(ur).select(lit("both").as("side"), col("o_custkey"))
+        .unionByName(hi.except(ur).select(lit("hi_only").as("side"), col("o_custkey")))
+        .orderBy("side", "o_custkey")
+    },
+
     // ----- A2: countDistinct (reference docs/tuning_kmeans.md:21,117)
     // ----- extension: bloom-prefiltered selective join — big-side rows that
     // cannot match are dropped before the shuffle (operators.BloomPrefilter);
