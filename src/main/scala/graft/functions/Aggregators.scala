@@ -65,6 +65,47 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Per-key top-k as a BOUNDED min-heap Aggregator — the scale form of
+    * "row_number() over (partition by key order by score desc) <= k". The
+    * window form sorts every group in full (O(n log n) per key, whole group
+    * resident in one task); this buffer never holds more than k (score, id)
+    * pairs, partial-aggregates map-side, and merges heaps pairwise — O(n log
+    * k) and shuffle traffic of one k-row buffer per partition per key.
+    * Ties break toward the smaller id (deterministic, oracle-matchable).
+    * Output: ids of the top-k scores, ordered score desc then id asc. */
+  class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Long]] {
+    require(k > 0, s"k must be positive: $k")
+    // (score, id) ranks higher when score greater, or equal score + smaller id
+    private def outranks(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+      if (buf.sizeIs < k) buf :+ in
+      else {
+        // buffer is unordered; replace the weakest slot if the new row
+        // outranks it (positional update keeps duplicates intact)
+        var weakIdx = 0
+        var i = 1
+        while (i < buf.length) {
+          if (outranks(buf(weakIdx), buf(i))) weakIdx = i
+          i += 1
+        }
+        if (outranks(in, buf(weakIdx))) buf.updated(weakIdx, in) else buf
+      }
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sortWith(outranks).take(k)
+    def finish(buf: Seq[(Double, Long)]): Seq[Long] =
+      buf.sortWith(outranks).map(_._2)
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column function: ids of the k largest scores per group, score desc /
+    * id asc. Input: struct(score double, id long). */
+  def topK(k: Int): UserDefinedFunction =
+    udaf(new TopK(k), ExpressionEncoder[(Double, Long)]())
+
   /** Column function: element-wise sum of an array<double> column. */
   def vectorSum: UserDefinedFunction =
     udaf(new VectorSum, ExpressionEncoder[Seq[Double]]())

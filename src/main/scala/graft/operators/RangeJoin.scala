@@ -48,4 +48,31 @@ object RangeJoin {
         col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: pair every left interval `[lStart, lEnd)` with
+    * every right interval `[rStart, rEnd)` that overlaps it. Both sides
+    * explode into their bins, so one overlapping pair would meet in EVERY
+    * shared bin; instead of a dedup shuffle, the join keeps a pair only in
+    * its COORDINATION BIN — the first bin the overlap region itself touches,
+    * `bin(max(lStart, rStart))`. Each side already carries that bin (the
+    * overlap start is one of the two starts), so the predicate is local and
+    * each pair survives exactly once.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val bin = lit(binSeconds)
+    def explodeBins(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(unix_seconds(col(s)) / bin),
+        floor((unix_seconds(col(e)) - 1) / bin))))
+    val l = explodeBins(left, lStart, lEnd)
+    val r = explodeBins(right, rStart, rEnd)
+    l.join(r, l("__bin") === r("__bin") &&
+        col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        l("__bin") === floor(unix_seconds(greatest(col(lStart), col(rStart))) / bin))
+      .drop("__bin")
+  }
 }

@@ -142,6 +142,52 @@ object EventQueries {
         .orderBy("win_id")
     },
 
+    // ----- extension: bounded-heap per-key top-k (functions.Aggregators.TopK)
+    // — the scale form of row_number()<=k: the buffer never exceeds k rows,
+    // partial-aggregates map-side, and ships one k-row buffer per partition
+    // per key instead of sorting whole groups. Oracle: the window form.
+    "q_topk_agg" -> QueryDef.sql("""
+      SELECT event_type, rank, event_id FROM (
+        SELECT event_type, event_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id ASC) AS BIGINT) - 1 AS rank
+        FROM events)
+      WHERE rank < 5 ORDER BY event_type, rank""") { (s, d) =>
+      import graft.functions.Aggregators
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(Aggregators.topK(5)(col("value"), col("event_id")).as("ids"))
+        .select(col("event_type"), posexplode(col("ids")).as(Seq("rank", "event_id")))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("event_type", "rank")
+    },
+
+    // ----- extension: INTERVAL-OVERLAP JOIN — purchase 1 h windows vs error
+    // 30 min windows; binned equi-join with the coordination-bin rule (pair
+    // kept only in bin(max(starts))) so no dedup shuffle. Oracle: naive
+    // overlap theta-join.
+    "q_interval_overlap" -> QueryDef.sql("""
+      WITH p AS (SELECT event_id AS p_id, ts AS ps, ts + INTERVAL 1 HOUR AS pe
+                 FROM events WHERE event_type = 'purchase'),
+           e AS (SELECT event_id AS e_id, ts AS es, ts + INTERVAL 30 MINUTE AS ee
+                 FROM events WHERE event_type = 'error')
+      SELECT p_id, COUNT(*) AS n_overlaps
+      FROM p JOIN e ON ps < ee AND es < pe
+      GROUP BY p_id ORDER BY p_id""") { (s, d) =>
+      import graft.operators.RangeJoin
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("ps"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("pe"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts").as("es"),
+          (col("ts") + expr("INTERVAL 30 MINUTE")).as("ee"))
+      RangeJoin.intervalOverlap(p, e, "ps", "pe", "es", "ee")
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("p_id")
+    },
+
     // ----- §2.13 STREAMING: custom per-key state via mapGroupsWithState —
     // integer-exact running (count, max event time) per user; the memory sink
     // holds one row per user per micro-batch, rolled up with max()

@@ -52,4 +52,33 @@ class AggregatorsSpec extends SparkSpec {
     assert(got.take(10).forall(_ == 1000L))
     assert(got.drop(10).forall(_ == 0L))
   }
+
+  test("topK equals the window form across partitions, ties to smaller id") {
+    // 8 partitions force real partial/merge paths; duplicate scores force
+    // the deterministic tie-break
+    val df = spark.range(0, 5000).repartition(8)
+      .select((col("id") % 7).cast("string").as("k"),
+        (col("id") % 50).cast("double").as("score"),
+        col("id").as("id"))
+    val got = df.groupBy("k")
+      .agg(Aggregators.topK(5)(col("score"), col("id")).as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("score").desc, col("id").asc)
+    val expected = df
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .orderBy("k", "rn")
+      .as[(String, Double, Long, Int)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    assert(got == expected && got.values.forall(_.length == 5))
+  }
+
+  test("topK with fewer rows than k returns all, ranked") {
+    val df = Seq(("a", 1.0, 10L), ("a", 3.0, 11L), ("b", 2.0, 12L))
+      .toDF("k", "score", "id")
+    val got = df.groupBy("k")
+      .agg(Aggregators.topK(5)(col("score"), col("id")).as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got == Map("a" -> Seq(11L, 10L), "b" -> Seq(12L)))
+  }
 }

@@ -53,6 +53,25 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap: open/closed edges, exactly-once across shared bins") {
+    val lhs = Seq(
+      ("a", ts(0), ts(100)),   // long: spans 2 bins at bin=3600s? no — minutes; overlaps b,c
+      ("b", ts(150), ts(160))  // disjoint from rhs "y"
+    ).toDF("l", "ls", "le")
+    val rhs = Seq(
+      ("x", ts(50), ts(200)),  // overlaps a (50..100) and b (150..160)
+      ("y", ts(100), ts(110)), // touches a only at a's exclusive end → NO
+      ("z", ts(0), ts(1))      // overlaps a at the very first minute
+    ).toDF("r", "rs", "re")
+    val expectedPairs = Set("a" -> "x", "b" -> "x", "a" -> "z")
+    for (w <- Seq(60L, 1800L, 86400L)) {
+      val rows = RangeJoin.intervalOverlap(lhs, rhs, "ls", "le", "rs", "re", w)
+        .select("l", "r").as[(String, String)].collect().toSeq
+      assert(rows.size == rows.toSet.size, s"duplicate pairs at bin=$w")
+      assert(rows.toSet == expectedPairs, s"wrong pairs at bin=$w: $rows")
+    }
+  }
+
   test("plan is a hash equi-join on the bin, not a nested-loop join") {
     val df = RangeJoin.pointInInterval(points, intervals,
       "ts", "start_ts", "end_ts", 3600)
