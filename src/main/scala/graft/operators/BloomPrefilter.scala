@@ -29,6 +29,9 @@ object BloomPrefilter {
     */
   def join(big: DataFrame, small: DataFrame, key: String,
            expected: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    // stat.bloomFilter NPEs on an empty input (null aggregation buffer);
+    // an empty build side means an empty join anyway
+    if (small.isEmpty) return big.limit(0).join(small, key)
     val bf: BloomFilter = small.stat.bloomFilter(key, expected, fpp)
     // stat.bloomFilter hashes integral keys as longs and strings as bytes —
     // the probe must use the matching insertion type

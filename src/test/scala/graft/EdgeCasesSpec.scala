@@ -122,4 +122,47 @@ class EdgeCasesSpec extends SparkSpec {
       .head().getDate(0).toString
     assert(r == "1900-12-31")
   }
+
+  test("range/overlap joins: empty sides and null timestamps drop out") {
+    import graft.operators.RangeJoin
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val pts = Seq(("p1", Option(t(10))), ("pnull", None))
+      .toDF("pt", "ts")
+    val ivs = Seq(("w1", Option(t(0)), Option(t(60))),
+        ("wnull", None, Option(t(60))))
+      .toDF("win", "s", "e")
+    val joined = RangeJoin.pointInInterval(pts, ivs, "ts", "s", "e")
+      .select("pt", "win").as[(String, String)].collect().toSet
+    assert(joined == Set("p1" -> "w1")) // null ts / null start never match
+    val emptyPts = pts.limit(0)
+    assert(RangeJoin.pointInInterval(emptyPts, ivs, "ts", "s", "e").count() == 0)
+    val ivs2 = ivs.toDF("win2", "s2", "e2")
+    assert(RangeJoin.intervalOverlap(ivs.limit(0), ivs2, "s", "e", "s2", "e2")
+      .count() == 0)
+  }
+
+  test("salted and bloom joins: null keys behave like the plain inner join") {
+    import graft.operators.{BloomPrefilter, SkewOps}
+    val big = Seq((Option(1L), "a"), (None, "b"), (Option(2L), "c"))
+      .toDF("k", "v")
+    val small = Seq((Option(1L), "x"), (None, "y")).toDF("k", "tag")
+    // inner equi-join: null keys never match, on either side
+    val expected = Set((1L, "a", "x"))
+    val salted = SkewOps.saltedJoin(big, small, Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    val bloomed = BloomPrefilter.join(big, small, "k", expected = 10)
+      .as[(Long, String, String)].collect().toSet
+    assert(salted == expected && bloomed == expected)
+    // empty small side: everything drops, no crash building the sketch
+    assert(BloomPrefilter.join(big, small.limit(0), "k", expected = 10)
+      .count() == 0)
+  }
+
+  test("topK aggregator on an empty group set returns no rows") {
+    val empty = Seq.empty[(String, Double, Long)].toDF("k", "score", "id")
+    assert(empty.groupBy("k")
+      .agg(graft.functions.Aggregators.topK(3)(col("score"), col("id")))
+      .count() == 0)
+  }
 }
