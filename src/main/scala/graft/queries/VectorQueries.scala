@@ -188,6 +188,23 @@ object VectorQueries {
     // nearest partitions (the data-adaptive scale path next to sign-LSH).
     // Centroids depend on the k-means fit, so the gate check is rows-only;
     // IvfSpec pins exact brute-force equivalence at nProbe == k.
+    // ----- extension: product-quantization ANN — 8 codes per vector (32×
+    // compression of the float32 embedding), query answered via asymmetric
+    // distance tables (m lookups per candidate). Model-dependent (per-subspace
+    // k-means) → rows-only; lossless-case equivalence pinned in PqSpec.
+    "q_ann_pq" -> QueryDef.rowsOnly { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+        .repartition(32)
+      val index = graft.ann.Pq.build(t, "vec_id", "v", m = 8, k = 16)
+      val probes = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.ann.Pq.search(index, probes, topK = 5)
+        .select(col("q_id"), col("cand_id"), round(col("approx_d2"), 6).as("approx_d2"),
+          col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     "q_ann_ivf" -> QueryDef.rowsOnly { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
