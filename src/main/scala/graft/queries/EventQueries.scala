@@ -142,6 +142,70 @@ object EventQueries {
         .orderBy("win_id")
     },
 
+    // ----- extension: RANGE-frame window — per-user moving 1-hour sum/count
+    // over event time (frame = value range, not row count; the two differ
+    // whenever timestamps are irregular). Seconds-typed ordering keeps the
+    // frame bounds integer-exact on both engines.
+    "q_window_range" -> QueryDef.sql("""
+      SELECT event_id,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum_1h,
+             COUNT(*) OVER w AS n_1h
+      FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                   value FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"), col("value"))
+        .select(col("event_id"),
+          sum(col("value").cast("decimal(30,2)")).over(w).cast("double").as("sum_1h"),
+          count(lit(1)).over(w).as("n_1h"))
+        .orderBy("event_id")
+    },
+
+    // ----- extension: ranking-function family — ntile / percent_rank /
+    // cume_dist over per-user event values (deterministic: value then
+    // event_id ordering)
+    "q_window_rank_fns" -> QueryDef.sql("""
+      SELECT event_id,
+             CAST(NTILE(4) OVER w AS INT) AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 9) AS cume
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+      ORDER BY event_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("value", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"))
+        .orderBy("event_id")
+    },
+
+    // ----- extension: GROUPING SETS, authored through spark.sql() — the
+    // engine's SQL entry point is registry surface too (every other query
+    // uses the DataFrame API); grouping_id() disambiguates the NULL levels
+    "q_grouping_sets" -> QueryDef.sql("""
+      SELECT COALESCE(event_type, '(all)') AS event_type,
+             COALESCE(CAST(user_id % 10 AS VARCHAR), '(all)') AS user_mod,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+      ORDER BY event_type, user_mod""") { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_gs")
+      s.sql("""
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(CAST(user_id % 10 AS STRING), '(all)') AS user_mod,
+               COUNT(*) AS n
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY event_type, user_mod""")
+    },
+
     // ----- extension: bounded-heap per-key top-k (functions.Aggregators.TopK)
     // — the scale form of row_number()<=k: the buffer never exceeds k rows,
     // partial-aggregates map-side, and ships one k-row buffer per partition
