@@ -178,6 +178,28 @@ object Streaming {
       }
   }
 
+  /** foreachBatch sink with batch-id idempotence — the arbitrary-sink
+    * surface: each micro-batch lands in `dir/batch_id=<id>` with
+    * mode=overwrite, so a REPLAYED batch (restart after a sink failure,
+    * before the checkpoint commit) overwrites its own previous attempt
+    * instead of appending duplicates. That id-keyed overwrite is the
+    * standard exactly-once recipe for sinks without transactional commit;
+    * readers glob the directory and see each batch exactly once. Returns the
+    * number of batches written. */
+  def foreachBatchToParquet(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val count = spark.sparkContext.longAccumulator("graft.batches")
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch_id=$id")
+        count.add(1L)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    count.value
+  }
+
   /** Per-user running aggregate on transformWithState (Spark 4's arbitrary-
     * state API, successor to [map|flatMap]GroupsWithState): typed ValueState
     * behind a StatefulProcessor, RocksDB-backed — the state store that
