@@ -124,13 +124,16 @@ object MinHashDedup {
       .join(sets.select(col("__id").as("d1"), col("__sids").as("t1")), "d1")
       .join(sets.select(col("__id").as("d2"), col("__sids").as("t2")), "d2")
 
-    val inter = size(array_intersect(col("t1"), col("t2")))
-    val union = size(array_union(col("t1"), col("t2")))
     // Threshold on the RAW ratio, round only for output — oracle-identical
-    // boundary semantics. empty∪empty = 0: such pairs (both texts tokenless)
-    // are not duplicates of anything meaningful — score 0, never divide by 0.
-    val jacRaw = when(union > 0, inter.cast("double") * 100.0 / union)
-      .otherwise(lit(0.0))
+    // boundary semantics (the kernel computes ((double)|∩|·100)/|∪| with
+    // set semantics and 0.0 for empty∪empty, exactly the previous
+    // size(array_intersect)/size(array_union) formulation, in ONE hash-set
+    // pass inside codegen). The >= threshold filter on this kernel also
+    // triggers plans.JaccardPrefilter's header-only size prune.
+    val jacRaw = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.ArraySetJaccard(
+        org.apache.spark.sql.graft.bridge.expression(col("t1")),
+        org.apache.spark.sql.graft.bridge.expression(col("t2"))))
     withSets
       .withColumn("__jac_raw", jacRaw)
       .filter(col("__jac_raw") >= cfg.jaccardThreshold * 100.0)

@@ -80,5 +80,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_winnow",
         "graft_winnow(text, k, w) - winnowing fingerprints packed (pos << 32) | hash"),
       (es: Seq[Expression]) => WinnowPack(es(0), litInt(es(1), "k"), litInt(es(2), "w"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard",
+        "graft_jaccard(a, b) - set Jaccard (0-100) of two array<long>, one hash-set pass"),
+      (es: Seq[Expression]) => ArraySetJaccard(es(0), es(1))))
+
+    // threshold filters on the Jaccard kernel gain a header-only size-ratio
+    // prune (graft.plans.JaccardPrefilter)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilter)
   }
 }

@@ -170,3 +170,61 @@ case class SignLshBucket(child: Expression, planes: Seq[Seq[Double]])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Set Jaccard (scaled 0-100) of two array<long> columns in ONE hash-set
+  * pass: builds a set from the left array, streams the right array counting
+  * distinct intersections, derives |∪| = |A| + |B| − |∩|. Duplicate input
+  * elements are collapsed (set semantics) so the result matches
+  * `size(array_intersect)/size(array_union)` on any input, with one pass
+  * instead of two O(n) builtin passes — the verify-step kernel of the dedup
+  * family. Both arrays empty → 0.0 (empty sets are near-dups of nothing).
+  * Arithmetic is ((double) |∩| * 100.0) / (double) |∪| — the exact op order
+  * of the DuckDB oracles. */
+case class ArraySetJaccard(left: Expression,
+    right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val setA = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < x.numElements()) { setA.add(x.getLong(i)); i += 1 }
+    val seenB = new java.util.HashSet[java.lang.Long]()
+    var inter = 0
+    i = 0
+    while (i < y.numElements()) {
+      val v = java.lang.Long.valueOf(y.getLong(i))
+      if (seenB.add(v) && setA.contains(v)) inter += 1
+      i += 1
+    }
+    val union = setA.size() + seenB.size() - inter
+    if (union > 0) inter.toDouble * 100.0 / union.toDouble else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val setA = ctx.freshName("setA"); val seenB = ctx.freshName("seenB")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val v = ctx.freshName("v"); val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      s"""
+      java.util.HashSet $setA = new java.util.HashSet();
+      for (int $i = 0; $i < $a.numElements(); $i++) {
+        $setA.add(java.lang.Long.valueOf($a.getLong($i)));
+      }
+      java.util.HashSet $seenB = new java.util.HashSet();
+      int $inter = 0;
+      for (int $j = 0; $j < $b.numElements(); $j++) {
+        java.lang.Long $v = java.lang.Long.valueOf($b.getLong($j));
+        if ($seenB.add($v) && $setA.contains($v)) $inter++;
+      }
+      int $union = $setA.size() + $seenB.size() - $inter;
+      ${ev.value} = $union > 0 ? ((double) $inter * 100.0) / (double) $union : 0.0;"""
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -29,4 +29,43 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(1) == "relat")
     assert(r.getLong(2) == 0L)
   }
+
+  test("graft_jaccard: set semantics, duplicates collapsed, empty = 0") {
+    val r = spark.sql("""
+      SELECT graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j1,
+             graft_jaccard(array(1L, 1L, 2L), array(2L, 2L, 1L)) AS dups,
+             graft_jaccard(array(), array()) AS empty,
+             graft_jaccard(array(1L), array(2L)) AS disjoint
+    """).head()
+    assert(r.getDouble(0) == 2.0 * 100.0 / 4.0)
+    assert(r.getDouble(1) == 100.0) // {1,2} vs {2,1}
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("JaccardPrefilter rule injects the size-ratio bound under a " +
+      "threshold filter, without changing results") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L), Seq(1L, 2L, 3L, 4L)),   // jac 80
+      (2L, Seq(1L, 2L), Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)), // lopsided
+      (3L, Seq(7L, 8L), Seq(9L, 10L))                        // jac 0
+    ).toDF("id", "a", "b")
+    // a file-backed leaf: ConvertToLocalRelation would otherwise evaluate
+    // the whole filter at optimization time and leave no plan to inspect
+    val dir = java.nio.file.Files.createTempDirectory("graft_jac").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("jac_in")
+    val q = spark.sql(
+      "SELECT id FROM jac_in WHERE graft_jaccard(a, b) >= 70.0")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("size("), s"size guard not injected:\n$opt")
+    assert(q.as[Long].collect().toSeq == Seq(1L))
+    // guard is a pure prune: a pair it rejects (id=2: 2·100 < 70·10) has
+    // jac = 2/10 = 20 < 70 anyway; results identical with the rule active
+    val manual = df.filter(expr("graft_jaccard(a, b)") >= 70.0)
+      .select("id").as[Long].collect().toSeq
+    assert(manual == Seq(1L))
+  }
 }
