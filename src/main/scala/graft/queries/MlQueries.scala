@@ -132,7 +132,11 @@ object MlQueries {
 
     // ----- M11/J3: MinHash LSH self-join + asymmetric keyDistance recompute
     "q_minhash_lsh" -> QueryDef.rowsOnly { (s, d) =>
-      val tf = FeaturePipeline.features(Tables.documents(s, d),
+      // spread BEFORE the estimator: the single-file corpus otherwise leaves
+      // approxSimilarityJoin's probe side one partition — the whole
+      // bucket-pair keyDistance scan lands on ONE task (observed 19 min at
+      // sf0.1; 32-way spread makes it minutes of parallel work)
+      val tf = FeaturePipeline.features(spread(Tables.documents(s, d)),
         FeatureConfig(numTextFeatures = 1024, useIdf = false))
         .select("doc_id", "features")
       LshJoins.minHashSelfJoin(tf, "doc_id", "features", threshold = 0.6)
@@ -141,7 +145,7 @@ object MlQueries {
 
     // ----- M12: bucketed random-projection LSH on embeddings
     "q_brp_lsh" -> QueryDef.rowsOnly { (s, d) =>
-      val vecs = Tables.embeddings(s, d)
+      val vecs = spread(Tables.embeddings(s, d))
         .select(col("vec_id"),
           org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
       LshJoins.brpSelfJoin(vecs, "vec_id", "features",
@@ -259,7 +263,7 @@ object MlQueries {
       FROM dots JOIN nrm n1 ON dots.d1 = n1.doc_id
                 JOIN nrm n2 ON dots.d2 = n2.doc_id
       ORDER BY similarity DESC, d1, d2 LIMIT 50""") { (s, d) =>
-      val tf = Tables.documents(s, d)
+      val tf = spread(Tables.documents(s, d))
         .filter(col("doc_id") < 2000)
         .select(col("doc_id"), col("lang"),
           explode(graft.text.TextOps.tokens(col("text"))).as("token"))

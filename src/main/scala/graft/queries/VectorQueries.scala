@@ -208,6 +208,7 @@ object VectorQueries {
     "q_ann_ivf" -> QueryDef.rowsOnly { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+        .repartition(32) // single-file corpus: spread the index/kernel scan
       val index = graft.ann.Ivf.build(t, "v", k = 16)
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
