@@ -185,6 +185,38 @@ object MlQueries {
         .orderBy("d1", "d2")
     },
 
+    // ----- extension: dedup CLUSTERS — the end of the dedup pipeline: near-
+    // dup pairs (same exact-Jaccard semantics as q_minhash_dedup) become
+    // edges, connected components group transitive duplicates, and each
+    // cluster keeps its min-id survivor. Oracle: the all-pairs jaccard CTE +
+    // recursive reachability with min-root rollup.
+    "q_dedup_clusters" -> QueryDef.sql("""
+      WITH RECURSIVE t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks)-1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+              FROM documents)),
+      e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)*100.0
+                  / len(list_distinct(list_concat(a.s,b.s))) >= 70.0),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      reach AS (
+        SELECT src AS vertex, src AS root FROM sym
+        UNION
+        SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.vertex),
+      comp AS (SELECT vertex, MIN(root) AS survivor FROM reach GROUP BY vertex)
+      SELECT survivor, COUNT(*) AS n_members
+      FROM comp GROUP BY survivor ORDER BY survivor""") { (s, d) =>
+      val pairs = MinHashDedup.nearDupPairs(spread(Tables.documents(s, d)),
+        MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.7))
+      graft.graph.GraphOps.connectedComponents(
+          pairs.select(col("d1").as("src"), col("d2").as("dst")))
+        .groupBy(col("component").as("survivor"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("survivor")
+    },
+
     // ----- extension: SimHash near-dup detection. Gate variant hashes tokens
     // with md5 (SimHash.md5Hash60) so the oracle reproduces the signatures
     // bit-for-bit in SQL; the chunk-join candidate step has ZERO false
