@@ -191,12 +191,12 @@ object MlQueries {
     // cluster keeps its min-id survivor. Oracle: the all-pairs jaccard CTE +
     // recursive reachability with min-root rollup.
     "q_dedup_clusters" -> QueryDef.sql("""
-      WITH RECURSIVE t AS (SELECT doc_id,
+      WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id,
           list_distinct(list_transform(range(1, len(toks)-1),
                         i -> array_to_string(toks[i:i+2], ' '))) AS s
         FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
               FROM documents)),
-      e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      e AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)*100.0
                   / len(list_distinct(list_concat(a.s,b.s))) >= 70.0),
