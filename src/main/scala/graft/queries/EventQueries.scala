@@ -273,6 +273,38 @@ object EventQueries {
         .orderBy("user_id", "first_us", "then_us")
     },
 
+    // ----- §2.13: LEFT OUTER stream-stream join — unmatched clicks surface
+    // null-padded once the watermark proves no in-window purchase can still
+    // arrive. A click younger than (horizon + within) at stream end is
+    // UNDECIDABLE on a finite replay (the final watermark stops `horizon`
+    // behind max event time), so both engines restrict the click side to the
+    // decidable region; inside it, streaming equals the batch left join.
+    "q_stream_join_outer" -> QueryDef.sql("""
+      WITH m AS (SELECT MAX(epoch_us(ts)) - 9601000000 AS cutoff FROM events),
+           c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'click'
+                   AND epoch_us(ts) <= (SELECT cutoff FROM m)),
+           p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'purchase')
+      SELECT c.user_id, c.us AS first_us, p.us AS then_us
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
+        AND p.us >= c.us AND p.us - c.us <= 1800000000
+      ORDER BY c.user_id, first_us, then_us""") { (s, d) =>
+      import graft.streaming.Streaming
+      // decidability cutoff = max − (2 h horizon + 30 min window + 10 min boundary slop);
+      // driver-side scalar from the static table, a literal in the stream plan
+      val maxUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val cutoff = maxUs - 9601000000L
+      val stream = Streaming.eventStream(s, d)
+        .filter(col("event_type") =!= "click" ||
+          unix_micros(col("ts")) <= cutoff)
+      Streaming.replayToTable(
+          Streaming.followWithinOuter(stream, "click", "purchase"),
+          s"stream_join_outer_${System.nanoTime()}", mode = "append")
+        .orderBy("user_id", "first_us", "then_us")
+    },
+
     // ----- §2.13 × dedup: streaming exact dedup — dropDuplicates keeps the
     // first sighting of each key across micro-batches; the emitted KEY SET
     // equals batch DISTINCT regardless of batch order, which is what the

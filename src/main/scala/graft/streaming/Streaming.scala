@@ -119,15 +119,41 @@ object Streaming {
   def followWithin(events: DataFrame, firstType: String, thenType: String,
                    within: String = "30 minutes",
                    horizon: String = "2 hours"): DataFrame = {
-    val a = events.filter(col("event_type") === firstType)
+    // watermark BEFORE the type filter: each side's watermark then advances
+    // with EVERY event, not just its own type's arrivals — filter-first would
+    // freeze the global watermark (min of both sides) whenever one type goes
+    // quiet, pinning join state (and, in the outer variant, never emitting
+    // unmatched rows)
+    val wm = events.withWatermark("ts", horizon)
+    val a = wm.filter(col("event_type") === firstType)
       .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
-      .withWatermark("a_ts", horizon)
-    val b = events.filter(col("event_type") === thenType)
+    val b = wm.filter(col("event_type") === thenType)
       .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
-      .withWatermark("b_ts", horizon)
     a.join(b, col("a_user") === col("b_user") &&
         col("b_ts") >= col("a_ts") &&
         col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("a_user").as("user_id"),
+        unix_micros(col("a_ts")).as("first_us"),
+        unix_micros(col("b_ts")).as("then_us"))
+  }
+
+  /** LEFT OUTER variant of [[followWithin]]: every `firstType` event emits —
+    * matched rows as they pair up, UNMATCHED rows null-padded only once the
+    * watermark proves no in-window `thenType` event can still arrive (the
+    * outer-join-on-streams contract: "no match" is only decidable
+    * watermark-late). Batch execution degenerates to a plain left outer
+    * join, which is the oracle surface. */
+  def followWithinOuter(events: DataFrame, firstType: String, thenType: String,
+                        within: String = "30 minutes",
+                        horizon: String = "2 hours"): DataFrame = {
+    val wm = events.withWatermark("ts", horizon)
+    val a = wm.filter(col("event_type") === firstType)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = wm.filter(col("event_type") === thenType)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b, col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"), "leftOuter")
       .select(col("a_user").as("user_id"),
         unix_micros(col("a_ts")).as("first_us"),
         unix_micros(col("b_ts")).as("then_us"))

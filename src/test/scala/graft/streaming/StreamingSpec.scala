@@ -160,6 +160,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, us(0, 30), 1L, true)))
   }
 
+  test("left-outer stream-stream join: unmatched rows emit null-padded " +
+      "after the watermark, matched rows as they pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val out = Streaming.followWithinOuter(
+      mem.toDF().toDF("user_id", "ts", "event_type"),
+      "click", "purchase", within = "30 minutes", horizon = "1 hour")
+    val q = out.toDF().writeStream.format("memory").queryName("t_outer_join")
+      .outputMode("append").start()
+
+    // u1 clicks then purchases in-window; u2 clicks with NO purchase
+    mem.addData((1L, t(1, 0), "click"), (2L, t(1, 0), "click"),
+      (1L, t(1, 10), "purchase"))
+    q.processAllAvailable()
+    // advance watermark far past u2's click+window (needs ts > 2:30 + 1h)
+    mem.addData((9L, t(5, 0), "click"))
+    q.processAllAvailable()
+    mem.addData((9L, t(8, 0), "click")) // one more batch to flush state
+    q.processAllAvailable()
+    q.stop()
+
+    def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+    val rows = spark.table("t_outer_join")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(rows.contains((1L, us(1, 0), Some(us(1, 10)))), rows.toString)
+    assert(rows.contains((2L, us(1, 0), None)),
+      s"unmatched click not null-padded after watermark: $rows")
+  }
+
   test("stream-stream time-bounded join equals the batch self-join") {
     val streamed = Streaming.replayToTable(
         Streaming.followWithin(Streaming.eventStream(spark, sfDir), "click", "purchase"),
