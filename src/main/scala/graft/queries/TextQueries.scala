@@ -228,6 +228,67 @@ object TextQueries {
     // more than 50 documents are dropped first: winnowing's min-selection
     // picks the SAME low-hash k-grams everywhere, so high-df fingerprints are
     // both signal-free and the hot keys that would skew the join at scale.
+    // ----- §2.10: weighted_jaccard (the reference's lopsided-pair L1 blend,
+    // SimilarityMeasure.scala:113-143) in double arithmetic over token SETS —
+    // where L1 = |A|+|B|−2|∩| and the norms are the set sizes, so the whole
+    // blend reduces to size arithmetic both engines replay identically.
+    // Variable-length prefix sets manufacture lopsided pairs (the corpus is
+    // too uniform to take the >5 branch on its own); both the blend branch
+    // and the plain-jaccard fallback are exercised (≈2k / ≈43k pairs).
+    "q_weighted_jaccard" -> QueryDef.sql("""
+      WITH raw AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+                   FROM documents WHERE doc_id < 300),
+      t AS (SELECT doc_id, list_distinct(toks) AS s FROM raw),
+      q AS (SELECT doc_id, list_distinct(toks[1:CAST(1 + doc_id % 8 AS INTEGER)]) AS s
+            FROM raw),
+      p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(len(a.s) AS DOUBLE) AS sa, CAST(len(b.s) AS DOUBLE) AS sb,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter
+            FROM t a JOIN q b ON a.doc_id < b.doc_id
+            WHERE len(a.s) > 0 AND len(b.s) > 0),
+      w AS (SELECT d1, d2, sa, sb, inter,
+                   ABS(sa - sb) / SQRT(sa * sb) AS rel,
+                   LEAST(sa, sb) AS m, LEAST(sa, sb) / GREATEST(sa, sb) AS alpha,
+                   inter / LEAST(sa, sb) AS r, sa + sb - 2.0 * inter AS l1
+            FROM p)
+      SELECT d1, d2, ROUND(CASE WHEN rel > 5.0 THEN
+               100.0 * (sa + sb - ((1.0 - r) * (1.0 + alpha) / ((1.0 + r) * (1.0 + alpha - 2.0 * alpha * r))) * l1)
+                     / (sa + sb + ((1.0 - r) * (1.0 + alpha) / ((1.0 + r) * (1.0 + alpha - 2.0 * alpha * r))) * l1)
+             ELSE inter / (sa + sb - inter) * 100.0 END, 6) AS wjac
+      FROM w ORDER BY d1, d2""") { (s, d) =>
+      val raw = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val full = raw.select(col("doc_id").as("d1"),
+        array_distinct(col("toks")).as("s1"))
+        .filter(size(col("s1")) > 0)
+      val pref = raw.select(col("doc_id").as("d2"),
+        array_distinct(slice(col("toks"), lit(1),
+          (col("doc_id") % 8 + 1).cast("int"))).as("s2"))
+        .filter(size(col("s2")) > 0)
+      val sa = size(col("s1")).cast("double")
+      val sb = size(col("s2")).cast("double")
+      val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+      val joined = full.join(pref, col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), sa.as("sa"), sb.as("sb"), inter.as("inter"))
+        .select(col("d1"), col("d2"), col("sa"), col("sb"), col("inter"),
+          (abs(col("sa") - col("sb")) / sqrt(col("sa") * col("sb"))).as("rel"),
+          least(col("sa"), col("sb")).as("m"),
+          (least(col("sa"), col("sb")) / greatest(col("sa"), col("sb"))).as("alpha"),
+          (col("inter") / least(col("sa"), col("sb"))).as("r"),
+          (col("sa") + col("sb") - lit(2.0) * col("inter")).as("l1"))
+      val weight = (lit(1.0) - col("r")) * (lit(1.0) + col("alpha")) /
+        ((lit(1.0) + col("r")) *
+          (lit(1.0) + col("alpha") - lit(2.0) * col("alpha") * col("r")))
+      val blend = lit(100.0) *
+        (col("sa") + col("sb") - weight * col("l1")) /
+        (col("sa") + col("sb") + weight * col("l1"))
+      joined.select(col("d1"), col("d2"),
+          round(when(col("rel") > 5.0, blend)
+            .otherwise(col("inter") / (col("sa") + col("sb") - col("inter")) * 100.0),
+            6).as("wjac"))
+        .orderBy("d1", "d2")
+    },
+
     // On the gate corpus true near-dups sit at jac ≥ 0.95 and everything else
     // at ≤ 0.15, so the 0.5 threshold is far from any boundary sensitivity.
     "q_winnow_neardup" -> QueryDef.sql("""

@@ -124,6 +124,34 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.intersectionSize(Array(2), Array(2)) == 1)
   }
 
+  test("weighted_jaccard on indicator vectors equals the set-size formula " +
+      "(the q_weighted_jaccard oracle), both branches") {
+    // set A of size a, set B of size b, |A∩B| = i → 0/1 indicator vectors
+    def indicator(idx: Seq[Int], dim: Int) =
+      Vectors.sparse(dim, idx.map(j => (j, 1.0)))
+    def setFormula(sa: Double, sb: Double, inter: Double): Double = {
+      val rel = math.abs(sa - sb) / math.sqrt(sa * sb)
+      if (rel > 5.0) {
+        val alpha = math.min(sa, sb) / math.max(sa, sb)
+        val r = inter / math.min(sa, sb)
+        val w = (1.0 - r) * (1.0 + alpha) /
+          ((1.0 + r) * (1.0 + alpha - 2.0 * alpha * r))
+        val l1 = sa + sb - 2.0 * inter
+        100.0 * (sa + sb - w * l1) / (sa + sb + w * l1)
+      } else inter / (sa + sb - inter) * 100.0
+    }
+    // (|A|, |B|, |∩|): balanced → fallback; 1-vs-40 and 2-vs-80 → blend
+    for ((a, b, i) <- Seq((10, 12, 6), (1, 40, 1), (1, 40, 0), (2, 80, 1))) {
+      val dim = 100
+      val va = indicator(0 until a, dim)
+      val vb = indicator((a - i) until (a - i + b), dim)
+      val got = Kernels.weightedJaccard(va, vb)
+      val want = setFormula(a, b, i)
+      assert(math.abs(got - want) < 1e-4,
+        s"a=$a b=$b i=$i kernel=$got setFormula=$want")
+    }
+  }
+
   test("dot and l1Distance agree between sparse and dense representations") {
     vectorPairs.take(50).foreach { case (x, y) =>
       val (dx, dy) = (Vectors.dense(x.toArray), Vectors.dense(y.toArray))
