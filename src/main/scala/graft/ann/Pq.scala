@@ -65,8 +65,11 @@ object Pq {
         .select(col("__id"),
           array((0 until m).map(j => col(s"__code$j")): _*).as("codes"))
       val codebooks = models.map(_.clusterCenters.map(_.toArray)).toArray
-      // materialize codes before dropping the slice cache
-      Index(codebooks, encoded.cache(), m, dsub)
+      // cache() is lazy — force an action so codes really materialize BEFORE
+      // the finally block drops the slice cache they are computed from
+      val codes = encoded.cache()
+      codes.count()
+      Index(codebooks, codes, m, dsub)
     } finally sliced.unpersist(blocking = false)
   }
 

@@ -128,12 +128,15 @@ object MinHashDedup {
     // boundary semantics (the kernel computes ((double)|∩|·100)/|∪| with
     // set semantics and 0.0 for empty∪empty, exactly the previous
     // size(array_intersect)/size(array_union) formulation, in ONE hash-set
-    // pass inside codegen). The >= threshold filter on this kernel also
-    // triggers plans.JaccardPrefilter's header-only size prune.
+    // pass inside codegen). The shingle-id arrays are array_distinct-ed at
+    // construction, so the kernel is marked assumeDistinct and the
+    // >= threshold filter triggers plans.JaccardPrefilter's header-only
+    // size prune.
     val jacRaw = org.apache.spark.sql.graft.bridge.column(
       graft.expressions.ArraySetJaccard(
         org.apache.spark.sql.graft.bridge.expression(col("t1")),
-        org.apache.spark.sql.graft.bridge.expression(col("t2"))))
+        org.apache.spark.sql.graft.bridge.expression(col("t2")),
+        assumeDistinct = true))
     withSets
       .withColumn("__jac_raw", jacRaw)
       .filter(col("__jac_raw") >= cfg.jaccardThreshold * 100.0)

@@ -86,8 +86,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_jaccard(a, b) - set Jaccard (0-100) of two array<long>, one hash-set pass"),
       (es: Seq[Expression]) => ArraySetJaccard(es(0), es(1))))
 
-    // threshold filters on the Jaccard kernel gain a header-only size-ratio
-    // prune (graft.plans.JaccardPrefilter)
+    ext.injectFunction((FunctionIdentifier("graft_jaccard_sets"),
+      info("graft_jaccard_sets",
+        "graft_jaccard_sets(a, b) - same as graft_jaccard, but the caller PROMISES both " +
+          "arrays are duplicate-free; threshold filters on it gain a header-only " +
+          "size-ratio prune (unsound if the promise is broken)"),
+      (es: Seq[Expression]) => ArraySetJaccard(es(0), es(1), assumeDistinct = true)))
+
+    // threshold filters on the distinct-marked Jaccard kernel gain a
+    // header-only size-ratio prune (graft.plans.JaccardPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilter)
   }
 }

@@ -179,13 +179,23 @@ case class SignLshBucket(child: Expression, planes: Seq[Seq[Double]])
   * instead of two O(n) builtin passes — the verify-step kernel of the dedup
   * family. Both arrays empty → 0.0 (empty sets are near-dups of nothing).
   * Arithmetic is ((double) |∩| * 100.0) / (double) |∪| — the exact op order
-  * of the DuckDB oracles. */
+  * of the DuckDB oracles.
+  *
+  * `assumeDistinct` is a caller PROMISE, not a behavior switch: evaluation is
+  * identical, but it marks the inputs as duplicate-free so the
+  * [[graft.plans.JaccardPrefilter]] rewrite may treat `size(a)` as the true
+  * set cardinality and inject its header-only size-ratio prune. The
+  * SQL-registered `graft_jaccard` never sets it (its documented semantics
+  * hold on any input, with no rewrite); `graft_jaccard_sets` and the dedup
+  * pipelines (whose shingle arrays are array_distinct-ed at birth) do. */
 case class ArraySetJaccard(left: Expression,
-    right: Expression)
+    right: Expression,
+    assumeDistinct: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
-  override def prettyName: String = "graft_jaccard"
+  override def prettyName: String =
+    if (assumeDistinct) "graft_jaccard_sets" else "graft_jaccard"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -36,14 +36,18 @@ object RangeJoin {
                       ptCol: String, startCol: String, endCol: String,
                       binSeconds: Long = 3600L): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
-    val bin = lit(binSeconds)
-    val p = points.withColumn("__bin", floor(unix_seconds(col(ptCol)) / bin))
+    // bin arithmetic in MICROSECONDS (timestamp native precision): with
+    // second-granularity floor, an end like ...:00.5 on a bin boundary would
+    // never explode into its final partial-second bin and points there would
+    // silently drop
+    val bin = lit(binSeconds * 1000000L)
+    val p = points.withColumn("__bin", floor(unix_micros(col(ptCol)) / bin))
     // end is exclusive: an interval closing exactly on a bin boundary does
     // not reach into that bin
     val i = intervals.withColumn("__bin",
       explode(sequence(
-        floor(unix_seconds(col(startCol)) / bin),
-        floor((unix_seconds(col(endCol)) - 1) / bin))))
+        floor(unix_micros(col(startCol)) / bin),
+        floor((unix_micros(col(endCol)) - 1) / bin))))
     p.join(i, p("__bin") === i("__bin") &&
         col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bin")
@@ -63,16 +67,17 @@ object RangeJoin {
                       rStart: String, rEnd: String,
                       binSeconds: Long = 3600L): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
-    val bin = lit(binSeconds)
+    // microsecond bins, same reasoning as pointInInterval
+    val bin = lit(binSeconds * 1000000L)
     def explodeBins(df: DataFrame, s: String, e: String) =
       df.withColumn("__bin", explode(sequence(
-        floor(unix_seconds(col(s)) / bin),
-        floor((unix_seconds(col(e)) - 1) / bin))))
+        floor(unix_micros(col(s)) / bin),
+        floor((unix_micros(col(e)) - 1) / bin))))
     val l = explodeBins(left, lStart, lEnd)
     val r = explodeBins(right, rStart, rEnd)
     l.join(r, l("__bin") === r("__bin") &&
         col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
-        l("__bin") === floor(unix_seconds(greatest(col(lStart), col(rStart))) / bin))
+        l("__bin") === floor(unix_micros(greatest(col(lStart), col(rStart))) / bin))
       .drop("__bin")
   }
 }

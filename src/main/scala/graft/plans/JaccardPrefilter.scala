@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-/** Optimizer rule: under `Filter(graft_jaccard(a, b) >= t)` with t > 0,
+/** Optimizer rule: under `Filter(graft_jaccard_sets(a, b) >= t)` with t > 0,
   * conjoin the cheap size-ratio bound that the Jaccard threshold implies —
   * `jac(A,B) ≤ min(|A|,|B|) / max(|A|,|B|)`, so a pair whose array lengths
   * are lopsided beyond 100·min ≥ t·max can be rejected from the array HEADERS
@@ -14,14 +14,20 @@ import org.apache.spark.sql.types.DoubleType
   *
   * This is the reference's length-ratio pruning idea (`Utils.scala:79,96`,
   * optimizationLevel 2) promoted from a hand-written join predicate to a
-  * Catalyst rewrite: any query that filters on the Jaccard kernel gets the
-  * prune automatically, and Catalyst additionally pushes the injected
+  * Catalyst rewrite: any query that filters on the marked Jaccard kernel gets
+  * the prune automatically, and Catalyst additionally pushes the injected
   * size predicates through joins/projections on their own columns.
-  * Sound for set-valued arrays (every dedup pipeline here array_distincts
-  * its shingle sets: |A| = size(a)); duplicate-bearing inputs could only make
-  * size(a) OVERSTATE |A| on both sides of the inequality, which can reject a
-  * pair the exact kernel would keep — hence the rule keys on the
-  * set-semantics kernel whose callers' contract is distinct arrays.
+  *
+  * Soundness gate: `size(a) = |A|` only holds for duplicate-free arrays — on
+  * duplicate-bearing input the raw size OVERSTATES the cardinality and the
+  * guard could reject a qualifying pair (e.g. a=[1,1,1,1], b=[1] has jac
+  * 100 but raw sizes 4 vs 1). The rule therefore fires ONLY on kernels whose
+  * `assumeDistinct` marker records the caller's duplicate-free promise
+  * (`graft_jaccard_sets` in SQL; the dedup pipelines, whose shingle arrays
+  * are array_distinct-ed at construction). The unmarked `graft_jaccard`
+  * keeps its documented any-input semantics untouched — a sound guard there
+  * would need size(array_distinct(·)) on both sides, an O(n) hash-set pass
+  * in the same cost class as the kernel it tries to avoid.
   *
   * Null semantics: null arrays make both the guard and the original
   * predicate null — the filter drops the row either way.
@@ -42,11 +48,11 @@ object JaccardPrefilter extends Rule[LogicalPlan] {
       val conjuncts = splitConjuncts(cond)
       val newGuards = conjuncts.flatMap {
         case GreaterThanOrEqual(j: ArraySetJaccard, Literal(t: Double, DoubleType))
-            if t > 0 => guards(j, t)
+            if t > 0 && j.assumeDistinct => guards(j, t)
         case GreaterThan(j: ArraySetJaccard, Literal(t: Double, DoubleType))
-            if t > 0 => guards(j, t)
+            if t > 0 && j.assumeDistinct => guards(j, t)
         case LessThanOrEqual(Literal(t: Double, DoubleType), j: ArraySetJaccard)
-            if t > 0 => guards(j, t)
+            if t > 0 && j.assumeDistinct => guards(j, t)
         case _ => Nil
       }.filterNot(g => conjuncts.exists(_.semanticEquals(g)))
       if (newGuards.isEmpty) f

@@ -44,7 +44,7 @@ class GraftExtensionsSpec extends SparkSpec {
   }
 
   test("JaccardPrefilter rule injects the size-ratio bound under a " +
-      "threshold filter, without changing results") {
+      "threshold filter on the distinct-marked kernel, without changing results") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val df = Seq(
@@ -58,14 +58,30 @@ class GraftExtensionsSpec extends SparkSpec {
     df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).createOrReplaceTempView("jac_in")
     val q = spark.sql(
-      "SELECT id FROM jac_in WHERE graft_jaccard(a, b) >= 70.0")
+      "SELECT id FROM jac_in WHERE graft_jaccard_sets(a, b) >= 70.0")
     val opt = q.queryExecution.optimizedPlan.toString
     assert(opt.contains("size("), s"size guard not injected:\n$opt")
     assert(q.as[Long].collect().toSeq == Seq(1L))
     // guard is a pure prune: a pair it rejects (id=2: 2·100 < 70·10) has
     // jac = 2/10 = 20 < 70 anyway; results identical with the rule active
-    val manual = df.filter(expr("graft_jaccard(a, b)") >= 70.0)
+    val manual = df.filter(expr("graft_jaccard_sets(a, b)") >= 70.0)
       .select("id").as[Long].collect().toSeq
     assert(manual == Seq(1L))
+  }
+
+  test("unmarked graft_jaccard gets NO size guard — duplicate-bearing rows " +
+      "that qualify are kept, not optimized away") {
+    import spark.implicits._
+    // jac({1},{1}) = 100 but raw sizes are 4 vs 1: the raw-size guard would
+    // wrongly reject this row at t=50; the documented SQL function must keep it
+    val dup = Seq((1L, Seq(1L, 1L, 1L, 1L), Seq(1L))).toDF("id", "a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jac_dup").toString
+    dup.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("jac_dup")
+    val q = spark.sql(
+      "SELECT id FROM jac_dup WHERE graft_jaccard(a, b) >= 50.0")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("size("), s"guard must not fire on unmarked kernel:\n$opt")
+    assert(q.as[Long].collect().toSeq == Seq(1L))
   }
 }

@@ -72,6 +72,36 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("fractional-second ends on a bin boundary still cover their final " +
+      "partial second (micros bin arithmetic)") {
+    // interval [01:59:59.0, 02:00:00.500): its last half second sits in the
+    // 02:00 bin at binSeconds=3600. Second-granularity floor computed the
+    // last bin from floor(7200.5)-1 = 7199 → bin 1, silently dropping any
+    // point in [02:00:00.0, 02:00:00.5).
+    val iv = Seq(("w", new Timestamp(7199000L), new Timestamp(7200500L)))
+      .toDF("win", "start_ts", "end_ts")
+    val pts = Seq(
+      ("in", new Timestamp(7200200L)),   // 02:00:00.200 — inside
+      ("out", new Timestamp(7200500L))   // exactly at the exclusive end
+    ).toDF("pt", "ts")
+    for (w <- Seq(1L, 60L, 3600L)) {
+      val got = RangeJoin.pointInInterval(pts, iv, "ts", "start_ts", "end_ts", w)
+        .select("pt", "win").as[(String, String)].collect().toSet
+      assert(got == Set("in" -> "w"), s"bin=$w: $got")
+    }
+    // same bug shape in intervalOverlap: right interval living entirely in
+    // the final partial second of the left one must still pair
+    val lhs = Seq(("L", new Timestamp(0L), new Timestamp(7200500L)))
+      .toDF("l", "ls", "le")
+    val rhs = Seq(("R", new Timestamp(7200100L), new Timestamp(7200400L)))
+      .toDF("r", "rs", "re")
+    for (w <- Seq(60L, 3600L)) {
+      val got = RangeJoin.intervalOverlap(lhs, rhs, "ls", "le", "rs", "re", w)
+        .select("l", "r").as[(String, String)].collect().toSet
+      assert(got == Set("L" -> "R"), s"bin=$w: $got")
+    }
+  }
+
   test("plan is a hash equi-join on the bin, not a nested-loop join") {
     val df = RangeJoin.pointInInterval(points, intervals,
       "ts", "start_ts", "end_ts", 3600)
