@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Left as-of join: attach to each left row the LATEST right row with
   * right.ts <= left.ts for the same key (DuckDB/kdb ASOF JOIN semantics,
-  * ties included).
+  * ties included) — or, in the FORWARD direction, the EARLIEST right row
+  * with right.ts >= left.ts.
   *
   * Spark has no native as-of join; the naive encoding — range theta-join then
   * per-left-row max — materializes O(|L|·|matches|) rows before pruning. This
@@ -17,7 +18,9 @@ import org.apache.spark.sql.functions._
   * any window — and AQE handles hot keys.
   *
   * At equal timestamps the right row sorts FIRST (tag 0 < tag 1), which gives
-  * the inclusive `right.ts <= left.ts` semantics.
+  * the inclusive `right.ts <= left.ts` (backward) / `>=` (forward) semantics.
+  * Forward is the same plan with the timestamp sort reversed — the running
+  * window then carries the NEXT right payload backward onto each left row.
   */
 object AsOfJoin {
 
@@ -26,9 +29,12 @@ object AsOfJoin {
     *                  callers must pre-dedup to one row per (key, ts) if the
     *                  source can collide (make it deterministic)
     * @param payloadCols right columns to attach (null when no prior right row)
+    * @param forward   false = latest right.ts <= left.ts (default);
+    *                  true = earliest right.ts >= left.ts
     */
   def leftAsOf(left: DataFrame, right: DataFrame, keyCol: String,
-               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+               tsCol: String, payloadCols: Seq[String],
+               forward: Boolean = false): DataFrame = {
     val leftCols = left.columns
     val payload = struct(payloadCols.map(col): _*)
 
@@ -42,8 +48,9 @@ object AsOfJoin {
       lit(null).cast(l.schema("__l").dataType).as("__l"),
       payload.as("__r"))
 
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy("__k")
-      .orderBy(col("__ts"), col("__isLeft"))
+      .orderBy(tsOrder, col("__isLeft").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val attachedCols: Seq[Column] =

@@ -113,6 +113,32 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // ----- extension: FORWARD AS-OF JOIN — attach each event's NEXT purchase
+    // (same user, right.ts >= left.ts, earliest wins). Same one-shuffle
+    // tagged-union plan with the timestamp sort reversed; oracle is DuckDB's
+    // ASOF LEFT JOIN with the inequality flipped.
+    "q_asof_forward" -> QueryDef.sql("""
+      SELECT l.event_id, l.user_id,
+             r.value AS next_value,
+             epoch_us(r.ts) AS next_ts_us
+      FROM events l ASOF LEFT JOIN
+           (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND r.ts >= l.ts
+      ORDER BY l.event_id""") { (s, d) =>
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+      AsOfJoin.leftAsOf(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          keyCol = "user_id", tsCol = "ts", payloadCols = Seq("value", "ts_us"),
+          forward = true)
+        .select(col("event_id"), col("user_id"),
+          col("asof_value").as("next_value"), col("asof_ts_us").as("next_ts_us"))
+        .orderBy("event_id")
+    },
+
     // ----- extension: RANGE JOIN — clicks landing inside each purchase's
     // one-hour window, NO equi key (pure point-in-interval). Spark's native
     // plan would be BroadcastNestedLoopJoin; RangeJoin bins time and hash
@@ -303,6 +329,52 @@ object EventQueries {
           Streaming.followWithinOuter(stream, "click", "purchase"),
           s"stream_join_outer_${System.nanoTime()}", mode = "append")
         .orderBy("user_id", "first_us", "then_us")
+    },
+
+    // ----- §2.13 STREAMING: stream-static join — the event stream enriched
+    // against the static customer dimension (broadcast, stateless) before a
+    // complete-mode per-segment aggregation. Oracle is the plain batch
+    // join+group; events.user_id ⊂ customer.c_custkey by testdata design.
+    "q_stream_static_join" -> QueryDef.sql("""
+      SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+             CAST(SUM(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY segment""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.replayToTable(
+          Streaming.streamStaticAgg(
+            Streaming.eventStream(s, d), Tables.customer(s, d)),
+          s"stream_static_${System.nanoTime()}")
+        .orderBy("segment")
+    },
+
+    // ----- §2.13 STREAMING: CHAINED stateful aggregations — 30-min per-user
+    // tumbling counts re-windowed into 1-h rollups, two stateful operators in
+    // one query (append mode). A finite replay can only emit windows the
+    // final watermark (max − 2 h) has sealed, so both engines restrict to
+    // window_end ≤ max − (2 h + 30 min inner-window delay + 1 s slop).
+    "q_stream_chained_agg" -> QueryDef.sql("""
+      WITH m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+      f AS (SELECT CAST(FLOOR(epoch(ts)/1800)*1800 AS BIGINT) AS w30, user_id,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+      g AS (SELECT CAST(FLOOR(w30/3600)*3600 AS BIGINT) AS window_start,
+                   COUNT(*) AS n_user_slots,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   MAX(n) AS max_user_n
+            FROM f GROUP BY 1)
+      SELECT window_start, n_user_slots, n_events, max_user_n
+      FROM g
+      WHERE (window_start + 3600) * 1000000 <= (SELECT mx - 9001000000 FROM m)
+      ORDER BY window_start""") { (s, d) =>
+      import graft.streaming.Streaming
+      val maxUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      Streaming.replayToTable(
+          Streaming.chainedWindowAgg(Streaming.eventStream(s, d)),
+          s"stream_chained_${System.nanoTime()}", mode = "append")
+        .filter((col("window_start") + 3600L) * 1000000L <= maxUs - 9001000000L)
+        .orderBy("window_start")
     },
 
     // ----- §2.13 × dedup: streaming exact dedup — dropDuplicates keeps the

@@ -539,6 +539,76 @@ object Relational {
         .filter(!col("text").rlike("compact|uniform") && col("n_chars") > 300)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // ----- extension: correlated EXISTS / NOT EXISTS subqueries through the
+    // SQL entry point — Catalyst rewrites them to left-semi/left-anti joins
+    // (the DataFrame-API twins are q_semi_join/q_anti_join; this pins the
+    // SQL-surface path). Customers split by whether any urgent order exists.
+    "q_exists_subquery" -> QueryDef.sql("""
+      SELECT c_mktsegment,
+             CAST(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+             CAST(SUM(CASE WHEN has_urgent THEN 0 ELSE 1 END) AS BIGINT) AS n_without
+      FROM (SELECT c_custkey, c_mktsegment,
+                   EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT') AS has_urgent
+            FROM customer c)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+      Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+      s.sql("""
+        SELECT c_mktsegment,
+               CAST(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+               CAST(SUM(CASE WHEN has_urgent THEN 0 ELSE 1 END) AS BIGINT) AS n_without
+        FROM (SELECT c_custkey, c_mktsegment,
+                     EXISTS (SELECT 1 FROM orders_ex o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderpriority = '1-URGENT') AS has_urgent
+              FROM customer_ex c)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+
+    // ----- extension: scalar subqueries — uncorrelated (global latest order
+    // date, a broadcast scalar) AND correlated (each customer's max-price
+    // order; Catalyst plans the correlated one as an aggregated self-join).
+    // Equality/date comparisons only, so float summation order cannot bite.
+    "q_scalar_subquery" -> QueryDef.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        AND o.o_orderdate > (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 5 YEAR
+      ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_sc")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_sc o
+        WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders_sc o2
+                                WHERE o2.o_custkey = o.o_custkey)
+          AND o.o_orderdate > (SELECT MAX(o_orderdate) FROM orders_sc) - INTERVAL 5 YEAR
+        ORDER BY o_orderkey""")
+    },
+
+    // ----- O5 extension: STRATIFIED sampling with per-stratum rates — the
+    // deterministic (hash-free, partition-independent) form: a modulo on the
+    // row key plays the uniform draw, rates differ per event_type. The seeded
+    // RNG form (df.stat.sampleBy) is spec-checked for rate accuracy instead
+    // (SamplingSpec) — its draws depend on row order, not a property to gate.
+    "q_sample_stratified" -> QueryDef.sql("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE event_id % 100 < CASE event_type
+              WHEN 'click' THEN 5 WHEN 'view' THEN 10 ELSE 50 END
+      GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 100 <
+          when(col("event_type") === "click", 5)
+            .when(col("event_type") === "view", 10).otherwise(50))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     }
   )
 }

@@ -82,6 +82,42 @@ object Streaming {
   def tumblingAggWatermarked(events: DataFrame, horizon: String = "2 hours"): DataFrame =
     tumblingAgg(events.withWatermark("ts", horizon))
 
+  /** STREAM-STATIC join + aggregation: enrich each event with a static
+    * dimension row (broadcast hash join — the static side is planned once,
+    * no state), then aggregate per segment. The join is stateless, so only
+    * the aggregation holds state: O(segments), independent of stream length.
+    * This is the canonical streaming-enrichment shape at scale — dimension
+    * tables broadcast, fact stream flows through untouched. Works identically
+    * on a batch events frame (the oracle surface). */
+  def streamStaticAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("total"))
+      .select(col("c_mktsegment").as("segment"), col("n"), col("total"))
+
+  /** CHAINED windowed aggregations — two stateful operators in one streaming
+    * query (Spark ≥3.4): 30-minute tumbling per-user counts, re-aggregated
+    * into 1-hour windows of (distinct active user-slots, total events, max
+    * per-user burst). `window_time()` re-derives the event-time column from
+    * the first window so the watermark propagates through both operators.
+    * Append mode: the first aggregation only EMITS a window downstream once
+    * the watermark passes its end, so on a finite replay the trailing
+    * `horizon` of windows is undecided — callers restrict to the decidable
+    * region (see q_stream_chained_agg). */
+  def chainedWindowAgg(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(count(lit(1)).as("n_user_slots"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_user_n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("n_user_slots"), col("n_events"), col("max_user_n"))
+
   /** Run a streaming aggregation to completion against the finite test input
     * (AvailableNow trigger + memory sink) and return the result table —
     * the bridge that lets the driver's batch oracle check streaming results. */

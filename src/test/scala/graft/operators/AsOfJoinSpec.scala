@@ -42,6 +42,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("trade", "sym", "ts", "asof_price"))
   }
 
+  test("forward direction: earliest right.ts >= left.ts, ties inclusive") {
+    val got = AsOfJoin.leftAsOf(trades, updates, "sym", "ts", Seq("price"),
+        forward = true)
+      .select("trade", "asof_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got("t1").contains(1.0))  // next update at ts=10
+    assert(got("t2").contains(2.0))  // exactly at update → inclusive
+    assert(got("t3").contains(3.0))  // next is ts=30
+    assert(got("t4").isEmpty)        // nothing after ts=99
+    assert(got("t5").contains(9.0))
+    assert(got("t6").isEmpty)
+    assert(got("t7").isEmpty)
+  }
+
   test("multiple payload columns attach together") {
     val upd2 = updates.withColumn("src", org.apache.spark.sql.functions.lit("u"))
     val out = AsOfJoin.leftAsOf(trades, upd2, "sym", "ts", Seq("price", "src"))
