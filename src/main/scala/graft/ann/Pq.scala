@@ -73,15 +73,12 @@ object Pq {
     } finally sliced.unpersist(blocking = false)
   }
 
-  /** Top-K by PQ-approximated squared L2, via ADC. `probes` carries
-    * (qIdCol, qVecCol) full-precision queries; output (q_id, cand_id,
-    * approx_d2, rn) with rn 1..topK, deterministic tie-break on cand_id. */
-  def search(index: Index, probes: DataFrame, qIdCol: String = "q_id",
-             qVecCol: String = "qv", topK: Int = 10): DataFrame = {
+  /** Per-query ADC table: flat m×k array, T[j*k + c] = ||q_j − book(j)(c)||².
+    * Exposed for composition with coarse routing ([[IvfPq]]). */
+  private[ann] def adcTableUdf(index: Index) = {
     val (books, m, dsub) = (index.codebooks, index.m, index.dsub)
     val k = books(0).length
-    // per-query ADC table: flat m×k array, T[j*k + c] = ||q_j − book(j)(c)||²
-    val adcTable = udf { qv: Seq[Double] =>
+    udf { qv: Seq[Double] =>
       val t = new Array[Double](m * k)
       var j = 0
       while (j < m) {
@@ -102,19 +99,32 @@ object Pq {
       }
       t
     }
-    // candidate score: m lookups, no vector math
-    val adcScore = udf { (t: Seq[Double], codes: Seq[Int]) =>
+  }
+
+  /** Candidate score against a precomputed ADC table: m lookups, no vector
+    * math. */
+  private[ann] def adcScoreUdf(index: Index) = {
+    val m = index.m
+    val k = index.codebooks(0).length
+    udf { (t: Seq[Double], codes: Seq[Int]) =>
       var s = 0.0
       var j = 0
       while (j < m) { s += t(j * k + codes(j)); j += 1 }
       s
     }
+  }
+
+  /** Top-K by PQ-approximated squared L2, via ADC. `probes` carries
+    * (qIdCol, qVecCol) full-precision queries; output (q_id, cand_id,
+    * approx_d2, rn) with rn 1..topK, deterministic tie-break on cand_id. */
+  def search(index: Index, probes: DataFrame, qIdCol: String = "q_id",
+             qVecCol: String = "qv", topK: Int = 10): DataFrame = {
     val w = Window.partitionBy(qIdCol).orderBy(asc("approx_d2"), asc("cand_id"))
     val tabled = probes
-      .select(col(qIdCol), adcTable(col(qVecCol)).as("__tab"))
+      .select(col(qIdCol), adcTableUdf(index)(col(qVecCol)).as("__tab"))
     broadcast(tabled).join(index.codes, col(qIdCol) =!= col("__id"))
       .select(col(qIdCol), col("__id").as("cand_id"),
-        adcScore(col("__tab"), col("codes")).as("approx_d2"))
+        adcScoreUdf(index)(col("__tab"), col("codes")).as("approx_d2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
   }

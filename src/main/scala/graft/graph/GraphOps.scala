@@ -111,6 +111,68 @@ object GraphOps {
     ranks
   }
 
+  /** WEIGHTED PageRank over (src, dst, weight) canonical undirected edges —
+    * the reference's normalized-edge-weight mode (GraphUtils.scala:24-31
+    * passes similarity weights to PageRank): each vertex distributes its rank
+    * proportionally to incident edge weight, i.e. contrib(u→v) =
+    * rank(u)·w(u,v)/Σw(u,·). Same iteration shape (and scale behavior) as
+    * [[pageRankDF]]; weighted degree replaces the count degree. Unit weights
+    * reduce it to the unweighted form. */
+  def pageRankWeightedDF(edges: DataFrame, numIter: Int,
+                         resetProb: Double = 0.15): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"), col("weight"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+    val vertices = sym.select(col("src").as("vertex")).distinct()
+    val wdeg = sym.groupBy(col("src").as("vertex"))
+      .agg(sum("weight").as("wdeg")).cache()
+
+    var ranks = vertices.withColumn("rank", lit(1.0))
+    for (i <- 0 until numIter) {
+      val contribs = sym
+        .join(ranks.withColumnRenamed("vertex", "src"), "src")
+        .join(wdeg.withColumnRenamed("vertex", "src"), "src")
+        .select(col("dst").as("vertex"),
+          (col("rank") * col("weight") / col("wdeg")).as("contrib"))
+        .groupBy("vertex").agg(sum("contrib").as("msum"))
+      ranks = vertices
+        .join(contribs, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("msum"), lit(0.0)))
+            .as("rank"))
+      if (numIter > 16 && (i + 1) % 8 == 0 && i + 1 < numIter)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** DuckDB oracle for [[pageRankWeightedDF]]; `edgesSql` must yield canonical
+    * (src, dst, weight) rows. Same unrolled-CTE shape as the unweighted
+    * oracle, with weighted degree and weighted contributions. */
+  def pageRankWeightedOracleSql(edgesSql: String, numIter: Int,
+                                resetProb: Double = 0.15, digits: Int = 6): String = {
+    val damp = 1.0 - resetProb
+    val iters = (1 to numIter).map { k =>
+      s"""r$k AS (
+        SELECT v.vertex, $resetProb + $damp * COALESCE(m.msum, 0.0) AS rank
+        FROM verts v LEFT JOIN (
+          SELECT s.dst AS vertex, SUM(r.rank * s.weight / d.wdeg) AS msum
+          FROM sym s JOIN r${k - 1} r ON r.vertex = s.src
+                     JOIN wdegs d ON d.vertex = s.src
+          GROUP BY s.dst) m ON m.vertex = v.vertex)"""
+    }.mkString(",\n")
+    s"""
+    WITH e0 AS ($edgesSql),
+    sym AS (SELECT src, dst, weight FROM e0
+            UNION ALL SELECT dst AS src, src AS dst, weight FROM e0),
+    verts AS (SELECT DISTINCT src AS vertex FROM sym),
+    wdegs AS (SELECT src AS vertex, SUM(weight) AS wdeg FROM sym GROUP BY src),
+    r0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+    $iters
+    SELECT vertex, ROUND(rank, $digits) AS rank
+    FROM r$numIter ORDER BY vertex"""
+  }
+
   /** DuckDB oracle for [[pageRankDF]] on the same edge table expression: the
     * fixed iteration count is UNROLLED into chained CTEs (r0..rN) — plain
     * aggregations, no recursive-CTE aggregation restrictions. `edgesSql` must

@@ -85,6 +85,21 @@ object GraphQueries {
         .orderBy("vertex")
     },
 
+    // ----- G2 weighted form: the reference's normalized-edge-weight PageRank
+    // (GraphUtils.scala:24-31 — similarity-weighted edges). Deterministic
+    // integer-valued weights stand in for similarity scores; rank distributes
+    // proportionally to incident weight.
+    "q_pagerank_weighted" -> QueryDef.sql(
+      GraphOps.pageRankWeightedOracleSql(
+        s"""SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS weight
+            FROM ($edgesSql)""", numIter = 10)) { (s, d) =>
+      val weighted = GraphOps.canonicalEdges(customerEdges(s, d), "src", "dst")
+        .withColumn("weight", ((col("src") + col("dst")) % 5 + 1).cast("double"))
+      GraphOps.pageRankWeightedDF(weighted, numIter = 10)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex")
+    },
+
     // ----- G-extension: connected components (GraphX; component id = min
     // vertex id, oracle = recursive reachability closure with min-root rollup)
     "q_connected_components" -> QueryDef.sql(s"""

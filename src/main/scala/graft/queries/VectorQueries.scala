@@ -205,6 +205,24 @@ object VectorQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ----- extension: IVF-PQ — the composed index (coarse routing bounds the
+    // scan, product-quantization codes bound the memory; Jégou et al. 2011).
+    // Doubly model-dependent (coarse + subspace k-means) → rows-only;
+    // IvfPqSpec pins exact-L2 equivalence at nProbe==k with lossless codes.
+    "q_ann_ivfpq" -> QueryDef.rowsOnly { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+        .repartition(32)
+      val ivf = graft.ann.Ivf.build(t, "v", k = 16)
+      val pq = graft.ann.Pq.build(t, "vec_id", "v", m = 8, k = 16)
+      val probes = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.ann.IvfPq.search(ivf, pq, probes, "vec_id", topK = 5, nProbe = 4)
+        .select(col("q_id"), col("cand_id"),
+          round(col("approx_d2"), 6).as("approx_d2"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     "q_ann_ivf" -> QueryDef.rowsOnly { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
