@@ -359,6 +359,52 @@ object Relational {
         max(col("o_totalprice")).as("max_v"))
     },
 
+    // ----- A7 extension: higher-moment statistics (stddev / skewness /
+    // kurtosis). Spark's builtin skewness/kurtosis stream central moments in
+    // partition order (non-deterministic doubles), so both engines derive the
+    // moments from EXACT power sums instead: l_quantity is integer-valued
+    // ≤ 50, so Σx..Σx⁴ stay below 2^53 and every partial sum is exact in a
+    // double regardless of aggregation order; the derived formulas then run
+    // the identical IEEE expression tree on both sides (population moments).
+    "q_stats_moments" -> QueryDef.sql("""
+      WITH s AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(l_quantity) AS BIGINT) AS s1,
+                        CAST(SUM(l_quantity*l_quantity) AS BIGINT) AS s2,
+                        CAST(SUM(l_quantity*l_quantity*l_quantity) AS BIGINT) AS s3,
+                        CAST(SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS BIGINT) AS s4
+                 FROM lineitem),
+      m AS (SELECT n, s1, s2, s3, s4,
+                   CAST(s1 AS DOUBLE)/n AS mean,
+                   CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) AS m2
+            FROM s)
+      SELECT n, s1, s2, s3, s4,
+             ROUND(mean, 6) AS mean,
+             ROUND(SQRT(m2), 6) AS stddev_pop,
+             ROUND((CAST(s3 AS DOUBLE)/n - 3*mean*CAST(s2 AS DOUBLE)/n
+                    + 2*mean*mean*mean) / POW(m2, 1.5), 6) AS skewness,
+             ROUND((CAST(s4 AS DOUBLE)/n - 4*mean*CAST(s3 AS DOUBLE)/n
+                    + 6*mean*mean*CAST(s2 AS DOUBLE)/n - 3*mean*mean*mean*mean)
+                   / (m2*m2) - 3, 6) AS kurtosis
+      FROM m""") { (s, d) =>
+      val q = col("l_quantity")
+      val sums = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("long").as("s1"),
+        sum(q * q).cast("long").as("s2"),
+        sum(q * q * q).cast("long").as("s3"),
+        sum(q * q * q * q).cast("long").as("s4"))
+      val mean = col("s1").cast("double") / col("n")
+      val m2 = col("s2").cast("double") / col("n") - mean * mean
+      sums.select(col("n"), col("s1"), col("s2"), col("s3"), col("s4"),
+        round(mean, 6).as("mean"),
+        round(sqrt(m2), 6).as("stddev_pop"),
+        round((col("s3").cast("double") / col("n") - lit(3) * mean * col("s2").cast("double") / col("n")
+          + lit(2) * mean * mean * mean) / pow(m2, 1.5), 6).as("skewness"),
+        round((col("s4").cast("double") / col("n") - lit(4) * mean * col("s3").cast("double") / col("n")
+          + lit(6) * mean * mean * col("s2").cast("double") / col("n")
+          - lit(3) * mean * mean * mean * mean) / (m2 * m2) - 3, 6).as("kurtosis"))
+    },
+
     // ----- A8: Pearson correlation (reference Statistics.corr,
     // docs/correlations.md:94-97); rounded once on both sides
     "q_corr" -> QueryDef.sql("""
