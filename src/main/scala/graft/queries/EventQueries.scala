@@ -348,6 +348,25 @@ object EventQueries {
         .orderBy("segment")
     },
 
+    // ----- §2.13 STREAMING: UNION of two independent streaming sources (the
+    // click feed and the error feed read as separate readStreams) merged into
+    // one complete-mode aggregation. Oracle: UNION ALL of the same slices.
+    "q_stream_union" -> QueryDef.sql("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM (SELECT event_type, value FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_type, value FROM events WHERE event_type = 'error')
+      GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      import graft.streaming.Streaming
+      val clicks = Streaming.eventStream(s, d).filter(col("event_type") === "click")
+      val errors = Streaming.eventStream(s, d).filter(col("event_type") === "error")
+      Streaming.replayToTable(
+          Streaming.unionStreamsAgg(clicks, errors),
+          s"stream_union_${System.nanoTime()}")
+        .orderBy("event_type")
+    },
+
     // ----- §2.13 STREAMING: CHAINED stateful aggregations — 30-min per-user
     // tumbling counts re-windowed into 1-h rollups, two stateful operators in
     // one query (append mode). A finite replay can only emit windows the

@@ -636,6 +636,28 @@ object Relational {
         ORDER BY o_orderkey""")
     },
 
+    // ----- extension: LATERAL correlated subquery in FROM — per-nation top-2
+    // customers by balance, the "top-N per group as a join" SQL surface
+    // (Catalyst rewrites the correlated limit via DomainJoin; the DataFrame
+    // twin is the row_number() form used by q_latest_per_key)
+    "q_lateral_join" -> QueryDef.sql("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""") { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_lat c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    },
+
     // ----- O5 extension: STRATIFIED sampling with per-stratum rates — the
     // deterministic (hash-free, partition-independent) form: a modulo on the
     // row key plays the uniform draw, rates differ per event_type. The seeded

@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.io.Tables
 import graft.text.TextOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline operators over the `documents` table: tokenization/wordcount
@@ -159,6 +160,101 @@ object TextQueries {
             + least(col("n_stop").cast("double") / col("n_tokens") * 5.0, lit(1.0)) * 0.5, 4)
             .as("quality"))
         .orderBy("doc_id")
+    },
+
+    // ----- extension flagship: the training-data CORPUS PIPELINE end to end —
+    // language-ID gate (en) → quality gate (length + stopword-density score
+    // ≥ 0.75) → exact dedup (min doc_id per content hash) → per-stored-lang
+    // yield stats. Every stage is the already-oracle-checked building block
+    // (q_langid / q_quality / q_dedup_exact) composed into ONE declarative
+    // plan; the float quality score runs the identical IEEE expression tree
+    // on both engines, so the >= threshold is deterministic.
+    "q_pipeline_corpus" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, lang, text,
+                        list_filter(string_split(text,' '), x -> x <> '') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, lang, text, len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN ('the','of','and','to','a','in','is'))) AS en,
+                   len(list_filter(toks, x -> x IN ('el','la','de','los','y','que'))) AS es,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+                   len(list_filter(toks, x -> x IN ('le','la','les','et','est','une'))) AS fr
+            FROM t WHERE len(toks) > 0),
+      p AS (SELECT doc_id, lang, text, n_tokens,
+                   CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                        WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                        WHEN de >= fr AND de > 0 THEN 'de'
+                        WHEN fr > 0 THEN 'fr'
+                        ELSE 'und' END AS predicted,
+                   LEAST(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.5
+                   + LEAST(CAST(en AS DOUBLE)/n_tokens*5.0, 1.0)*0.5 AS quality
+            FROM s),
+      f AS (SELECT doc_id, lang, text, n_tokens FROM p
+            WHERE predicted = 'en' AND quality >= 0.75),
+      d AS (SELECT lang, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM f)
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(col("toks")).as("n_tokens"),
+          TextOps.markerScore(col("toks"), TextOps.langMarkers("en")).as("n_stop"),
+          TextOps.langId(col("text")).as("predicted"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("quality",
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+            + least(col("n_stop").cast("double") / col("n_tokens") * 5.0, lit(1.0)) * 0.5)
+        .filter(col("predicted") === "en" && col("quality") >= 0.75)
+      val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("total_tokens"))
+        .orderBy("lang")
+    },
+
+    // ----- extension: collocation mining — bigram LIFT over the corpus,
+    // p(xy)/(p(x)p(y)) as the exact integer ratio n_xy·N_tok/(n_x·n_y)
+    // (log-free PMI variant: every product of counts stays under 2^53, so
+    // the single double division is IEEE-identical on both engines)
+    "q_collocations" -> QueryDef.sql("""
+      WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS toks
+                 FROM documents),
+      uni AS (SELECT unnest(toks) AS w FROM t),
+      ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      tot AS (SELECT COUNT(*) AS nt FROM uni),
+      big AS (SELECT unnest(list_transform(range(1, len(toks)),
+                            i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+              FROM t),
+      bcnt AS (SELECT bigram, COUNT(*) AS n_xy FROM big GROUP BY bigram
+               HAVING COUNT(*) >= 5)
+      SELECT b.bigram, b.n_xy,
+             ROUND(CAST(b.n_xy AS DOUBLE) * t.nt
+                   / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS lift
+      FROM bcnt b
+      JOIN ucnt u1 ON u1.w = string_split(b.bigram, ' ')[1]
+      JOIN ucnt u2 ON u2.w = string_split(b.bigram, ' ')[2]
+      CROSS JOIN tot t
+      ORDER BY bigram""") { (s, d) =>
+      val t = Tables.documents(s, d).select(TextOps.tokens(col("text")).as("toks"))
+      val uni = t.select(explode(col("toks")).as("w"))
+      val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(count(lit(1)).as("nt"))
+      val bcnt = t.select(explode(TextOps.ngrams(col("toks"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+      bcnt
+        .join(broadcast(ucnt.select(col("w").as("w1"), col("c").as("c1"))),
+          split(col("bigram"), " ").getItem(0) === col("w1"))
+        .join(broadcast(ucnt.select(col("w").as("w2"), col("c").as("c2"))),
+          split(col("bigram"), " ").getItem(1) === col("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("bigram"), col("n_xy"),
+          round(col("n_xy").cast("double") * col("nt")
+            / (col("c1").cast("double") * col("c2")), 6).as("lift"))
+        .orderBy("bigram")
     },
 
     // ----- extension: token counting (whitespace + BPE-ish regex)

@@ -82,6 +82,17 @@ object Streaming {
   def tumblingAggWatermarked(events: DataFrame, horizon: String = "2 hours"): DataFrame =
     tumblingAgg(events.withWatermark("ts", horizon))
 
+  /** UNION of two streams + aggregation: the multi-source ingestion shape —
+    * independent readStream sources (here two typed slices of the event
+    * firehose; in production two kafka topics / file feeds) merged with
+    * unionByName into one complete-mode aggregation. Stateless union, state
+    * only in the aggregation. Batch twin: UNION ALL of the same slices. */
+  def unionStreamsAgg(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("total"))
+
   /** STREAM-STATIC join + aggregation: enrich each event with a static
     * dimension row (broadcast hash join — the static side is planned once,
     * no state), then aggregate per segment. The join is stateless, so only
