@@ -101,6 +101,47 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Misra-Gries heavy-hitter sketch over a string key (Misra & Gries 1982):
+    * at most `k` counters; any key with frequency > N/(k+1) is guaranteed to
+    * survive in the summary, and every stored count underestimates the true
+    * count by at most N/(k+1). The buffer is a bounded map, so the map-side
+    * partial is O(k) per partition regardless of input size — at 100 TB the
+    * shuffle carries one k-entry map per partition, not the key stream.
+    *
+    * Merge is the standard summary merge: add counts pairwise, then if more
+    * than k keys remain, subtract the (k+1)-th largest count from all and drop
+    * the non-positive ones (Agarwal et al. 2013 mergeability result — the
+    * error bound composes across partitions).
+    *
+    * finish() returns the CANDIDATE key set (sorted). Counts are deliberately
+    * not returned: they are biased low; the intended pattern (q_freq_items)
+    * re-counts the ≤ k candidates exactly in a second bounded pass.
+    */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(k >= 1)
+    def zero: Map[String, Long] = Map.empty
+    def reduce(buf: Map[String, Long], key: String): Map[String, Long] =
+      buf.get(key) match {
+        case Some(n) => buf.updated(key, n + 1L)
+        case None if buf.size < k => buf.updated(key, 1L)
+        case None => // decrement-all step: drop keys reaching zero
+          buf.flatMap { case (w, n) => if (n > 1L) Some(w -> (n - 1L)) else None }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (w, n)) =>
+        m.updated(w, m.getOrElse(w, 0L) + n)
+      }
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k) // (k+1)-th largest
+        sum.flatMap { case (w, n) => if (n > cut) Some(w -> (n - cut)) else None }
+      }
+    }
+    def finish(buf: Map[String, Long]): Seq[String] = buf.keys.toSeq.sorted
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  }
+
   /** Column function: ids of the k largest scores per group, score desc /
     * id asc. Input: struct(score double, id long). */
   def topK(k: Int): UserDefinedFunction =
@@ -109,6 +150,11 @@ object Aggregators {
   /** Column function: element-wise sum of an array<double> column. */
   def vectorSum: UserDefinedFunction =
     udaf(new VectorSum, ExpressionEncoder[Seq[Double]]())
+
+  /** Column function: Misra-Gries candidate heavy hitters of a string column
+    * (bounded k-counter sketch; see [[MisraGries]]). */
+  def misraGries(k: Int): UserDefinedFunction =
+    udaf(new MisraGries(k), ExpressionEncoder[String]())
 
   /** Column function: histogram of a double column → array of bin counts
     * [bin0..binN-1, underflow, overflow, nan]. */

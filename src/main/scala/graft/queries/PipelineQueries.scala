@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.Aggregators
+import graft.io.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the reference surface: benchmark
+  * decontamination, deterministic weighted sampling, sequence packing, table
+  * checksumming, z-order layout keys, int8 embedding quantization, and
+  * sketch-assisted exact heavy hitters. Every query here is fully
+  * oracle-checked — the "randomness" the real pipelines draw from an RNG is
+  * re-derived from md5 so DuckDB replays selection bit-for-bit.
+  */
+object PipelineQueries {
+
+  /** 48-bit unsigned int from the leading 12 hex chars of md5 — small enough
+    * that per-group sums stay far from Long overflow, exact in a Double. */
+  private def md5Bits48(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  private val Z_BITS = 8
+
+  /** Bit-interleave SQL for the DuckDB side: z = Σ ((x>>b)&1)<<2b | ((y>>b)&1)<<2b+1. */
+  private def zOrderSql(x: String, y: String): String =
+    (0 until Z_BITS).flatMap { b =>
+      Seq(s"((($x >> $b) & 1) << ${2 * b})", s"((($y >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" + ")
+
+  private def zOrderCol(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until Z_BITS).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(1), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(1), 2 * b + 1)
+    }.reduce(_ + _)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- extension: benchmark decontamination — drop every training doc
+    // that shares an n-gram with the held-out benchmark set (the standard
+    // LLM-eval hygiene pass). n=4 here because the synthetic vocabulary is
+    // ~31 words (real corpora use 8-13-grams); the operator is n-independent.
+    // Scale shape: the benchmark n-gram set is eval-sized → broadcast to the
+    // corpus scan; contaminated ids are a distinct on doc_id only; the
+    // full-text row never rides a shuffle.
+    "q_decontaminate" -> QueryDef.sql("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+                    FROM documents),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM toks),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0),
+      bad AS (SELECT DISTINCT doc_id FROM grams
+              WHERE doc_id % 11 <> 0 AND g IN (SELECT g FROM bench))
+      SELECT doc_id FROM documents
+      WHERE doc_id % 11 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id""") { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.ngrams(TextOps.tokens(col("text")), 4)).as("g"))
+      val bench = grams.filter(col("doc_id") % 11 === 0).select("g").distinct()
+      val contaminated = grams.filter(col("doc_id") % 11 =!= 0)
+        .join(broadcast(bench), "g")
+        .select("doc_id").distinct()
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 11 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ----- extension: deterministic weighted sampling — a hash race: each row
+    // gets priority u/w (u = 48-bit md5 of the key, w = weight), k smallest
+    // win. Weight-monotone selection (heavier rows win more often) that any
+    // engine replays exactly; the textbook Efraimidis-Spiratos key u^(1/w) is
+    // a one-line swap but transcendental, and pow's last ulp differs across
+    // libm implementations, which would break bit-exact replay. One pass, one
+    // TakeOrdered — no pre-count, unlike the reference's count()+sample()
+    // two-pass (AnalysisUtils.scala:98-104).
+    "q_weighted_sample" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, n_chars,
+                        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+                          / n_chars AS pri
+                 FROM documents)
+      SELECT doc_id, n_chars FROM t
+      ORDER BY pri, doc_id LIMIT 40""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("pri",
+          md5Bits48(col("doc_id").cast("string")).cast("double") / col("n_chars"))
+        .orderBy("pri", "doc_id")
+        .limit(40)
+        .select("doc_id", "n_chars")
+    },
+
+    // ----- extension: sequence packing — the concat-and-chunk form every LLM
+    // data loader uses: concatenate token streams in a deterministic order,
+    // chunk into fixed context windows. bin/offset come from an exclusive
+    // prefix sum, so a doc can straddle a boundary (exactly like the real
+    // loader). Partitioned by source: packing state never crosses shards, so
+    // at 100 TB each shard packs independently — no global sequential pass.
+    "q_seq_packing" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, source,
+                        len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tok,
+                   COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM t)
+      SELECT doc_id, source, n_tok,
+             CAST(FLOOR(cum / 256.0) AS BIGINT) AS bin,
+             cum % 256 AS off
+      FROM c ORDER BY source, doc_id""") { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor(col("cum") / 256.0).as("bin"),
+          (col("cum") % 256).as("off"))
+        .orderBy("source", "doc_id")
+    },
+
+    // ----- extension: order-independent table checksum — per-shard row count
+    // + SUM and XOR of a 48-bit row hash over the canonical serialization.
+    // The 100 TB data-validation primitive: both combiners are commutative
+    // AND associative, so the checksum is one map-side-combined aggregation
+    // (16-byte rows through the exchange) and two shards can be compared or
+    // re-derived after any repartitioning. 48-bit hashes keep the Long sum
+    // exact to ~2^15 rows per group at full width margin.
+    "q_table_checksum" -> QueryDef.sql("""
+      WITH h AS (SELECT source,
+                        CAST('0x' || substr(md5(concat_ws('|',
+                          CAST(doc_id AS VARCHAR), lang, source,
+                          CAST(n_chars AS VARCHAR), text)), 1, 12) AS BIGINT) AS hv
+                 FROM documents)
+      SELECT source, COUNT(*) AS n_rows,
+             CAST(SUM(hv) AS BIGINT) AS sum_check,
+             bit_xor(hv) AS xor_check
+      FROM h GROUP BY source ORDER BY source""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          md5Bits48(concat_ws("|",
+            col("doc_id").cast("string"), col("lang"), col("source"),
+            col("n_chars").cast("string"), col("text"))).as("hv"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("hv").as("sum_check"),
+          expr("bit_xor(hv)").as("xor_check"))
+        .orderBy("source")
+    },
+
+    // ----- extension: z-order layout key — bit-interleave of two dimensions,
+    // the multi-dimensional clustering key for data layout (write
+    // `ORDER BY zval` and both user_id- and value-range predicates prune
+    // parquet row groups). Pure integer bit arithmetic, identical in any
+    // engine.
+    "q_zorder" -> QueryDef.sql(s"""
+      WITH t AS (SELECT event_id,
+                        CAST(user_id % 256 AS INTEGER) AS x,
+                        CAST(FLOOR(value) AS INTEGER) % 256 AS y
+                 FROM events WHERE event_id < 1000)
+      SELECT event_id, x, y, CAST(${zOrderSql("x", "y")} AS BIGINT) AS zval
+      FROM t ORDER BY zval, event_id""") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"),
+          (col("user_id") % 256).cast("int").as("x"),
+          (floor(col("value")).cast("int") % 256).as("y"))
+        .select(col("event_id"), col("x"), col("y"),
+          zOrderCol(col("x"), col("y")).cast("long").as("zval"))
+        .orderBy("zval", "event_id")
+    },
+
+    // ----- extension: int8 embedding quantization — symmetric per-vector
+    // scale 127/max|v|, the storage form for billion-vector ANN corpora (4×
+    // smaller than float32 before PQ). floor(x+0.5) instead of round() on
+    // BOTH sides because round()'s half-way rule differs across engines.
+    "q_embed_quantize" -> QueryDef.sql("""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 30),
+      m AS (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+            FROM t),
+      q AS (SELECT vec_id,
+                   unnest(range(1, len(v) + 1)) AS idx,
+                   unnest(list_transform(v,
+                     x -> CAST(FLOOR(x * (127.0 / mx) + 0.5) AS INTEGER))) AS qv
+            FROM m WHERE mx > 0)
+      SELECT vec_id, idx, qv FROM q ORDER BY vec_id, idx""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 30)
+        .select(col("vec_id"),
+          graft.similarity.ArrayOps.asDouble(col("embedding")).as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("mx") > 0)
+        .select(col("vec_id"), posexplode(
+          transform(col("v"), x => floor(x * (lit(127.0) / col("mx")) + 0.5).cast("int"))))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("idx"),
+          col("col").as("qv"))
+        .orderBy("vec_id", "idx")
+    },
+
+    // ----- extension: sketch-assisted EXACT heavy hitters — Misra-Gries with
+    // 4 counters over 5 distinct keys (the sketch genuinely evicts), then an
+    // exact re-count of the ≤ k candidates. MG guarantees every key with
+    // frequency > N/(k+1) survives the sketch, so candidate-semi-join + exact
+    // threshold filter IS the exact answer — the oracle needs no sketch at
+    // all. At 100 TB: pass 1 shuffles one 4-entry map per partition; pass 2
+    // aggregates only candidate keys.
+    "q_freq_items" -> QueryDef.sql("""
+      SELECT lang, COUNT(*) AS n FROM documents
+      GROUP BY lang HAVING COUNT(*) * 5 > (SELECT COUNT(*) FROM documents)
+      ORDER BY lang""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val candidates = docs
+        .agg(Aggregators.misraGries(4)(col("lang")).as("cands"))
+        .select(explode(col("cands")).as("lang"))
+      val total = docs.agg(count(lit(1)).as("total"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .join(broadcast(candidates), Seq("lang"), "left_semi")
+        .crossJoin(broadcast(total))
+        .filter(col("n") * 5 > col("total"))
+        .select("lang", "n")
+        .orderBy("lang")
+    }
+  )
+}

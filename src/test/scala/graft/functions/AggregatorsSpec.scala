@@ -53,6 +53,40 @@ class AggregatorsSpec extends SparkSpec {
     assert(got.drop(10).forall(_ == 0L))
   }
 
+  test("misraGries: guarantee — every key above N/(k+1) survives the sketch") {
+    // zipf-ish stream: key i appears 2^(10-i) times, shuffled across 8
+    // partitions so reduce AND merge paths both run under real eviction
+    // (k=3 counters, 10 distinct keys)
+    val rows = (0 until 10).flatMap(i => Seq.fill(1 << (10 - i))(s"k$i"))
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("w")
+    val n = rows.size
+    val k = 3
+    val cands = df.agg(Aggregators.misraGries(k)(col("w")).as("c"))
+      .as[Seq[String]].head().toSet
+    assert(cands.size <= k)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val heavy = exact.collect { case (w, c) if c * (k + 1) > n => w }.toSet
+    assert(heavy.nonEmpty, "fixture must contain a true heavy hitter")
+    assert(heavy.subsetOf(cands),
+      s"MG summary $cands must contain all heavy hitters $heavy")
+  }
+
+  test("misraGries: candidate recount equals exact heavy hitters (q_freq_items shape)") {
+    val rows = Seq.fill(600)("en") ++ Seq.fill(150)("de") ++
+      Seq.fill(140)("fr") ++ Seq.fill(60)("es") ++ Seq.fill(50)("zh")
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 8).toDF("w")
+    val k = 4
+    val cands = df.agg(Aggregators.misraGries(k)(col("w")).as("c"))
+      .as[Seq[String]].head().toSet
+    val n = rows.size
+    val viaSketch = df.groupBy("w").count()
+      .filter(col("w").isin(cands.toSeq: _*) && col("count") * (k + 1) > n)
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (_, c) => c * (k + 1) > n }
+    assert(viaSketch == exact)
+  }
+
   test("topK equals the window form across partitions, ties to smaller id") {
     // 8 partitions force real partial/merge paths; duplicate scores force
     // the deterministic tie-break
