@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.MlQueries.defs ++
       graft.queries.GraphQueries.defs ++
       graft.queries.FunctionQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's workflow 1 end to end: TF-IDF features → k-means
