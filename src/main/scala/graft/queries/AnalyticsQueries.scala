@@ -192,6 +192,125 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // ----- A-family extension: per-group OLS regression (value on
+    // hour-of-day) from exact order-independent sums: Σx/Σx² in integers,
+    // Σy/Σxy through the decimal-cast discipline, then one fixed-order
+    // double expression for slope/intercept. The whole fit is ONE map-side-
+    // combined aggregation — the canonical 100 TB "fit a line per key" shape.
+    "q_regression" -> QueryDef.sql("""
+      WITH e AS (SELECT event_type, hour(ts) AS x, value AS y FROM events),
+      g AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x*y AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+            FROM e GROUP BY event_type),
+      sl AS (SELECT event_type, n, sy, sx,
+                    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope
+             FROM g)
+      SELECT event_type, n, ROUND(slope, 6) AS slope,
+             ROUND((sy - slope*sx) / n, 6) AS intercept
+      FROM sl ORDER BY event_type""") { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("x"), col("value").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("long")).as("sx"),
+          sum((col("x") * col("x")).cast("long")).as("sxx"),
+          sum(col("y").cast(DecimalType(30, 2))).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast(DecimalType(30, 2))).cast("double").as("sxy"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("event_type"), col("n"), round(col("slope"), 6).as("slope"),
+          round((col("sy") - col("slope") * col("sx")) / col("n"), 6).as("intercept"))
+        .orderBy("event_type")
+    },
+
+    // ----- extension: Markov transition counts — per-user event sequences
+    // via lag() with a deterministic (ts, event_id) tie-break, rolled up to
+    // the global (prev → next) transition matrix. One window pass + one
+    // aggregation; the window shuffle carries (user_id, type, ts) only.
+    "q_transitions" -> QueryDef.sql("""
+      WITH s AS (SELECT event_type,
+                        LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+                 FROM events)
+      SELECT prev AS p_type, event_type AS n_type, COUNT(*) AS n
+      FROM s WHERE prev IS NOT NULL
+      GROUP BY p_type, n_type ORDER BY p_type, n_type""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), lag("event_type", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("p_type"), col("event_type").as("n_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_type", "n_type")
+    },
+
+    // ----- extension: z-score anomaly ranking — per-type mean/stddev from
+    // exact decimal power sums (the q_stats_moments discipline), then the
+    // top-20 most anomalous events. Population stddev; sqrt is IEEE
+    // exact-rounded so the doubles match bit-for-bit.
+    "q_zscore" -> QueryDef.sql("""
+      WITH g AS (SELECT event_type, COUNT(*) AS n,
+                        CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+                        CAST(SUM(CAST(value*value AS DECIMAL(30,4))) AS DOUBLE) AS s2
+                 FROM events GROUP BY event_type),
+      m AS (SELECT event_type, s1/n AS mean, SQRT(s2/n - (s1/n)*(s1/n)) AS sd FROM g),
+      z AS (SELECT e.event_id, e.event_type,
+                   (e.value - m.mean) / m.sd AS z
+            FROM events e JOIN m ON e.event_type = m.event_type)
+      SELECT event_id, event_type, ROUND(z, 6) AS z
+      FROM z ORDER BY ABS(z) DESC, event_id LIMIT 20""") { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d)
+      val m = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 2))).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(30, 4))).cast("double").as("s2"))
+        .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+          sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("sd"))
+      ev.join(broadcast(m), "event_type")
+        .select(col("event_id"), col("event_type"),
+          ((col("value") - col("mean")) / col("sd")).as("z"))
+        .orderBy(abs(col("z")).desc, col("event_id"))
+        .limit(20)
+        .select(col("event_id"), col("event_type"), round(col("z"), 6).as("z"))
+    },
+
+    // ----- extension: Gini impurity of each user's event-type mix — the
+    // log-free diversity measure (1 − Σ pᵢ²; entropy's ln is not
+    // bit-replayable across engines, the rational form is). Fixed summation
+    // order via one conditional-count pivot.
+    "q_gini" -> QueryDef.sql("""
+      WITH g AS (SELECT user_id, COUNT(*) AS n,
+                        COUNT(*) FILTER (WHERE event_type = 'click') AS c1,
+                        COUNT(*) FILTER (WHERE event_type = 'error') AS c2,
+                        COUNT(*) FILTER (WHERE event_type = 'purchase') AS c3,
+                        COUNT(*) FILTER (WHERE event_type = 'signup') AS c4,
+                        COUNT(*) FILTER (WHERE event_type = 'view') AS c5
+                 FROM events GROUP BY user_id)
+      SELECT user_id,
+             ROUND(1 - ((CAST(c1 AS DOUBLE)/n)*(CAST(c1 AS DOUBLE)/n)
+                      + (CAST(c2 AS DOUBLE)/n)*(CAST(c2 AS DOUBLE)/n)
+                      + (CAST(c3 AS DOUBLE)/n)*(CAST(c3 AS DOUBLE)/n)
+                      + (CAST(c4 AS DOUBLE)/n)*(CAST(c4 AS DOUBLE)/n)
+                      + (CAST(c5 AS DOUBLE)/n)*(CAST(c5 AS DOUBLE)/n)), 6) AS gini
+      FROM g ORDER BY user_id""") { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = count(lit(1)).as("n") +:
+        types.zipWithIndex.map { case (t, i) =>
+          count(when(col("event_type") === t, 1)).as(s"c${i + 1}")
+        }
+      def p(i: Int) = col(s"c$i").cast("double") / col("n")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("user_id"),
+          round(lit(1) - (1 to 5).map(i => p(i) * p(i)).reduce(_ + _), 6).as("gini"))
+        .orderBy("user_id")
+    },
+
     // ----- O5 extension: deterministic k-per-stratum sample — md5 hash-race
     // within each group (the reservoir-sample shape with replayable
     // randomness; complements q_sample_stratified's per-stratum rates).

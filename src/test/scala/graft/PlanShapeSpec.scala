@@ -22,7 +22,7 @@ class PlanShapeSpec extends SparkSpec {
   test("candidate/dedup/ANN joins plan without CartesianProduct") {
     for (q <- Seq("q_pairs_blocked", "q_minhash_dedup", "q_simhash_dedup",
                   "q_ann_lsh", "q_billmatch", "q_asof_join", "q_jaccard_pairs",
-                  "q_winnow_neardup")) {
+                  "q_winnow_neardup", "q_edit_distance", "q_decontaminate")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
@@ -44,7 +44,8 @@ class PlanShapeSpec extends SparkSpec {
   /** Probe/dim sides sized in config must be broadcast, keeping the corpus
     * side shuffle-free where designed. */
   test("broadcast where intended") {
-    for (q <- Seq("q_join_agg", "q_cosine_topk")) {
+    for (q <- Seq("q_join_agg", "q_cosine_topk", "q_decontaminate",
+                  "q_tfidf_topterms", "q_bm25")) {
       val p = planOf(q)
       assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
         p.contains("BroadcastNestedLoopJoin"), s"$q plans no broadcast")
