@@ -203,6 +203,62 @@ object PipelineQueries {
         .orderBy("vec_id", "idx")
     },
 
+    // ----- §2.13 STREAMING twin of q_decontaminate — the SURVEY's "new bills
+    // arriving vs a static corpus" shape: documents stream in, the static
+    // benchmark gram set broadcasts into a stream-static join, and the
+    // contaminated-id aggregation is the only stateful operator (state =
+    // one counter per contaminated doc, not the gram stream). The final
+    // anti-join runs batch-side on the replayed result.
+    "q_stream_decontaminate" -> QueryDef.sql("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+                    FROM documents),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM toks),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0),
+      bad AS (SELECT DISTINCT doc_id FROM grams
+              WHERE doc_id % 11 <> 0 AND g IN (SELECT g FROM bench))
+      SELECT doc_id FROM documents
+      WHERE doc_id % 11 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id""") { (s, d) =>
+      import graft.streaming.Streaming
+      val bench = Tables.documents(s, d)
+        .filter(col("doc_id") % 11 === 0)
+        .select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 4)).as("g"))
+        .distinct()
+      val streamGrams = Streaming.docStream(s, d)
+        .filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          explode(TextOps.ngrams(TextOps.tokens(col("text")), 4)).as("g"))
+      val contaminated = Streaming.replayToTable(
+        streamGrams.join(broadcast(bench), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits")),
+        s"stream_decon_${System.nanoTime()}")
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 11 =!= 0)
+        .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ----- §2.13 STREAMING: stateless corpus quality gate over the document
+    // stream (token-count + length thresholds map-side, per-lang yield as the
+    // one complete-mode aggregation) — the streaming form of the batch
+    // corpus-hygiene filters.
+    "q_stream_doc_gate" -> QueryDef.sql("""
+      SELECT lang, COUNT(*) AS n FROM documents
+      WHERE len(list_filter(string_split(text,' '), x -> x <> '')) >= 40
+        AND n_chars < 500
+      GROUP BY lang ORDER BY lang""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.replayToTable(
+        Streaming.docStream(s, d)
+          .filter(size(TextOps.tokens(col("text"))) >= 40 && col("n_chars") < 500)
+          .groupBy("lang").agg(count(lit(1)).as("n")),
+        s"stream_doc_gate_${System.nanoTime()}")
+        .orderBy("lang")
+    },
+
     // ----- extension: sketch-assisted EXACT heavy hitters — Misra-Gries with
     // 4 counters over 5 distinct keys (the sketch genuinely evicts), then an
     // exact re-count of the ≤ k candidates. MG guarantees every key with

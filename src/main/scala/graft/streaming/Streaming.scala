@@ -47,6 +47,25 @@ object Streaming {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
+  /** documents.parquet at-rest schema (plain types — no nanos timestamps). */
+  val rawDocumentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming scan of the documents parquet data — the SURVEY §2.13 "new
+    * bills arriving vs a static corpus" ingestion shape: corpus-hygiene
+    * operators run over this stream exactly as over the batch frame. */
+  def docStream(spark: SparkSession, dir: String,
+                maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(rawDocumentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "documents.parquet*")
+      .parquet(dir)
+
   // ---- window aggregations: one definition, batch AND streaming ----
 
   /** Tumbling 1-hour window per event_type (batch twin: q_window_tumbling). */

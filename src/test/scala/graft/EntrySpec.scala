@@ -21,7 +21,9 @@ class EntrySpec extends SparkSpec {
       graft.queries.VectorQueries.defs.size +
       graft.queries.MlQueries.defs.size +
       graft.queries.GraphQueries.defs.size +
-      graft.queries.FunctionQueries.defs.size
+      graft.queries.FunctionQueries.defs.size +
+      graft.queries.PipelineQueries.defs.size +
+      graft.queries.AnalyticsQueries.defs.size
     assert(SparkEntry.queries.size == total,
       "a module reused a query name — merged map lost entries")
     assert(SparkEntry.queries.size >= 60)
