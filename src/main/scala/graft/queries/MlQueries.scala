@@ -69,6 +69,16 @@ object MlQueries {
         .select("doc_id", "lang", "n_chars", "features")
         .cache())
 
+  /** Drop the memoized feature frame + k-means fit (and unpersist the
+    * cached features so Spark's CacheManager cannot plan-match a rebuilt
+    * lineage onto the old InMemoryRelation). Benchmark hook: lets Bench
+    * re-measure the FIT cost on every repetition instead of the cache hit. */
+  def clearFitCaches(): Unit = {
+    featCache.values.foreach(df => scala.util.Try(df.unpersist(blocking = true)))
+    featCache.clear()
+    kmeansCache.clear()
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- M1/M2/M5/M7: clean→tokenize→stopwords→HashingTF→IDF
