@@ -173,6 +173,72 @@ object GraphOps {
     FROM r$numIter ORDER BY vertex"""
   }
 
+  /** PERSONALIZED PageRank: teleport mass is restricted to the `sources`
+    * set (uniformly across it) instead of all vertices — the "similar to
+    * THESE bills" ranking over the similarity graph (the probe-bill queries
+    * of reference docs/example1.md:13-17 as a whole-graph operator). Same
+    * iteration shape as [[pageRankDF]]; rank starts on the sources and
+    * diffuses along edges, so scores are proximity to the source set. */
+  def personalizedPageRankDF(canonical: DataFrame, sources: Seq[Long],
+                             numIter: Int, resetProb: Double = 0.15): DataFrame = {
+    val sym = symmetric(canonical)
+    val vertices = sym.select(col("src").as("vertex")).distinct()
+    val degrees = sym.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("deg")).cache()
+    val inSrc = col("vertex").isin(sources: _*)
+    val share = 1.0 / sources.size
+
+    var ranks = vertices.withColumn("rank",
+      when(inSrc, lit(share)).otherwise(lit(0.0)))
+    for (i <- 0 until numIter) {
+      val contribs = sym
+        .join(ranks.withColumnRenamed("vertex", "src"), "src")
+        .join(degrees.withColumnRenamed("vertex", "src"), "src")
+        .select(col("dst").as("vertex"), (col("rank") / col("deg")).as("contrib"))
+        .groupBy("vertex").agg(sum("contrib").as("msum"))
+      ranks = vertices
+        .join(contribs, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (when(inSrc, lit(resetProb * share)).otherwise(lit(0.0)) +
+            lit(1.0 - resetProb) * coalesce(col("msum"), lit(0.0))).as("rank"))
+      if (numIter > 16 && (i + 1) % 8 == 0 && i + 1 < numIter)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** DuckDB oracle for [[personalizedPageRankDF]] — the [[pageRankOracleSql]]
+    * unrolled-CTE scheme with the teleport term gated on source membership. */
+  def personalizedPageRankOracleSql(edgesSql: String, sources: Seq[Long],
+                                    numIter: Int, resetProb: Double = 0.15,
+                                    digits: Int = 6): String = {
+    val damp = 1.0 - resetProb
+    val srcList = sources.mkString(", ")
+    val share = s"(CAST(1.0 AS DOUBLE) / ${sources.size})"
+    val iters = (1 to numIter).map { k =>
+      s"""r$k AS (
+        SELECT v.vertex,
+               (CASE WHEN v.vertex IN ($srcList) THEN $resetProb * $share ELSE 0.0 END)
+               + $damp * COALESCE(m.msum, 0.0) AS rank
+        FROM verts v LEFT JOIN (
+          SELECT s.dst AS vertex, SUM(r.rank / d.deg) AS msum
+          FROM sym s JOIN r${k - 1} r ON r.vertex = s.src
+                     JOIN degs d ON d.vertex = s.src
+          GROUP BY s.dst) m ON m.vertex = v.vertex)"""
+    }.mkString(",\n")
+    s"""
+    WITH e0 AS ($edgesSql),
+    sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    verts AS (SELECT DISTINCT src AS vertex FROM sym),
+    degs AS (SELECT src AS vertex, COUNT(*) AS deg FROM sym GROUP BY src),
+    r0 AS (SELECT vertex,
+                  CASE WHEN vertex IN ($srcList) THEN $share ELSE CAST(0.0 AS DOUBLE) END AS rank
+           FROM verts),
+    $iters
+    SELECT vertex, ROUND(rank, $digits) AS rank
+    FROM r$numIter ORDER BY vertex"""
+  }
+
   /** DuckDB oracle for [[pageRankDF]] on the same edge table expression: the
     * fixed iteration count is UNROLLED into chained CTEs (r0..rN) — plain
     * aggregations, no recursive-CTE aggregation restrictions. `edgesSql` must

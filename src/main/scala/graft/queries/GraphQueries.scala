@@ -85,6 +85,21 @@ object GraphQueries {
         .orderBy("vertex")
     },
 
+    // ----- G2 personalized form: teleport restricted to a probe set — the
+    // reference's "which bills are most connected to THIS bill" probe queries
+    // (docs/example1.md:13-17) as a whole-graph ranking instead of a top-K
+    // filter. Rank diffuses from the sources; oracle is the same unrolled-CTE
+    // scheme with a membership-gated teleport term.
+    "q_pagerank_personalized" -> QueryDef.sql(
+      GraphOps.personalizedPageRankOracleSql(edgesSql, sources = Seq(1L, 5L),
+        numIter = 10)) { (s, d) =>
+      GraphOps.personalizedPageRankDF(
+          GraphOps.canonicalEdges(customerEdges(s, d), "src", "dst"),
+          sources = Seq(1L, 5L), numIter = 10)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex")
+    },
+
     // ----- G2 weighted form: the reference's normalized-edge-weight PageRank
     // (GraphUtils.scala:24-31 — similarity-weighted edges). Deterministic
     // integer-valued weights stand in for similarity scores; rank distributes
