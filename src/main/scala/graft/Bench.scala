@@ -50,7 +50,7 @@ object Bench {
 
   /** Best-of-`reps` wall time. Single-shot numbers on a virtualized host
     * bounce 2-5× run to run (the slow query moves around randomly between
-    * identical runs); the minimum over a few executions is the standard
+    * identical runs); the minimum over a few executions (default 3) is the standard
     * steady-state estimate — it reports a time the engine actually achieved
     * and removes host-scheduler + JIT noise without changing what is
     * measured. SPARK_GRAFT_BENCH_REPS=1 restores single-shot. */
@@ -121,7 +121,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

@@ -72,6 +72,20 @@ object GraphOps {
       .map { case (id, cc) => (id, cc) }.toDF("vertex", "component")
   }
 
+  /** Strongly connected components over a DIRECTED (src, dst) edge list via
+    * GraphX (component id = min vertex id in the SCC; integer-exact). Unlike
+    * the operators above this one does NOT mirror edges — direction is the
+    * semantics. */
+  def stronglyConnectedComponents(directed: DataFrame, numIter: Int): DataFrame = {
+    val spark = directed.sparkSession
+    import spark.implicits._
+    val edgeRdd = directed.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, defaultValue = 0)
+      .stronglyConnectedComponents(numIter).vertices
+      .map { case (id, scc) => (id, scc) }.toDF("vertex", "component")
+  }
+
   /** G2: PageRank as an iterative DataFrame computation, semantics identical
     * to GraphX staticPageRank: rank₀ = 1.0; rankₖ₊₁ = reset + (1−reset)·Σ
     * rankₖ(neighbor)/deg(neighbor). Isolated vertices keep rank = reset…1.0

@@ -311,6 +311,139 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // ----- extension: cohort retention — users cohorted by first-seen week,
+    // activity bucketed by weeks-since-first-seen, retention = active/cohort
+    // size. Two keyed aggregations + one broadcast join of the (tiny) cohort-
+    // size table; week arithmetic is integer day-diffs (no engine-specific
+    // week-truncation semantics). The canonical product-analytics matrix.
+    "q_cohort_retention" -> QueryDef.sql("""
+      WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+                 FROM events GROUP BY user_id),
+      a AS (SELECT e.user_id,
+                   CAST(FLOOR(date_diff('day', DATE '2024-01-01', f.d0) / 7.0) AS BIGINT) AS cohort_week,
+                   CAST(FLOOR(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+            FROM events e JOIN f ON e.user_id = f.user_id),
+      r AS (SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS active
+            FROM a GROUP BY cohort_week, week_offset),
+      c AS (SELECT CAST(FLOOR(date_diff('day', DATE '2024-01-01', d0) / 7.0) AS BIGINT) AS cohort_week,
+                   COUNT(*) AS cohort_size
+            FROM f GROUP BY 1)
+      SELECT r.cohort_week, r.week_offset, r.active, c.cohort_size,
+             ROUND(CAST(r.active AS DOUBLE) / c.cohort_size, 6) AS retention
+      FROM r JOIN c ON r.cohort_week = c.cohort_week
+      ORDER BY r.cohort_week, r.week_offset""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+      def cohortWeek(d0: org.apache.spark.sql.Column) =
+        floor(datediff(d0, lit("2024-01-01").cast("date")) / 7.0).cast("long")
+      val a = ev.join(f, "user_id")
+        .select(col("user_id"), cohortWeek(col("d0")).as("cohort_week"),
+          floor(datediff(to_date(col("ts")), col("d0")) / 7.0).cast("long").as("week_offset"))
+      val r = a.groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("active"))
+      val c = f.groupBy(cohortWeek(col("d0")).as("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      r.join(broadcast(c), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("active"), col("cohort_size"),
+          round(col("active").cast("double") / col("cohort_size"), 6).as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // ----- extension: 2-D skyline (Pareto frontier: minimize price, maximize
+    // size). The oracle is the O(n²) NOT EXISTS dominance definition; the
+    // Spark plan is the scale rewrite — per-price max (map-side combinable),
+    // a running-max sweep over DISTINCT prices only, then one equi-join back.
+    // The hash match proves the sweep IS the dominance semantics. At 100 TB
+    // the sweep input is |distinct prices|, not |rows|; if even that is huge,
+    // the same sweep composes hierarchically (coarse-bucket prune first).
+    "q_skyline" -> QueryDef.sql("""
+      SELECT p.p_partkey, p.p_retailprice, p.p_size
+      FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      ORDER BY p_partkey""") { (s, d) =>
+      val pts = Tables.part(s, d).select("p_partkey", "p_retailprice", "p_size")
+      val best = pts.groupBy(col("p_retailprice").as("best_price"))
+        .agg(max("p_size").as("best_size"))
+      val w = Window.orderBy("best_price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = best.withColumn("prior", max("best_size").over(w))
+        .filter(col("prior").isNull || col("best_size") > col("prior"))
+      pts.join(broadcast(sky),
+          col("p_retailprice") === col("best_price") &&
+          col("p_size") === col("best_size"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    },
+
+    // ----- A8 extension: per-group covariance + Pearson correlation from
+    // exact power sums (integer x = hour, decimal-cast y sums), one map-side-
+    // combined aggregation, fixed-order double arithmetic — the engine-neutral
+    // form of covar_pop/corr (Spark's builtins are streaming-update and
+    // order-dependent in the last ulp).
+    "q_covar" -> QueryDef.sql("""
+      WITH g AS (SELECT event_type, COUNT(*) AS n,
+                        SUM(x) AS sx, SUM(x*x) AS sxx,
+                        CAST(SUM(CAST(y AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+                        CAST(SUM(CAST(y*y AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+                        CAST(SUM(CAST(x*y AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+                 FROM (SELECT event_type, hour(ts) AS x, value AS y FROM events)
+                 GROUP BY event_type)
+      SELECT event_type, n,
+             ROUND((sxy - sx*sy/n) / n, 6) AS covar,
+             ROUND((n*sxy - sx*sy) /
+                   (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(n*syy - sy*sy)), 6) AS corr
+      FROM g ORDER BY event_type""") { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("x"), col("value").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("long")).as("sx"),
+          sum((col("x") * col("x")).cast("long")).as("sxx"),
+          sum(col("y").cast(DecimalType(30, 2))).cast("double").as("sy"),
+          sum((col("y") * col("y")).cast(DecimalType(30, 4))).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast(DecimalType(30, 2))).cast("double").as("sxy"))
+        .select(col("event_type"), col("n"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6).as("covar"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+        .orderBy("event_type")
+    },
+
+    // ----- extension: inverted index build — term → document frequency +
+    // the first-k posting list (the retrieval-index construction primitive;
+    // complements q_bm25's scoring side). df comes from the full posting set;
+    // only the k survivors ride the final string build.
+    "q_inverted_index" -> QueryDef.sql("""
+      WITH tok0 AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+                    FROM documents),
+      tok AS (SELECT DISTINCT doc_id, t FROM tok0),
+      r AS (SELECT t, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+            FROM tok),
+      dfreq AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t)
+      SELECT dfreq.t AS term, dfreq.df,
+             string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS postings
+      FROM dfreq JOIN r ON r.t = dfreq.t AND r.rn <= 5
+      GROUP BY dfreq.t, dfreq.df ORDER BY term""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .distinct()
+      val w = Window.partitionBy("t").orderBy("doc_id")
+      val r = tok.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      dfreq.join(r, "t")
+        .groupBy(col("t").as("term"), col("df"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
+        .orderBy("term")
+    },
+
     // ----- O5 extension: deterministic k-per-stratum sample — md5 hash-race
     // within each group (the reservoir-sample shape with replayable
     // randomness; complements q_sample_stratified's per-stratum rates).

@@ -131,6 +131,39 @@ object GraphQueries {
         .orderBy("vertex")
     },
 
+    // ----- G-extension: strongly connected components over a DIRECTED graph
+    // (GraphX SCC; component id = min vertex id in the SCC). Direction: the
+    // key-diff edges point low→high; every third edge (deterministic (src+dst)
+    // mod rule) also gets a back edge, closing cycles of varying length along
+    // each nation chain. Oracle = recursive reachability closure + mutual-
+    // reachability rollup, bounded to the same small subgraph as shortest
+    // paths so the closure stays gate-sized at any SF.
+    "q_scc" -> QueryDef.sql(s"""
+      WITH RECURSIVE e AS (
+        $edgesSql AND b.c_custkey < $SP_MAX_KEY AND a.c_custkey < $SP_MAX_KEY),
+      dir AS (SELECT src, dst FROM e
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM e WHERE (src + dst) % 3 = 0),
+      reach AS (
+        SELECT src AS u, dst AS v FROM dir
+        UNION
+        SELECT r.u, d.dst FROM reach r JOIN dir d ON d.src = r.v),
+      verts AS (SELECT DISTINCT v FROM
+                (SELECT src AS v FROM dir UNION ALL SELECT dst FROM dir)),
+      mutual AS (SELECT a.u AS x, a.v AS y
+                 FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u)
+      SELECT v.v AS vertex, LEAST(v.v, COALESCE(MIN(m.y), v.v)) AS component
+      FROM verts v LEFT JOIN mutual m ON m.x = v.v
+      GROUP BY v.v ORDER BY vertex""") { (s, d) =>
+      val e = customerEdges(s, d)
+        .filter(col("src") < SP_MAX_KEY && col("dst") < SP_MAX_KEY)
+      val dir = e.unionByName(
+        e.filter((col("src") + col("dst")) % 3 === 0)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.stronglyConnectedComponents(dir, numIter = 20)
+        .orderBy("vertex")
+    },
+
     // ----- G3: landmark shortest paths (GraphX ShortestPaths; integer-exact;
     // oracle = recursive BFS with UNION dedup, depth-bounded over the small
     // subgraph)

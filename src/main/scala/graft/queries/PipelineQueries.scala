@@ -281,6 +281,79 @@ object PipelineQueries {
         .filter(col("n") * 5 > col("total"))
         .select("lang", "n")
         .orderBy("lang")
+    },
+
+    // ----- extension: within-document repetition score — duplicate-bigram
+    // fraction per document (the Gopher-style repetition quality signal:
+    // high rep_frac = degenerate/boilerplate text). One narrow n-gram
+    // explode + one keyed aggregation; rational fraction, single rounding.
+    "q_repetition" -> QueryDef.sql("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+                    FROM documents),
+      bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> array_to_string(t[i:i+1], ' '))) AS g
+             FROM toks),
+      r AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT g) AS uniq
+            FROM bi GROUP BY doc_id)
+      SELECT doc_id, total, uniq,
+             ROUND(1 - CAST(uniq AS DOUBLE) / total, 6) AS rep_frac
+      FROM r ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total"), countDistinct("g").as("uniq"))
+        .select(col("doc_id"), col("total"), col("uniq"),
+          round(lit(1) - col("uniq").cast("double") / col("total"), 6).as("rep_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ----- extension: type-token ratio per language — corpus-level lexical
+    // diversity (the complement of per-doc repetition). One aggregation;
+    // the distinct-token count is the same two-shuffle-safe shape as
+    // q_count_distinct.
+    "q_ttr" -> QueryDef.sql("""
+      WITH tok AS (SELECT lang, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+                   FROM documents)
+      SELECT lang, COUNT(*) AS total, COUNT(DISTINCT t) AS uniq,
+             ROUND(CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*), 6) AS ttr
+      FROM tok GROUP BY lang ORDER BY lang""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"), countDistinct("t").as("uniq"))
+        .select(col("lang"), col("total"), col("uniq"),
+          round(col("uniq").cast("double") / col("total"), 6).as("ttr"))
+        .orderBy("lang")
+    },
+
+    // ----- extension: overlapping context-window chunking — 64-token chunks
+    // on a 48-token stride (the sliding-window complement of q_seq_packing's
+    // concat-and-chunk). Chunk text never leaves the row: the output carries
+    // the token count + md5 of each chunk, so the exchange is (doc_id, start,
+    // 2 small cols) even when documents are megabytes.
+    "q_chunk_overlap" -> QueryDef.sql("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+                    FROM documents),
+      st AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 48)) AS chunk_start
+             FROM toks),
+      ch AS (SELECT doc_id, chunk_start,
+                    len(t[chunk_start:chunk_start+63]) AS n_toks,
+                    md5(array_to_string(t[chunk_start:chunk_start+63], ' ')) AS chunk_md5
+             FROM st)
+      SELECT doc_id, chunk_start, n_toks, chunk_md5
+      FROM ch ORDER BY doc_id, chunk_start""") { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      toks
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), greatest(size(col("t")), lit(1)), lit(48)))
+            .as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start"),
+          size(slice(col("t"), col("chunk_start"), lit(64))).as("n_toks"),
+          md5(array_join(slice(col("t"), col("chunk_start"), lit(64)), " ")
+            .cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_start")
     }
   )
 }

@@ -59,6 +59,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(top == Set(3L, 4L))
   }
 
+  test("stronglyConnectedComponents: cycles collapse, DAG edges separate") {
+    import spark.implicits._
+    // 1→2→3→1 is an SCC; 3→4→5 is a chain (each its own SCC); 5→6→5 an SCC.
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val comp = GraphOps.stronglyConnectedComponents(dir, numIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(4L) == 4L)
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+  }
+
   test("pageRankDF matches GraphX staticPageRank on the same graph") {
     import org.apache.spark.graphx.{Edge, Graph}
     val sym = GraphOps.symmetric(canonical)
