@@ -50,6 +50,99 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ----- TPC-H Q3 shape (shipping priority): selective dim filter →
+    // broadcast customer side → two equi-joins → revenue agg → top-10.
+    // The classic "find the valuable unshipped orders" plan: both date
+    // filters push to the parquet scans, the segment-filtered customer
+    // table broadcasts, and the top-10 is TakeOrderedAndProject.
+    "q_tpch_q3" -> QueryDef.sql("""
+      SELECT l.l_orderkey, o.o_orderdate,
+             CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      GROUP BY l.l_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""") { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+
+    // ----- TPC-H Q5 shape (local supplier volume): six-table star join with
+    // the customer-nation = supplier-nation co-location predicate. region →
+    // nation → supplier all broadcast (dim-sized); the only real exchanges
+    // are the orders⋈lineitem join and the final per-nation aggregation.
+    "q_tpch_q5" -> QueryDef.sql("""
+      SELECT n.n_name,
+             CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+      WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+        AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        AND r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n.n_name ORDER BY revenue DESC, n_name""") { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup),
+          l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    // ----- TPC-H Q10 shape (returned-item reporting): quarter of orders ⋈
+    // returned lineitems → per-customer lost revenue, top 20. Same revenue
+    // discipline; the customer attributes ride a broadcast join AFTER the
+    // aggregation, so the exchange carries (custkey, revenue) only.
+    "q_tpch_q10" -> QueryDef.sql("""
+      WITH rev AS (
+        SELECT o.o_custkey,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY o.o_custkey)
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, rev.revenue
+      FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+      ORDER BY revenue DESC, c_custkey LIMIT 20""") { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val rev = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      rev.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+
     // ----- P1/P3/P5/P6: predicates + projection/rename (reference
     // ExtractCandidates.scala:98 filter-after-read; Utils.scala:276-281)
     "q_filter_project" -> QueryDef.sql("""
