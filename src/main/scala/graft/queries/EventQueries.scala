@@ -30,6 +30,25 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // ----- F20 extension on the Spark 4 VARIANT type: parse the props JSON
+    // once into a variant column, then typed variant_get extraction — the
+    // shredding-friendly path for semi-structured columns at scale (parse
+    // cost paid once per row, extraction stays codegen-typed; contrast
+    // q_json_extract's per-access string parse). Oracle = DuckDB JSON ops.
+    "q_variant_extract" -> QueryDef.sql("""
+      SELECT event_type,
+             MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+             MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+             CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy("event_type")
+        .agg(min("k").as("min_k"), max("k").as("max_k"), sum("k").as("sum_k"))
+        .orderBy("event_type")
+    },
+
     // ----- §2.13: tumbling window aggregate via the real window() operator;
     // epoch-second starts keep the oracle timestamp-type-agnostic
     "q_window_tumbling" -> QueryDef.sql("""

@@ -4,7 +4,8 @@ import java.util
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -105,14 +106,17 @@ private[sources] class BillsGenTable(options: CaseInsensitiveStringMap)
   }
 }
 
-/** ScanBuilder with column pruning + state/year filter pushdown. */
+/** ScanBuilder with column pruning + state/year filter pushdown + partial
+  * aggregate pushdown (COUNT(*)/MIN/MAX on the generator-cheap columns). */
 private[sources] class BillsGenScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = BillsGen.SCHEMA
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -138,12 +142,38 @@ private[sources] class BillsGenScanBuilder(options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** PARTIAL aggregate pushdown (supportCompletePushDown stays false): each
+    * input partition emits one row of partial COUNT/MIN/MAX values and Spark
+    * plans the final merge — the same split as a map-side-combined
+    * HashAggregate, except the "map side" never materializes rows at all.
+    * Accepts only group-free COUNT(*)/MIN/MAX over state/year; anything else
+    * declines and Spark falls back to a plain scan + aggregate. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def cheapCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference =>
+          nr.fieldNames.length == 1 &&
+            (nr.fieldNames()(0) == "state" || nr.fieldNames()(0) == "year")
+        case _ => false
+      }
+    val ok = agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => cheapCol(m.column)
+        case m: Max => cheapCol(m.column)
+        case _ => false
+      }
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
+
   override def build(): Scan = new BillsGenScan(
     rows = options.getLong("rows", 1000L),
     numPartitions = options.getInt("numPartitions", 8),
     seed = options.getLong("seed", 42L),
     requiredSchema = requiredSchema,
-    pushed = pushed)
+    pushed = pushed,
+    pushedAgg = pushedAgg)
 }
 
 private[sources] class BillsGenScan(
@@ -151,13 +181,25 @@ private[sources] class BillsGenScan(
     numPartitions: Int,
     seed: Long,
     requiredSchema: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    pushedAgg: Option[Aggregation] = None) extends Scan with Batch {
 
-  override def readSchema(): StructType = requiredSchema
+  /** With a pushed aggregation, the scan's output schema is the partial-agg
+    * row (one LongType per aggregate, positional), not the table columns. */
+  private val aggSchema: Option[StructType] = pushedAgg.map { agg =>
+    StructType(agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  }
+
+  override def readSchema(): StructType = aggSchema.getOrElse(requiredSchema)
   override def toBatch: Batch = this
   override def description(): String =
     s"BillsGen rows=$rows PushedFilters=[${pushed.mkString(", ")}] " +
-      s"ReadSchema=${requiredSchema.fieldNames.mkString(",")}"
+      pushedAgg.map(a =>
+        s"PushedAggregates=[${a.aggregateExpressions.mkString(", ")}] ").getOrElse("") +
+      s"ReadSchema=${readSchema().fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + numPartitions - 1) / numPartitions)
@@ -167,10 +209,85 @@ private[sources] class BillsGenScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BillsGenReaderFactory(seed, requiredSchema, pushed)
+    pushedAgg match {
+      case Some(agg) =>
+        // serialize what the executor needs as simple (kind, col) pairs —
+        // AggregateFunc itself is not serializable-stable across versions
+        val specs: Array[(String, String)] = agg.aggregateExpressions.map {
+          case _: CountStar => ("count", "")
+          case m: Min => ("min", m.column.asInstanceOf[NamedReference].fieldNames()(0))
+          case m: Max => ("max", m.column.asInstanceOf[NamedReference].fieldNames()(0))
+          case other => throw new IllegalStateException(s"unpushable agg $other")
+        }
+        new BillsGenAggReaderFactory(seed, pushed, specs)
+      case None => new BillsGenReaderFactory(seed, requiredSchema, pushed)
+    }
 }
 
 private[sources] case class BillsGenPartition(lo: Long, hi: Long) extends InputPartition
+
+private[sources] object FilterEval {
+  private def lv(v: Any): Long = v.asInstanceOf[Number].longValue
+  private def cv(a: String, state: Long, year: Long): Long =
+    if (a == "state") state else year
+
+  def passes(pushed: Array[Filter], state: Long, year: Long): Boolean =
+    pushed.forall {
+      case EqualTo(a, v) => cv(a, state, year) == lv(v)
+      case GreaterThan(a, v) => cv(a, state, year) > lv(v)
+      case GreaterThanOrEqual(a, v) => cv(a, state, year) >= lv(v)
+      case LessThan(a, v) => cv(a, state, year) < lv(v)
+      case LessThanOrEqual(a, v) => cv(a, state, year) <= lv(v)
+      case _ => true
+    }
+}
+
+/** Partial-aggregate reader: one output row per partition holding the
+  * partition's COUNT/MIN/MAX values — no table rows are materialized. */
+private[sources] class BillsGenAggReaderFactory(
+    seed: Long,
+    pushed: Array[Filter],
+    specs: Array[(String, String)]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BillsGenPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = {
+        if (emitted) return false
+        var count = 0L
+        val mins = Array.fill(specs.length)(Long.MaxValue)
+        val maxs = Array.fill(specs.length)(Long.MinValue)
+        var i = p.lo
+        while (i < p.hi) {
+          val (_, state, year, _, _, _, _) = BillsGen.row(i, seed)
+          if (FilterEval.passes(pushed, state, year)) {
+            count += 1
+            var j = 0
+            while (j < specs.length) {
+              val v = if (specs(j)._2 == "state") state else year
+              if (v < mins(j)) mins(j) = v
+              if (v > maxs(j)) maxs(j) = v
+              j += 1
+            }
+          }
+          i += 1
+        }
+        emitted = true
+        current = InternalRow.fromSeq(specs.zipWithIndex.map {
+          case (("count", _), _) => count
+          case (("min", _), j) => if (count == 0) null else mins(j)
+          case (("max", _), j) => if (count == 0) null else maxs(j)
+          case (other, _) => throw new IllegalStateException(s"bad spec $other")
+        }.toSeq)
+        true
+      }
+      private var current: InternalRow = _
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] class BillsGenReaderFactory(
     seed: Long,
@@ -183,24 +300,11 @@ private[sources] class BillsGenReaderFactory(
       private var i = p.lo - 1
       private var current: InternalRow = _
 
-      private def lv(v: Any): Long = v.asInstanceOf[Number].longValue
-      private def cv(a: String, state: Long, year: Long): Long =
-        if (a == "state") state else year
-
-      private def passes(state: Long, year: Long): Boolean = pushed.forall {
-        case EqualTo(a, v) => cv(a, state, year) == lv(v)
-        case GreaterThan(a, v) => cv(a, state, year) > lv(v)
-        case GreaterThanOrEqual(a, v) => cv(a, state, year) >= lv(v)
-        case LessThan(a, v) => cv(a, state, year) < lv(v)
-        case LessThanOrEqual(a, v) => cv(a, state, year) <= lv(v)
-        case _ => true
-      }
-
       override def next(): Boolean = {
         while (i + 1 < p.hi) {
           i += 1
           val (pk, state, year, docid, ver, len, content) = BillsGen.row(i, seed)
-          if (passes(state, year)) {
+          if (FilterEval.passes(pushed, state, year)) {
             val vals: ArrayBuffer[Any] = ArrayBuffer.empty
             requiredSchema.fieldNames.foreach {
               case "primary_key" => vals += UTF8String.fromString(pk)

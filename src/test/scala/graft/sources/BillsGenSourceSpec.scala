@@ -15,9 +15,16 @@ class BillsGenSourceSpec extends SparkSpec {
     opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
 
-  private def scanOf(df: DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
-      .getOrElse(fail("no BatchScanExec in plan"))
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // AQE wraps any plan with exchanges; descend into the adaptive subtree
+    def find(p: SparkPlan): Option[BatchScanExec] =
+      p.collectFirst { case b: BatchScanExec => b }.orElse(
+        p.collectFirst { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => find(a.executedPlan)))
+    find(df.queryExecution.executedPlan).getOrElse(fail("no BatchScanExec in plan"))
+  }
 
   test("reads the declared schema and row count, deterministically") {
     val df = read("rows" -> "500")
@@ -61,6 +68,36 @@ class BillsGenSourceSpec extends SparkSpec {
     val desc = scanOf(df).scan.description()
     assert(desc.contains("ReadSchema=state,year"), desc)
     assert(df.columns.toSeq == Seq("state", "year"))
+  }
+
+  test("COUNT/MIN/MAX push into the scan as partial aggregates") {
+    val df = read("rows" -> "5000").agg(
+      count(lit("*")).as("n"), min("state").as("mn"), max("year").as("mx"))
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("PushedAggregates=[COUNT(*), MIN(state), MAX(year)]"), desc)
+    // the scan now emits partial-agg rows, not table rows
+    assert(desc.contains("ReadSchema=agg_0,agg_1,agg_2"), desc)
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == 5000L)
+    val full = read("rows" -> "5000").agg(min("state"), max("year")).collect().head
+    assert(r.getAs[Long]("mn") == full.getLong(0) && r.getAs[Long]("mx") == full.getLong(1))
+  }
+
+  test("aggregate pushdown composes with filter pushdown") {
+    val df = read("rows" -> "5000").filter(col("year") < 2005)
+      .agg(count(lit("*")).as("n"), max("state").as("mx"))
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("LessThan(year,2005)") && desc.contains("PushedAggregates"), desc)
+    val expect = read("rows" -> "5000").collect()
+      .filter(_.getAs[Long]("year") < 2005)
+    assert(df.collect().head.getAs[Long]("n") == expect.length.toLong)
+    assert(df.collect().head.getAs[Long]("mx") == expect.map(_.getAs[Long]("state")).max)
+  }
+
+  test("grouped or non-cheap aggregates decline pushdown and stay correct") {
+    val df = read("rows" -> "1000").groupBy("docversion").agg(count(lit("*")).as("n"))
+    assert(!scanOf(df).scan.description().contains("PushedAggregates"))
+    assert(df.collect().map(_.getAs[Long]("n")).sum == 1000L)
   }
 
   test("row range splits into numPartitions independent partitions") {
