@@ -459,6 +459,37 @@ object EventQueries {
       }
     },
 
+    // ----- §2.13 extension: sessionization on transformWithState with
+    // EVENT-TIME TIMERS — the explicit-timer form of the gap-close (register
+    // at last+gap, supersede on activity, close+free state on expiry). Same
+    // update-mode emission protocol and the SAME microsecond-exact oracle as
+    // the flatMapGroupsWithState variant; the hash match pins the two state
+    // APIs to identical semantics.
+    "q_stream_sessions_tws" -> QueryDef.sql("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      g AS (SELECT user_id, us,
+              CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                        OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                           > 1800000000
+                   THEN 1 ELSE 0 END AS new_s
+            FROM e),
+      s AS (SELECT user_id, us,
+              SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+      SELECT user_id, MIN(us) AS session_start, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.withRocksDb(s) {
+        Streaming.replayToTable(
+            Streaming.sessionizeTws(Streaming.eventStream(s, d)).toDF(),
+            s"stream_sessions_tws_${System.nanoTime()}", mode = "update")
+          .groupBy("user_id", "session_start")
+          .agg(max("n_events").as("n_events"))
+          .orderBy("user_id", "session_start")
+      }
+    },
+
     // Oracle is microsecond-exact: Spark's session_window end is EXCLUSIVE, so
     // a gap of exactly 30 min starts a new session (diff >= 1800e6 us) — and
     // the testdata does contain near-boundary gaps, so no second-truncation.

@@ -330,6 +330,76 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Sessionization rebuilt on transformWithState with EVENT-TIME TIMERS —
+    * the Spark 4 successor to [[sessionizeStateful]]'s GroupStateTimeout:
+    * the quiet-period close is an explicit per-key timer (registered at
+    * last_event + gap, superseded on every new event), and
+    * handleExpiredTimer emits the closed session and frees its state when
+    * the watermark passes. Same emission protocol and oracle as
+    * [[sessionizeStateful]]: update-mode log, final row per session carries
+    * max n_events, so the batch rollup recovers exact sessionization. */
+  class TimerSessionProcessor(gapUs: Long) extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var sess: ValueState[OpenSession] = _
+
+    private def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val ts = rows.map(r => us(r._2)).toArray.sorted
+      val out = List.newBuilder[SessionOut]
+      var s = if (sess.exists()) sess.get() else OpenSession(ts.head, ts.head, 0L)
+      // one live timer per key: drop the pending close before re-registering
+      getHandle.listTimers().toList
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      ts.foreach { u =>
+        if (u - s.last_us > gapUs) {
+          out += SessionOut(uid, s.start_us, s.n_events, closed = true)
+          s = OpenSession(u, u, 1L)
+        } else s = OpenSession(s.start_us, math.max(s.last_us, u), s.n_events + 1)
+      }
+      sess.update(s)
+      getHandle.registerTimer((s.last_us + gapUs) / 1000L)
+      (out += SessionOut(uid, s.start_us, s.n_events, closed = false))
+        .result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // guard: only close if this timer still matches the open session's
+      // quiet period (robust to input-vs-timer ordering within a batch)
+      if (sess.exists() && info.getExpiryTimeInMs >=
+          (sess.get().last_us + gapUs) / 1000L) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(SessionOut(uid, s.start_us, s.n_events, closed = true))
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeTws(events: DataFrame, gapMinutes: Int = 30,
+      horizon: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    // the watermark tag rides the TIMESTAMP attribute into the operator
+    events.withWatermark("ts", horizon)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** transformWithState requires the RocksDB state store; scope the provider
     * override to one replay (the HDFS-backed default is faster for the tiny
     * finite replays every other gate query runs). */
