@@ -11,15 +11,34 @@ object Verify {
     val only = args.lift(2).map(_.split(',').toSet)
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    // Batch queries run through a small driver-side submission pool — the
+    // Spark scheduler interleaves their jobs across the executor threads, so
+    // the dump's wall time is bounded by work, not by per-query driver
+    // latency (planning, DuckDB-free aggregations, file commits). Streaming
+    // replays stay SERIAL: they scope session confs (state-store provider,
+    // state partitions) that concurrent query STARTS would race on.
+    val (streamQ, batchQ) = selected.toSeq.sortBy(_._1)
+      .partition(_._1.contains("stream"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARALLEL", "4").toInt)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = batchQ.map { case (n, f) =>
+      scala.concurrent.Future(run(n, f))
     }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    streamQ.foreach { case (n, f) => run(n, f) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -59,6 +59,27 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
 
+  /** TPC-H shapes: top-K must plan as TakeOrderedAndProject (per-partition
+    * heap, no global sort materialization) and the star joins must never
+    * degrade to a cartesian product. */
+  test("TPC-H joins: TakeOrdered top-K, no cartesian product") {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10")) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost the top-K heap plan")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    assert(!planOf("q_tpch_q5").contains("CartesianProduct"),
+      "q_tpch_q5 plans a cartesian product")
+  }
+
+  /** The skyline rewrite must join survivors back by broadcast — the whole
+    * point is that the frontier is tiny relative to the input. */
+  test("q_skyline joins the frontier back via broadcast") {
+    val p = planOf("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), s"q_skyline frontier join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "q_skyline plans a cartesian product")
+  }
+
   /** Filter + projection must reach the parquet scan (pushdown/pruning). */
   test("filter pushdown and column pruning reach the scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, dir)
