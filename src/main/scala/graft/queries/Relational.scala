@@ -321,6 +321,39 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // ----- extension: TRANSPOSE (Spark 4 Dataset.transpose) — flip a small
+    // per-type stats frame to metric-rows × type-columns. Only sane on
+    // aggregate-sized frames (the column count IS the row count), which is
+    // exactly its report-shaping use; the oracle hand-builds the flip with
+    // one conditional-max row per metric.
+    "q_transpose" -> QueryDef.sql("""
+      WITH g AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                        CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+                 FROM events GROUP BY event_type)
+      SELECT 'n' AS key,
+             MAX(CASE WHEN event_type='click' THEN n END) AS click,
+             MAX(CASE WHEN event_type='error' THEN n END) AS error,
+             MAX(CASE WHEN event_type='purchase' THEN n END) AS purchase,
+             MAX(CASE WHEN event_type='signup' THEN n END) AS signup,
+             MAX(CASE WHEN event_type='view' THEN n END) AS view
+      FROM g
+      UNION ALL
+      SELECT 'total',
+             MAX(CASE WHEN event_type='click' THEN total END),
+             MAX(CASE WHEN event_type='error' THEN total END),
+             MAX(CASE WHEN event_type='purchase' THEN total END),
+             MAX(CASE WHEN event_type='signup' THEN total END),
+             MAX(CASE WHEN event_type='view' THEN total END)
+      FROM g
+      ORDER BY key""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("value").cast(DecimalType(30, 2))).cast("double").as("total"))
+        .transpose(col("event_type"))
+        .orderBy("key")
+    },
+
     // ----- extension: UNPIVOT/melt — wide metrics back to long form
     "q_unpivot" -> QueryDef.sql("""
       SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val FROM (
