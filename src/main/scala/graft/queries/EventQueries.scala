@@ -459,6 +459,26 @@ object EventQueries {
       }
     },
 
+    // ----- §2.13 extension: per-user event-type histogram on
+    // transformWithState + typed MapState — keyed sub-state (one map entry
+    // per type under each user key, updated without rewriting the whole
+    // value). Completes the arbitrary-state type coverage alongside the
+    // ValueState and timer variants; same update-mode rollup protocol.
+    "q_stream_type_hist" -> QueryDef.sql("""
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.withRocksDb(s) {
+        Streaming.replayToTable(
+            Streaming.typeHistogramTws(Streaming.eventStream(s, d)).toDF(),
+            s"stream_type_hist_${System.nanoTime()}", mode = "update")
+          .groupBy("user_id", "event_type")
+          .agg(max("n").as("n"))
+          .orderBy("user_id", "event_type")
+      }
+    },
+
     // ----- §2.13 extension: sessionization on transformWithState with
     // EVENT-TIME TIMERS — the explicit-timer form of the gap-close (register
     // at last+gap, supersede on activity, close+free state on expiry). Same

@@ -385,6 +385,47 @@ object Streaming {
     }
   }
 
+  /** Per-user event-type histogram on transformWithState + typed MapState —
+    * the keyed-sub-state primitive (one map entry per event type under each
+    * user key, individually updatable without rewriting the whole value).
+    * Completes the state-type coverage: ValueState
+    * ([[UserStateProcessor]]), timers ([[TimerSessionProcessor]]), MapState
+    * here. Update-mode emission: every touched (user, type) pair re-emits
+    * its current count; max n per pair rolls the log up to the batch
+    * groupBy. */
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  class TypeHistogramProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, String), TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, String)],
+        timers: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, t) =>
+        val n = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, n + 1L)
+        touched += t
+      }
+      touched.iterator.map(t => TypeCount(uid, t, counts.getValue(t)))
+    }
+  }
+
+  def typeHistogramTws(events: DataFrame): org.apache.spark.sql.Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeHistogramProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def sessionizeTws(events: DataFrame, gapMinutes: Int = 30,
       horizon: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
     val spark = events.sparkSession
