@@ -364,16 +364,9 @@ object AnalyticsQueries {
         WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
       ORDER BY p_partkey""") { (s, d) =>
-      val pts = Tables.part(s, d).select("p_partkey", "p_retailprice", "p_size")
-      val best = pts.groupBy(col("p_retailprice").as("best_price"))
-        .agg(max("p_size").as("best_size"))
-      val w = Window.orderBy("best_price")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val sky = best.withColumn("prior", max("best_size").over(w))
-        .filter(col("prior").isNull || col("best_size") > col("prior"))
-      pts.join(broadcast(sky),
-          col("p_retailprice") === col("best_price") &&
-          col("p_size") === col("best_size"))
+      graft.operators.Skyline.pareto2d(
+          Tables.part(s, d).select("p_partkey", "p_retailprice", "p_size"),
+          minCol = "p_retailprice", maxCol = "p_size")
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     },
