@@ -437,6 +437,40 @@ object AnalyticsQueries {
         .orderBy("term")
     },
 
+    // ----- extension: SCD2 change history — collapse each user's event-type
+    // sequence into validity intervals (valid_from/valid_to, open-ended
+    // current row), the slowly-changing-dimension build every warehouse runs.
+    // Two window passes over (user_id, ts, event_id) only; (us, event_id)
+    // ordering makes simultaneous events deterministic; the open interval's
+    // valid_to is a -1 sentinel (NULL handling differs across compare
+    // stacks, the sentinel hashes identically everywhere).
+    "q_scd2" -> QueryDef.sql("""
+      WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+      c AS (SELECT user_id, event_type, event_id, us,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM e),
+      ch AS (SELECT user_id, event_type, event_id, us FROM c
+             WHERE prev IS NULL OR event_type <> prev),
+      v AS (SELECT user_id, event_type, event_id AS change_event_id, us AS valid_from,
+                   LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS vt
+            FROM ch)
+      SELECT user_id, event_type, change_event_id, valid_from,
+             COALESCE(vt, -1) AS valid_to, (vt IS NULL) AS is_current
+      FROM v ORDER BY user_id, valid_from, change_event_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .withColumn("vt", lead("us", 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("change_event_id"), col("us").as("valid_from"),
+          coalesce(col("vt"), lit(-1L)).as("valid_to"),
+          col("vt").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "change_event_id")
+    },
+
     // ----- O5 extension: deterministic k-per-stratum sample — md5 hash-race
     // within each group (the reservoir-sample shape with replayable
     // randomness; complements q_sample_stratified's per-stratum rates).
