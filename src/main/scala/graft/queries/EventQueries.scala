@@ -479,6 +479,31 @@ object EventQueries {
       }
     },
 
+    // ----- §2.13 extension: per-user trailing event-type window on
+    // transformWithState + typed ListState (append, trim to last-3) — the
+    // ordered-sub-state primitive. Update-mode log rolled up by max_by on
+    // the strictly-increasing per-user event count.
+    "q_stream_recent_types" -> QueryDef.sql("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      r AS (SELECT user_id, event_type, us, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM e)
+      SELECT user_id, n_events,
+             string_agg(event_type, ',' ORDER BY us, event_id) AS recent
+      FROM r WHERE rn <= 3 GROUP BY user_id, n_events ORDER BY user_id""") { (s, d) =>
+      import graft.streaming.Streaming
+      Streaming.withRocksDb(s) {
+        Streaming.replayToTable(
+            Streaming.recentTypesTws(Streaming.eventStream(s, d)).toDF(),
+            s"stream_recent_types_${System.nanoTime()}", mode = "update")
+          .groupBy("user_id")
+          .agg(max("n_events").as("n_events"),
+            max_by(col("recent"), col("n_events")).as("recent"))
+          .orderBy("user_id")
+      }
+    },
+
     // ----- §2.13 extension: sessionization on transformWithState with
     // EVENT-TIME TIMERS — the explicit-timer form of the gap-close (register
     // at last+gap, supersede on activity, close+free state on expiry). Same

@@ -426,6 +426,52 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-user trailing event-type window on transformWithState + typed
+    * ListState — the ordered-sub-state primitive (append-only list, trimmed
+    * to the last k entries; the state the "recent activity" features of a
+    * serving pipeline keep). Rows are sorted (us, event_id) within each
+    * batch so multi-batch replays append deterministically. Completes the
+    * state-primitive coverage: ValueState, MapState, event-time timers,
+    * ListState. */
+  final case class RecentOut(user_id: Long, n_events: Long, recent: String)
+
+  class RecentTypesProcessor(k: Int) extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, String, Long, Long), RecentOut] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var recent: ListState[String] = _
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[String]("recent",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, String, Long, Long)],
+        timers: TimerValues): Iterator[RecentOut] = {
+      val sorted = rows.toArray.sortBy(r => (r._3, r._4))
+      val prior = if (recent.exists()) recent.get().toArray else Array.empty[String]
+      val all = prior ++ sorted.map(_._2)
+      val trimmed = all.takeRight(k)
+      recent.put(trimmed)
+      val n = (if (total.exists()) total.get() else 0L) + sorted.length
+      total.update(n)
+      Iterator.single(RecentOut(uid, n, trimmed.mkString(",")))
+    }
+  }
+
+  def recentTypesTws(events: DataFrame, k: Int = 3): org.apache.spark.sql.Dataset[RecentOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentTypesProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def sessionizeTws(events: DataFrame, gapMinutes: Int = 30,
       horizon: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
     val spark = events.sparkSession
