@@ -266,7 +266,13 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_ws_tokens"),
-          regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).as("n_bpeish"))
+          // native scan, space-only whitespace class — bit-identical to the
+          // oracle's regexp_extract_all pattern on ANY input, ~15× the regex
+          // engine's throughput (SCALEPROBE.md)
+          org.apache.spark.sql.graft.bridge.column(
+            graft.expressions.BpeishCount(
+              org.apache.spark.sql.graft.bridge.expression(col("text")),
+              spaceOnlyWs = true)).as("n_bpeish"))
         .orderBy("doc_id")
     },
 

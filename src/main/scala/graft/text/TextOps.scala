@@ -23,10 +23,16 @@ object TextOps {
     regexp_replace(c, "\\b\\w{1,2}\\b", "")
 
   /** M1-equivalent tokenizer on a Column (RegexTokenizer pattern \W,
-    * reference Utils.scala:186) — here a plain whitespace split with empty
-    * tokens removed, matching the oracle's string_split. */
+    * reference Utils.scala:186) — a plain whitespace split with empty tokens
+    * removed, matching the oracle's string_split + list_filter. Native
+    * one-pass expression ([[graft.expressions.SplitNonEmpty]]): the
+    * filter(split(...)) Column form runs the lambda interpreted per element
+    * (higher-order functions are CodegenFallback) and dominated every
+    * token-path query at scale (SCALEPROBE.md). */
   def tokens(c: Column): Column =
-    filter(split(c, " "), t => length(t) > 0)
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.SplitNonEmpty(
+        org.apache.spark.sql.graft.bridge.expression(c)))
 
   /** M4: n-grams over a token array (reference NGram usage Utils.scala:206-216)
     * — ml.feature.NGram per-row semantics as a native codegen expression
@@ -39,9 +45,15 @@ object TextOps {
   /** Exact token count after whitespace split. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** BPE-ish token estimate: word pieces + isolated punctuation. */
+  /** BPE-ish token estimate: word pieces + isolated punctuation. Native
+    * single-scan counter ([[graft.expressions.BpeishCount]]) — bit-identical
+    * to regexp_count(c, "[A-Za-z0-9]+|[^A-Za-z0-9\\s]") (spec-pinned) at a
+    * fraction of the regex engine's cost (SCALEPROBE.md: the former 15 s at
+    * 100× was this regex). */
   def bpeishCount(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.BpeishCount(
+        org.apache.spark.sql.graft.bridge.expression(c)))
 
   /** Language marker word lists for the n-gram/stopword language heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
