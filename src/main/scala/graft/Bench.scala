@@ -48,27 +48,62 @@ object Bench {
     * reference's persisted features parquet. */
   private val fitsOnce = Set("q_tfidf_features", "q_kmeans_blocks")
 
-  /** Best-of-`reps` wall time. Single-shot numbers on a virtualized host
-    * bounce 2-5× run to run (the slow query moves around randomly between
-    * identical runs); the minimum over a few executions (default 3) is the standard
-    * steady-state estimate — it reports a time the engine actually achieved
-    * and removes host-scheduler + JIT noise without changing what is
-    * measured. SPARK_GRAFT_BENCH_REPS=1 restores single-shot. */
-  private def time(spark: SparkSession, sfDir: String, name: String,
-                   fn: (SparkSession, String) => DataFrame,
-                   reps: Int,
-                   prepare: () => Unit = () => ()): (String, Double) = {
-    val dt = (1 to math.max(1, reps)).map { _ =>
-      prepare() // outside the timed region (e.g. drop memoized ML fits)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+  /** One timed execution (prepare runs outside the timed region — e.g. drop
+    * memoized ML fits so a rep measures the fit, not its cache). */
+  private def timeOnce(spark: SparkSession, sfDir: String, name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       prepare: () => Unit): Double = {
+    prepare()
+    val t0 = System.nanoTime()
+    try { fn(spark, sfDir).count() }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Stall-robust best-of-reps. This VM stalls in minutes-long bursts
+    * (BENCH_r03 recorded 37 s for a 0.6 s query); consecutive best-of-3 per
+    * query lets one burst swallow all three reps. Two defenses, neither of
+    * which changes what is measured (the min is still a time the engine
+    * actually achieved):
+    *  1. INTERLEAVE: reps run as full passes over every query (pass 1 of all,
+    *     pass 2 of all, ...), so a query's reps are separated by minutes of
+    *     other work — a burst pollutes one pass of many queries, not every
+    *     rep of one.
+    *  2. SPREAD GUARD: after the base passes, any query whose reps disagree
+    *     by >2× (evidence a burst hit some rep) gets up to
+    *     SPARK_GRAFT_BENCH_EXTRA (default 2) extra reps; extra reps can only
+    *     lower a best-of estimate, never inflate it.
+    * SPARK_GRAFT_BENCH_REPS=1 restores single-shot (no guard). */
+  private def runAll(spark: SparkSession, sfDir: String,
+                     work: Seq[(String, (SparkSession, String) => DataFrame, () => Unit)],
+                     reps: Int): Seq[(String, Double)] = {
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (pass <- 1 to math.max(1, reps); (name, fn, prep) <- work) {
+      val dt = timeOnce(spark, sfDir, name, fn, prep)
+      times(name) = times(name) :+ dt
+      System.err.println(f"[bench] pass $pass $name%-22s $dt%8.2f s")
+    }
+    if (reps > 1) {
+      val extra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
+      for ((name, fn, prep) <- work) {
+        var v = times(name)
+        var budget = extra
+        while (budget > 0 && v.max > 2.0 * v.min) {
+          val dt = timeOnce(spark, sfDir, name, fn, prep)
+          System.err.println(f"[bench] guard  $name%-22s $dt%8.2f s (spread ${v.max / v.min}%.1fx)")
+          v = v :+ dt; budget -= 1
+        }
+        times(name) = v
       }
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    System.err.println(f"[bench] $name%-22s $dt%8.2f s")
-    name -> dt
+    }
+    work.map { case (name, _, _) =>
+      val dt = times(name).min
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s (best of ${times(name).size})")
+      name -> dt
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,18 +157,19 @@ object Bench {
       System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = names.flatMap { name =>
+    val work = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
-        case Some(fn) =>
+        case Some(q) =>
           val prep: () => Unit =
             if (fitsOnce(name)) () => graft.queries.MlQueries.clearFitCaches()
             else () => ()
-          Some(time(spark, sfDir, name, fn, reps, prep))
+          Some((name, q, prep))
         case None =>
           System.err.println(s"[bench] unknown query: $name (skipped)")
           None
       }
     }
+    val results = runAll(spark, sfDir, work, reps)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -50,16 +50,31 @@ object ScaleProbe {
         .parquet(s"${dirFor(f)}/documents.parquet")
     }
 
+    // Task-metric listener: per-run sums of spill/shuffle/GC, to attribute a
+    // superlinear segment to spill (memory pressure) vs output volume. The
+    // probe runs queries serially, so a global accumulator is race-free.
+    val metrics = new ProbeMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+
     // toRdd.count(), NOT Dataset.count(): count() plants an Aggregate on top
     // and Catalyst then prunes every computed column (and drops sorts), so a
     // pure-map query would be measured as a scan-count. toRdd materializes
     // the plan's actual output rows with all expressions evaluated.
-    def time(name: String, dir: String): Double =
+    // Returns (best-of-3 seconds, output rows, metrics of the best rep).
+    def timeDf(mk: String => org.apache.spark.sql.DataFrame,
+               dir: String): (Double, Long, ProbeMetrics) =
       (1 to 3).map { _ =>
+        metrics.reset()
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val rows = mk(dir).queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // listener bus is async and has no public flush — a short drain pause
+        // is enough for the per-task metric events of a finished job
+        Thread.sleep(300)
+        (dt, rows, metrics.snapshot())
+      }.minBy(_._1)
+    def time(name: String, dir: String): Double =
+      timeDf(SparkEntry.queries(name)(spark, _), dir)._1
 
     // warm the io/codegen paths so factor-1 isn't charged first-touch cost
     (linearOps :+ "q_minhash_dedup").filter(q => only.forall(_.contains(q)))
@@ -73,6 +88,39 @@ object ScaleProbe {
       .filter(q => only.forall(_.contains(q))).map { q =>
       q -> dupHeavyFactors.map(f => f -> time(q, dirFor(f))).toMap
     }
+
+    // ---- tail diagnosis (round-3 watch items): q_winnow and q_ngram_count
+    // are the two operators whose 50×→100× segment trends superlinear. For
+    // each, probe (a) the registry query as-is, (b) the OPERATOR alone — the
+    // same plan minus the final presentation orderBy, which exists only so
+    // the oracle compare is deterministic and is NOT part of the production
+    // operator — and record output rows + spill/shuffle/GC of the best rep.
+    val tailVariants: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "q_winnow(full)" -> (dir => SparkEntry.queries("q_winnow")(spark, dir)),
+      "q_winnow(no-sort)" -> { dir =>
+        graft.io.Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            explode(graft.text.TextOps.winnow(col("text"), 12, 4)).as("packed"))
+          .select(col("doc_id"),
+            shiftright(col("packed"), 32).as("pos"),
+            col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("fp"))
+      },
+      "q_ngram_count(full)" -> (dir => SparkEntry.queries("q_ngram_count")(spark, dir)),
+      "q_ngram_count(no-sort)" -> { dir =>
+        graft.io.Tables.documents(spark, dir)
+          .select(explode(graft.text.TextOps.ngrams(
+            graft.text.TextOps.tokens(col("text")), 3)).as("ngram"))
+          .groupBy("ngram").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 3)
+      })
+    val tailFactors = Seq(10, 50, 100)
+    val tailRows: Seq[(String, Map[Int, (Double, Long, ProbeMetrics)])] =
+      tailVariants
+        .filter { case (label, _) =>
+          only.forall(o => o.exists(q => label.startsWith(q))) }
+        .map { case (label, mk) =>
+          label -> tailFactors.map(f => f -> timeDf(mk, dirFor(f))).toMap
+        }
 
     val sb = new StringBuilder
     sb.append("# SCALEPROBE — measured wall-time scaling of document-path operators\n\n")
@@ -98,8 +146,47 @@ object ScaleProbe {
     dupRows.foreach { case (q, t) =>
       sb.append(f"| $q | ${t(1)}%.2f | ${t(2)}%.2f | ${t(5)}%.2f | ${t(10)}%.2f |\n")
     }
+    if (tailRows.nonEmpty) {
+      sb.append("\n## Tail diagnosis: q_winnow / q_ngram_count (round-3 watch items)\n\n")
+      sb.append("`(full)` = the registry query; `(no-sort)` = the same plan minus the\n")
+      sb.append("final presentation orderBy (oracle-determinism only, not part of the\n")
+      sb.append("production operator). rows = output rows; spill/shuffle/GC from the\n")
+      sb.append("best-of-3 rep.\n\n")
+      sb.append("| variant | f | s | out rows | spill MB | shuffle-write MB | GC s |\n")
+      sb.append("|---|---|---|---|---|---|---|\n")
+      tailRows.foreach { case (label, t) =>
+        tailFactors.foreach { f =>
+          val (s, rows, m) = t(f)
+          sb.append(f"| $label | ${f}x | $s%.2f | $rows | ${m.spillBytes / 1e6}%.0f " +
+            f"| ${m.shuffleWriteBytes / 1e6}%.0f | ${m.gcMillis / 1e3}%.1f |\n")
+        }
+      }
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outMd), sb.toString)
     println(s"wrote $outMd")
     spark.stop()
   }
+}
+
+/** Immutable snapshot of the per-run task-metric sums. */
+final case class ProbeMetrics(spillBytes: Long, shuffleWriteBytes: Long,
+                              gcMillis: Long)
+
+/** Sums task metrics between reset() calls — the probe runs queries serially
+  * on one SparkContext, so a single global accumulator is race-free. */
+final class ProbeMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  private val spill = new java.util.concurrent.atomic.AtomicLong
+  private val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+  private val gc = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      gc.addAndGet(m.jvmGCTime)
+    }
+  }
+  def reset(): Unit = { spill.set(0); shuffleWrite.set(0); gc.set(0) }
+  def snapshot(): ProbeMetrics =
+    ProbeMetrics(spill.get, shuffleWrite.get, gc.get)
 }

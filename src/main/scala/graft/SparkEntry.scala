@@ -37,5 +37,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
+    registry.collect { case (k, qd) if qd.oracle.isDefined => k -> qd.oracle.get }
+
+  /** Full defs (serial flag, gate expectations) for Verify. */
+  def defs: Map[String, QueryDef] = registry
 }

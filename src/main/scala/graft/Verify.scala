@@ -1,59 +1,121 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Order-independent non-float checksum: SUM of each row's 60-bit md5
+    * prefix over the columns whose type is not floating (sorted by name,
+    * joined with \\u0001, nulls as \\u0000). Insensitive to row order and to
+    * float-reduction order, pins every id/count/string value. None when the
+    * output has no non-float column. */
+  def checksum(df: DataFrame): Option[String] = {
+    val cols = df.schema.fields
+      .filter(f => f.dataType != DoubleType && f.dataType != FloatType)
+      .map(_.name).sorted
+    if (cols.isEmpty) None
+    else {
+      val row = md5(concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+      val v = df.select(conv(substring(row, 1, 15), 16, 10)
+          .cast("decimal(38,0)").as("h"))
+        .agg(sum("h")).head.getDecimal(0)
+      Some(if (v == null) "0" else v.toBigInteger.toString)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg (local dev only; the driver passes two): run just the
     // named comma-separated queries instead of the full surface
     val only = args.lift(2).map(_.split(',').toSet)
+    // local dev: print (rows, checksum) for every rows-only query instead of
+    // enforcing — how the pinned expectAtGate values are (re)generated
+    val printChecks = sys.env.get("SPARK_GRAFT_PRINT_CHECKS").contains("1")
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    val selected = SparkEntry.queries
+    val selected = SparkEntry.defs
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // gate expectations are pinned at the driver's sf0.01 verify scale only
+    val atGate = sfDir.replaceAll("/+$", "").endsWith("sf0.01")
+    val checkResults = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def run(name: String, qd: QueryDef): Unit =
+      try {
+        val df = qd.fn(spark, sfDir)
+        if (printChecks && qd.oracle.isEmpty) {
+          val rows = df.count()
+          val cs = checksum(df).map("\"" + _ + "\"").getOrElse("null")
+          System.out.synchronized {
+            println(s"""CHECK $name rows=$rows checksum=$cs""")
+          }
+        }
+        qd.expect.filter(_ => atGate).foreach { e =>
+          val rows = df.count()
+          if (rows != e.rows)
+            sys.error(s"gate expectation: rows=$rows, pinned ${e.rows}")
+          e.checksum.foreach { pinned =>
+            val got = checksum(df).getOrElse("<no non-float column>")
+            if (got != pinned)
+              sys.error(s"gate expectation: checksum=$got, pinned $pinned")
+          }
+          checkResults.put(name, s"""{"rows":${e.rows},"ok":true}""")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
+        checkResults.put(name,
+          s"""{"ok":false,"err":${jsonStr(e.getMessage)}}""")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     // Batch queries run through a small driver-side submission pool — the
     // Spark scheduler interleaves their jobs across the executor threads, so
     // the dump's wall time is bounded by work, not by per-query driver
-    // latency (planning, DuckDB-free aggregations, file commits). Streaming
-    // replays stay SERIAL: they scope session confs (state-store provider,
-    // state partitions) that concurrent query STARTS would race on.
-    val (streamQ, batchQ) = selected.toSeq.sortBy(_._1)
-      .partition(_._1.contains("stream"))
+    // latency (planning, DuckDB-free aggregations, file commits). Queries
+    // flagged scopesSessionConf (streaming replays: state-store provider,
+    // state partitions) stay SERIAL — concurrent query STARTS would race on
+    // the session confs they scope.
+    val (serialQ, batchQ) = selected.toSeq.sortBy(_._1)
+      .partition(_._2.scopesSessionConf)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARALLEL", "4").toInt)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val futures = batchQ.map { case (n, f) =>
-      scala.concurrent.Future(run(n, f))
+    val futures = batchQ.map { case (n, qd) =>
+      scala.concurrent.Future(run(n, qd))
     }
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
-    streamQ.foreach { case (n, f) => run(n, f) }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    serialQ.foreach { case (n, qd) => run(n, qd) }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // driver-visible record of the pinned-expectation checks (rows +
+    // non-float checksum) enforced this run for queries with no oracle
+    if (atGate) {
+      val checks = selected.toSeq.sortBy(_._1).flatMap { case (n, qd) =>
+        qd.expect.map { _ =>
+          s"${jsonStr(n)}: ${checkResults.getOrDefault(n, """{"ok":false,"err":"not run"}""")}"
+        }
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/gate_checks.json"), checks)
+    }
     spark.stop()
   }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def jsonStr(s: String): String = "\"" + Option(s).getOrElse("").flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

@@ -86,6 +86,19 @@ object GraphOps {
       .map { case (id, scc) => (id, scc) }.toDF("vertex", "component")
   }
 
+  /** Convergent SCC: iteration bound = vertex count, the hard upper bound on
+    * the condensation-DAG depth, so the result can never be the silently
+    * unconverged ids a too-small fixed bound yields. Costs nothing when the
+    * graph converges sooner — GraphX's outer loop exits as soon as every
+    * vertex is finalized (`while (numVertices > 0 && iter < numIter)`,
+    * graphx/lib/StronglyConnectedComponents.scala). The distinct-count is one
+    * tiny shuffle over the edge list, negligible next to the SCC Pregel. */
+  def stronglyConnectedComponents(directed: DataFrame): DataFrame = {
+    val n = directed.select(col("src")).union(directed.select(col("dst")))
+      .distinct().count()
+    stronglyConnectedComponents(directed, math.max(1L, n).min(Int.MaxValue).toInt)
+  }
+
   /** G2: PageRank as an iterative DataFrame computation, semantics identical
     * to GraphX staticPageRank: rank₀ = 1.0; rankₖ₊₁ = reset + (1−reset)·Σ
     * rankₖ(neighbor)/deg(neighbor). Isolated vertices keep rank = reset…1.0

@@ -72,8 +72,39 @@ object LshJoins {
         col("dist"))
   }
 
-  /** Approx k-NN for one probe vector (reference CustomizedLSH.scala:92-137
-    * single-probe path): model hash + bucket filter + true-distance sort. */
+  /** Exact Jaccard distance over nonzero index sets — the MinHash keyDistance
+    * (1 − |∩|/|∪|), computed by sorted merge without per-row Set allocation.
+    * Double (not the Float percent kernels) so reported distances match the
+    * estimator's own bit-for-bit. */
+  private[lsh] def jaccardDistance(x: Vector, y: Vector): Double = {
+    def nz(v: Vector): Array[Int] = {
+      val b = Array.newBuilder[Int]
+      v.foreachActive((i, value) => if (value != 0.0) b += i)
+      b.result() // foreachActive visits ascending indices for both layouts
+    }
+    val xi = nz(x); val yi = nz(y)
+    var i = 0; var j = 0; var inter = 0
+    while (i < xi.length && j < yi.length) {
+      if (xi(i) == yi(j)) { inter += 1; i += 1; j += 1 }
+      else if (xi(i) < yi(j)) i += 1
+      else j += 1
+    }
+    val union = xi.length + yi.length - inter
+    if (union == 0) 1.0 else 1.0 - inter.toDouble / union
+  }
+
+  /** Approx k-NN for one probe vector — the reference's TWO-PHASE search
+    * (CustomizedLSH.scala:92-137):
+    *  - phase 1 (single probe): rows sharing ≥1 hash bucket with the probe;
+    *  - phase 2 (only if the bucket holds < k rows): widen by hash distance —
+    *    sort all rows by min-over-tables differing-slot count to the probe's
+    *    hashes, take the k-th value as a threshold, keep rows at or under it
+    *    (reference lines 119-131: sort+limit → max → filter) — so a
+    *    sparse-bucket probe still returns k rows instead of starving.
+    * Either subset then gets exact-Jaccard top-k (true-distance sort+limit).
+    * Scale note: phase 1 is a hash-pruned scan; phase 2 scans hash signatures
+    * only (numTables ints/row, not the feature vectors) — the same full-scan
+    * degrade the reference accepts when buckets run dry. */
   def minHashKnn(df: DataFrame, idCol: String, featuresCol: String,
                  probe: Vector, k: Int, numTables: Int = 16,
                  seed: Long = 12345L): DataFrame = {
@@ -87,7 +118,37 @@ object LshJoins {
       .setInputCol(featuresCol).setOutputCol("__hashes")
       .setNumHashTables(numTables).setSeed(seed)
       .fit(nonEmpty)
-    model.approxNearestNeighbors(nonEmpty, probe, k, "jaccard_dist")
+    val hashed = model.transform(nonEmpty)
+    // probe hashes via the public transform on a one-row frame (hashFunction
+    // itself is private[ml]) — same values the rows were bucketed with
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyHash: Seq[Vector] = model.transform(Seq(Tuple1(probe)).toDF(featuresCol))
+      .select("__hashes").head.getSeq[Vector](0)
+    val sameBucket = udf((x: Seq[Vector]) =>
+      x.iterator.zip(keyHash.iterator).exists { case (a, b) => a == b })
+    val bucket = hashed.filter(sameBucket(col("__hashes")))
+    val subset =
+      if (bucket.limit(k).count() >= k) bucket
+      else {
+        // min over tables of the differing-slot count — Spark's MinHash
+        // hashDistance (0 when any bucket matches, so phase 2 ⊇ phase 1)
+        val hashDist = udf { (x: Seq[Vector]) =>
+          x.iterator.zip(keyHash.iterator).map { case (a, b) =>
+            val aa = a.toArray; val bb = b.toArray
+            var d = 0; var i = 0
+            while (i < aa.length) { if (aa(i) != bb(i)) d += 1; i += 1 }
+            d
+          }.min.toDouble
+        }
+        val hd = hashed.withColumn("__hd", hashDist(col("__hashes")))
+        val thr = hd.sort("__hd").limit(k).agg(max("__hd")).head.getDouble(0)
+        hd.filter(col("__hd") <= thr).drop("__hd")
+      }
+    val dist = udf((v: Vector) => jaccardDistance(v, probe))
+    subset.withColumn("jaccard_dist", dist(col(featuresCol)))
+      .sort(col("jaccard_dist"), col(idCol))
+      .limit(k)
       .select(col(idCol), col("jaccard_dist"))
   }
 }

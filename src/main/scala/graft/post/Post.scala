@@ -53,4 +53,32 @@ object Post {
     import spark.implicits._
     lines.toDF("value").coalesce(1).write.mode(SaveMode.Overwrite).text(outPath)
   }
+
+  /** S11 artifact form: serialize a double column as the Histogrammar
+    * Bin(n, lo, hi) JSON the reference plots from
+    * (utils/Plot.scala:31 `input.histogrammar(Bin(10, 0, 100,
+    * $"similarity")).toJsonFile(outputJson)`): low/high bounds, per-bin
+    * counts, and the three flow counters, using Histogrammar's
+    * `"<field>:type": "Count"` key convention. ONE map-side-combined
+    * aggregation — the only driver-side bytes are the (nBins+3) counters,
+    * so the writer is corpus-scale-safe by construction. */
+  def histogramJson(df: DataFrame, valueCol: String,
+                    nBins: Int, lo: Double, hi: Double): String = {
+    val buf = df.select(graft.functions.Aggregators
+        .histogram(nBins, lo, hi)(col(valueCol)).as("h"))
+      .head.getSeq[Long](0)
+    val values = buf.take(nBins)
+    val entries = buf.sum
+    s"""{"type":"Bin","data":{"low":$lo,"high":$hi,"entries":$entries,""" +
+      s""""values:type":"Count","values":[${values.mkString(",")}],""" +
+      s""""underflow:type":"Count","underflow":${buf(nBins)},""" +
+      s""""overflow:type":"Count","overflow":${buf(nBins + 1)},""" +
+      s""""nanflow:type":"Count","nanflow":${buf(nBins + 2)}}}"""
+  }
+
+  /** [[histogramJson]] to a file — the reference's toJsonFile. */
+  def writeHistogramJson(df: DataFrame, valueCol: String, nBins: Int,
+                         lo: Double, hi: Double, outPath: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      histogramJson(df, valueCol, nBins, lo, hi))
 }

@@ -73,7 +73,7 @@ object EventQueries {
           Streaming.tumblingAgg(Streaming.eventStream(s, d)),
           s"stream_tumbling_${System.nanoTime()}")
         .orderBy("window_start", "event_type")
-    },
+    }.serial,
 
     // ----- §2.13: sliding window (1 h window, 30 min slide) — each event lands
     // in exactly two windows; oracle mirrors via unnest of the two starts
@@ -102,7 +102,7 @@ object EventQueries {
           Streaming.slidingAgg(Streaming.eventStream(s, d)),
           s"stream_sliding_${System.nanoTime()}")
         .orderBy("window_start")
-    },
+    }.serial,
 
     // ----- §2.13 STREAMING: session windows (30-min gap) per user via
     // session_window() through readStream; per-user rollup matches the
@@ -316,7 +316,7 @@ object EventQueries {
           Streaming.followWithin(Streaming.eventStream(s, d), "click", "purchase"),
           s"stream_join_${System.nanoTime()}", mode = "append")
         .orderBy("user_id", "first_us", "then_us")
-    },
+    }.serial,
 
     // ----- §2.13: LEFT OUTER stream-stream join — unmatched clicks surface
     // null-padded once the watermark proves no in-window purchase can still
@@ -348,7 +348,7 @@ object EventQueries {
           Streaming.followWithinOuter(stream, "click", "purchase"),
           s"stream_join_outer_${System.nanoTime()}", mode = "append")
         .orderBy("user_id", "first_us", "then_us")
-    },
+    }.serial,
 
     // ----- §2.13 STREAMING: stream-static join — the event stream enriched
     // against the static customer dimension (broadcast, stateless) before a
@@ -365,7 +365,7 @@ object EventQueries {
             Streaming.eventStream(s, d), Tables.customer(s, d)),
           s"stream_static_${System.nanoTime()}")
         .orderBy("segment")
-    },
+    }.serial,
 
     // ----- §2.13 STREAMING: UNION of two independent streaming sources (the
     // click feed and the error feed read as separate readStreams) merged into
@@ -384,7 +384,7 @@ object EventQueries {
           Streaming.unionStreamsAgg(clicks, errors),
           s"stream_union_${System.nanoTime()}")
         .orderBy("event_type")
-    },
+    }.serial,
 
     // ----- §2.13 STREAMING: CHAINED stateful aggregations — 30-min per-user
     // tumbling counts re-windowed into 1-h rollups, two stateful operators in
@@ -413,7 +413,7 @@ object EventQueries {
           s"stream_chained_${System.nanoTime()}", mode = "append")
         .filter((col("window_start") + 3600L) * 1000000L <= maxUs - 9001000000L)
         .orderBy("window_start")
-    },
+    }.serial,
 
     // ----- §2.13 × dedup: streaming exact dedup — dropDuplicates keeps the
     // first sighting of each key across micro-batches; the emitted KEY SET
@@ -428,7 +428,7 @@ object EventQueries {
           Streaming.dedupKeys(Streaming.eventStream(s, d)),
           s"stream_dedup_${System.nanoTime()}", mode = "append")
         .orderBy("user_id", "event_type")
-    },
+    }.serial,
 
     "q_stream_stateful" -> QueryDef.sql("""
       SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_us
@@ -440,7 +440,7 @@ object EventQueries {
         .groupBy("user_id")
         .agg(max("n_events").as("n_events"), max("last_us").as("last_us"))
         .orderBy("user_id")
-    },
+    }.serial,
 
     // ----- §2.13 STREAMING: the same running per-user state on
     // transformWithState (Spark 4 arbitrary-state API, RocksDB store) —
@@ -457,7 +457,7 @@ object EventQueries {
           .agg(max("n_events").as("n_events"), max("last_us").as("last_us"))
           .orderBy("user_id")
       }
-    },
+    }.serial,
 
     // ----- §2.13 extension: per-user event-type histogram on
     // transformWithState + typed MapState — keyed sub-state (one map entry
@@ -477,7 +477,7 @@ object EventQueries {
           .agg(max("n").as("n"))
           .orderBy("user_id", "event_type")
       }
-    },
+    }.serial,
 
     // ----- §2.13 extension: per-user trailing event-type window on
     // transformWithState + typed ListState (append, trim to last-3) — the
@@ -502,7 +502,7 @@ object EventQueries {
             max_by(col("recent"), col("n_events")).as("recent"))
           .orderBy("user_id")
       }
-    },
+    }.serial,
 
     // ----- §2.13 extension: sessionization on transformWithState with
     // EVENT-TIME TIMERS — the explicit-timer form of the gap-close (register
@@ -533,7 +533,7 @@ object EventQueries {
           .agg(max("n_events").as("n_events"))
           .orderBy("user_id", "session_start")
       }
-    },
+    }.serial,
 
     // Oracle is microsecond-exact: Spark's session_window end is EXCLUSIVE, so
     // a gap of exactly 30 min starts a new session (diff >= 1800e6 us) — and
@@ -554,7 +554,7 @@ object EventQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
         .orderBy("user_id")
-    },
+    }.serial,
 
     // ----- §2.13 STREAMING: sessionization rebuilt on flatMapGroupsWithState
     // (explicit GroupState + event-time timeout) instead of session_window();
@@ -581,7 +581,7 @@ object EventQueries {
         .groupBy("user_id", "session_start")
         .agg(max("n_events").as("n_events"))
         .orderBy("user_id", "session_start")
-    },
+    }.serial,
 
     // ----- §2.13: sessionization (30-min inactivity gap) as window functions;
     // the streaming twin uses session_window()/flatMapGroupsWithState

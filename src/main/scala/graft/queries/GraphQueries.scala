@@ -160,7 +160,9 @@ object GraphQueries {
       val dir = e.unionByName(
         e.filter((col("src") + col("dst")) % 3 === 0)
           .select(col("dst").as("src"), col("src").as("dst")))
-      GraphOps.stronglyConnectedComponents(dir, numIter = 20)
+      // convergent variant — a fixed bound (20) would silently return wrong
+      // component ids the moment a larger SF grows a longer nation chain
+      GraphOps.stronglyConnectedComponents(dir)
         .orderBy("vertex")
     },
 

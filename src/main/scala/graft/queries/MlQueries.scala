@@ -87,7 +87,7 @@ object MlQueries {
       featurized(s, d)
         .select(col("doc_id"), numNonzeros(col("features")).as("nnz"))
         .orderBy("doc_id")
-    },
+    }.expectAtGate(500L, "293893713572166724927"),
 
     // ----- M6: CountVectorizer path. Gate variant uses an unbounded vocab so
     // nnz == per-doc distinct post-pipeline terms, which the oracle mirrors
@@ -112,7 +112,7 @@ object MlQueries {
       val clustered = clustered8(s, d)
       clustered.groupBy("prediction").agg(count(lit(1)).as("n"))
         .orderBy("prediction")
-    },
+    }.expectAtGate(8L, "5395641291522992234"),
 
     // ----- M8 alternative: bisecting k-means blocking (the reference's
     // commented alternative, feature/Utils.scala:138)
@@ -120,7 +120,7 @@ object MlQueries {
       val (_, clustered) = Clustering.bisectingKmeans(featurized(s, d), k = 8)
       clustered.groupBy("prediction").agg(count(lit(1)).as("n"))
         .orderBy("prediction")
-    },
+    }.expectAtGate(8L, "3323792983499825215"),
 
     // ----- M9: LDA topics (reference LDAAnalyzer.scala:85-116)
     // Scalar columns only: the driver's pandas compare cannot sort array
@@ -130,7 +130,30 @@ object MlQueries {
       model.describeTopics(5)
         .select(col("topic"), posexplode(col("termIndices")).as(Seq("pos", "term_index")))
         .orderBy("topic", "pos")
-    },
+    }.expectAtGate(25L, "11710550364679592077"),
+
+    // ----- workflow-3 end to end: LDA topic label as the BLOCKING key — the
+    // reference's third workflow (LDAAnalyzer.scala:109-116 assigns argmax
+    // topic, then the AggregatorTest2 per-cluster all-pairs pattern runs
+    // inside each topic block). Same skeleton as q_billmatch with the k-means
+    // blocker swapped for the topic label: candidate pairs must share a topic
+    // and differ on lang, cosine kernel, global top-K. rows-only (LDA fit not
+    // SQL-replayable); the block-partitioning invariant is ClusteringSpec's.
+    "q_lda_candidates" -> QueryDef.rowsOnly { (s, d) =>
+      val (_, topical) = Clustering.lda(featurized(s, d), k = 5, maxIter = 10)
+      val blocked = topical.select(
+        col("doc_id"), col("lang"), col("prediction"), col("features"))
+      val pairs = Candidates.pairs(blocked, CandidateConfig(
+        keyCol = "doc_id", groupCol = "lang", blockCol = Some("prediction")))
+      val withVecs = Candidates.attachBothSides(pairs,
+        blocked.select(col("doc_id"), col("features")), "doc_id", "features")
+      val cosine = Kernels.udfFor("cosine")
+      withVecs
+        .select(col("pk1"), col("pk2"),
+          cosine(col("features_1"), col("features_2")).as("similarity"))
+        .orderBy(desc("similarity"), asc("pk1"), asc("pk2"))
+        .limit(50)
+    }.expectAtGate(50L, "32199987269354545395"),
 
     // ----- M10: key-preserving LSA projection (fixes SURVEY J6)
     "q_lsa_project" -> QueryDef.rowsOnly { (s, d) =>
@@ -138,7 +161,7 @@ object MlQueries {
       Clustering.lsaProject(featurized(s, d), numConcepts = 16)
         .select(col("doc_id"), norm2(col("lsa_features")).as("lsa_norm"))
         .orderBy("doc_id")
-    },
+    }.expectAtGate(500L, "283939178082398863561"),
 
     // ----- M11/J3: MinHash LSH self-join + asymmetric keyDistance recompute
     "q_minhash_lsh" -> QueryDef.rowsOnly { (s, d) =>
@@ -151,7 +174,7 @@ object MlQueries {
         .select("doc_id", "features")
       LshJoins.minHashSelfJoin(tf, "doc_id", "features", threshold = 0.6)
         .orderBy("pk1", "pk2")
-    },
+    }.expectAtGate(106457L, "61339493087933124682433"),
 
     // ----- M12: bucketed random-projection LSH on embeddings
     "q_brp_lsh" -> QueryDef.rowsOnly { (s, d) =>
@@ -161,14 +184,33 @@ object MlQueries {
       LshJoins.brpSelfJoin(vecs, "vec_id", "features",
         threshold = 1.0, bucketLength = 0.5)
         .orderBy("pk1", "pk2")
-    },
+    }.expectAtGate(1L, "1073989426381618019"),
+
+    // ----- J4: two-phase approx k-NN (reference CustomizedLSH.scala:92-137).
+    // The probe is an out-of-corpus token set, so its hash buckets are (nearly
+    // always) empty and the query exercises the phase-2 hash-distance
+    // widening: sort by min differing-slot count, k-th value as threshold,
+    // true-Jaccard top-k over the widened set. Deterministic (fixed seed,
+    // id tiebreak) but not SQL-replayable (MinHash bucket internals) →
+    // rows-only: the contract is EXACTLY k rows even though no bucket matched.
+    "q_knn_probe" -> QueryDef.rowsOnly { (s, d) =>
+      val cfg = FeatureConfig(numTextFeatures = 1024, useIdf = false)
+      val tf = FeaturePipeline.features(spread(Tables.documents(s, d)), cfg)
+        .select("doc_id", "features")
+      import s.implicits._
+      val probe: Vector = FeaturePipeline.features(
+          Seq((-1L, "zyzzyva quokka oblast plasmid xylem fjord")).toDF("doc_id", "text"), cfg)
+        .select("features").head.getAs[Vector](0)
+      LshJoins.minHashKnn(tf, "doc_id", "features", probe, k = 25)
+        .orderBy("jaccard_dist", "doc_id")
+    }.expectAtGate(25L, "16415262962297745791"),
 
     // ----- M13/J10: DIMSUM sampled cosine all-pairs
     "q_dimsum" -> QueryDef.rowsOnly { (s, d) =>
       Dimsum.docSimilarities(featurized(s, d), "doc_id", "features", threshold = 0.3)
         .filter(col("cos_sim") >= 0.5)
         .orderBy("d1", "d2")
-    },
+    }.expectAtGate(93956L, "54071171296996192912380"),
 
     // ----- extension: MinHash banded-LSH near-dup detection (pure columns).
     // Oracle = EXACT all-pairs shingle-set Jaccard: valid because banding has
@@ -262,7 +304,7 @@ object MlQueries {
         blockCol = Some("prediction"),
         lengthCol = Some("n_chars"), maxLengthRatio = 0.26))
         .orderBy("pk1", "pk2")
-    },
+    }.expectAtGate(9963L, "5765546440449434717339"),
 
     // ----- flagship: the reference's workflow-1 end to end (features →
     // k-means blocking → candidate join → cosine kernel → global top-K),
@@ -279,7 +321,7 @@ object MlQueries {
           cosine(col("features_1"), col("features_2")).as("similarity"))
         .orderBy(desc("similarity"), asc("pk1"), asc("pk2"))
         .limit(50)
-    },
+    }.expectAtGate(50L, "31621630577925320397"),
 
     // ----- flagship, ORACLE-CHECKED form: same workflow-1 skeleton (blocked
     // candidate pairs -> cosine -> global top-K) but on exact sparse

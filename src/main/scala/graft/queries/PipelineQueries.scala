@@ -109,7 +109,7 @@ object PipelineQueries {
             FROM t)
       SELECT doc_id, source, n_tok,
              CAST(FLOOR(cum / 256.0) AS BIGINT) AS bin,
-             cum % 256 AS off
+             CAST(cum % 256 AS BIGINT) AS off
       FROM c ORDER BY source, doc_id""") { (s, d) =>
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -239,7 +239,7 @@ object PipelineQueries {
         .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
         .select("doc_id")
         .orderBy("doc_id")
-    },
+    }.serial,
 
     // ----- §2.13 STREAMING: stateless corpus quality gate over the document
     // stream (token-count + length thresholds map-side, per-lang yield as the
@@ -257,7 +257,7 @@ object PipelineQueries {
           .groupBy("lang").agg(count(lit(1)).as("n")),
         s"stream_doc_gate_${System.nanoTime()}")
         .orderBy("lang")
-    },
+    }.serial,
 
     // ----- extension: sketch-assisted EXACT heavy hitters — Misra-Gries with
     // 4 counters over 5 distinct keys (the sketch genuinely evicts), then an

@@ -419,7 +419,7 @@ object Relational {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
           count(lit(1)).as("n_events"))
         .orderBy("event_type")
-    },
+    }.expectAtGate(5L, "2739258601448585293"),
 
     // ----- extension: SKEW — salted shuffle join (operators.SkewOps). Same
     // result as the plain lineitem⋈orders join; the salt spreads any hot

@@ -72,7 +72,7 @@ object TextQueries {
         .groupBy("stem").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
         .orderBy("stem")
-    },
+    }.expectAtGate(31L, "19699369387328162539"),
 
     // ----- extension: language-ID heuristic (marker-word argmax)
     "q_langid" -> QueryDef.sql("""

@@ -203,7 +203,7 @@ object VectorQueries {
         .select(col("q_id"), col("cand_id"), round(col("approx_d2"), 6).as("approx_d2"),
           col("rn"))
         .orderBy("q_id", "rn")
-    },
+    }.expectAtGate(50L, "30444443311126914761"),
 
     // ----- extension: IVF-PQ — the composed index (coarse routing bounds the
     // scan, product-quantization codes bound the memory; Jégou et al. 2011).
@@ -221,7 +221,7 @@ object VectorQueries {
         .select(col("q_id"), col("cand_id"),
           round(col("approx_d2"), 6).as("approx_d2"), col("rn"))
         .orderBy("q_id", "rn")
-    },
+    }.expectAtGate(50L, "32986648830357493473"),
 
     "q_ann_ivf" -> QueryDef.rowsOnly { (s, d) =>
       val t = Tables.embeddings(s, d)
@@ -233,7 +233,7 @@ object VectorQueries {
       graft.ann.Ivf.search(index, probes, "vec_id", "v", topK = 3, nProbe = 4)
         .select(col("q_id"), col("cand_id"), round(col("cos"), 6).as("cos"), col("rn"))
         .orderBy("q_id", "rn")
-    },
+    }.expectAtGate(30L, "18887515409521622357"),
 
     // ----- extension: sign-LSH bucketed ANN — same probe set, but the join is
     // bucket-equality instead of a cross product; md5-derived hyperplanes make

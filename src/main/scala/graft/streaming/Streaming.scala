@@ -364,10 +364,18 @@ object Streaming {
         if (u - s.last_us > gapUs) {
           out += SessionOut(uid, s.start_us, s.n_events, closed = true)
           s = OpenSession(u, u, 1L)
-        } else s = OpenSession(s.start_us, math.max(s.last_us, u), s.n_events + 1)
+        } else
+          // out-of-order event (a later micro-batch may legally carry an
+          // event older than last_us, up to the watermark): merge BOTH ends —
+          // min into start_us, max into last_us — so the session bounds match
+          // the globally-sorted batch oracle, not the arrival order
+          s = OpenSession(math.min(s.start_us, u), math.max(s.last_us, u),
+            s.n_events + 1)
       }
       sess.update(s)
-      getHandle.registerTimer((s.last_us + gapUs) / 1000L)
+      // round the µs deadline UP to ms: floor would let the timer fire (and
+      // close the session) up to 1 ms before the gap has actually elapsed
+      getHandle.registerTimer((s.last_us + gapUs + 999L) / 1000L)
       (out += SessionOut(uid, s.start_us, s.n_events, closed = false))
         .result().iterator
     }
@@ -377,7 +385,7 @@ object Streaming {
       // guard: only close if this timer still matches the open session's
       // quiet period (robust to input-vs-timer ordering within a batch)
       if (sess.exists() && info.getExpiryTimeInMs >=
-          (sess.get().last_us + gapUs) / 1000L) {
+          (sess.get().last_us + gapUs + 999L) / 1000L) {
         val s = sess.get()
         sess.clear()
         Iterator.single(SessionOut(uid, s.start_us, s.n_events, closed = true))

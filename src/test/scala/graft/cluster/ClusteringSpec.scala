@@ -46,6 +46,27 @@ class ClusteringSpec extends SparkSpec {
     assert(math.abs(dist.toArray.sum - 1.0) < 1e-6)
   }
 
+  test("lda prediction as blockCol partitions the candidate pairs by topic") {
+    // workflow-3 shape (reference LDAAnalyzer.scala:109-116): LDA argmax topic
+    // is the blocking key; every candidate pair must share a topic block.
+    val docs = Seq(
+      ("d1", "us", Vectors.sparse(8, Array(0, 1, 2), Array(5.0, 4.0, 3.0))),
+      ("d2", "fr", Vectors.sparse(8, Array(0, 1, 3), Array(4.0, 5.0, 2.0))),
+      ("d3", "us", Vectors.sparse(8, Array(5, 6, 7), Array(5.0, 4.0, 3.0))),
+      ("d4", "fr", Vectors.sparse(8, Array(4, 6, 7), Array(3.0, 5.0, 4.0)))
+    ).toDF("pk", "lang", "features")
+    val (_, topical) = Clustering.lda(docs, k = 2, maxIter = 15)
+    // argmax label is total: every doc lands in exactly one block
+    val labels = topical.select("pk", "prediction").as[(String, Int)].collect().toMap
+    assert(labels.size == 4 && labels.values.forall(p => p == 0 || p == 1))
+    val pairs = graft.candidates.Candidates.pairs(topical,
+      graft.candidates.CandidateConfig(
+        keyCol = "pk", groupCol = "lang", blockCol = Some("prediction")))
+      .as[(String, String)].collect()
+    // blocking invariant: pairs only within a topic block (and across langs)
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
+  }
+
   test("lsaProject preserves keys and row count, output dim = numConcepts") {
     val out = Clustering.lsaProject(blobs, numConcepts = 2)
     assert(out.count() == 20)

@@ -47,4 +47,27 @@ class LshJoinsSpec extends SparkSpec {
     assert(got.map(_._1).contains(1L)) // identical set must be in top-2
     assert(got.find(_._1 == 1L).get._2 == 0.0)
   }
+
+  test("minHashKnn two-phase widening returns exactly k on a sparse-bucket probe") {
+    // probe disjoint from every row: with high numTables the chance any of the
+    // 3 rows lands in a probe bucket is tiny, so phase 1 starves (<k) and the
+    // hash-distance threshold (reference CustomizedLSH.scala:119-131) must
+    // widen the candidate set until exactly k rows come back.
+    val probe = Vectors.sparse(32, Array(28, 29, 30, 31), Array.fill(4)(1.0))
+    val got = LshJoins.minHashKnn(sets, "id", "features", probe, k = 3)
+      .as[(Long, Double)].collect()
+    assert(got.length == 3, "sparse-bucket probe must still return k rows")
+    // all rows are disjoint from the probe → exact distance 1.0 everywhere
+    assert(got.forall(_._2 == 1.0))
+  }
+
+  test("jaccardDistance matches the MinHash keyDistance definition") {
+    val a = Vectors.sparse(16, Array(0, 1, 2, 3), Array.fill(4)(1.0))
+    val b = Vectors.sparse(16, Array(2, 3, 4, 5), Array.fill(4)(1.0))
+    assert(LshJoins.jaccardDistance(a, b) == 1.0 - 2.0 / 6.0)
+    assert(LshJoins.jaccardDistance(a, a) == 0.0)
+    // explicit zeros in storage must not count as set members
+    val c = Vectors.sparse(16, Array(0, 1, 7), Array(1.0, 1.0, 0.0))
+    assert(LshJoins.jaccardDistance(a, c) == 1.0 - 2.0 / 4.0)
+  }
 }

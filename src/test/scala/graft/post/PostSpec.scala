@@ -54,6 +54,24 @@ class PostSpec extends SparkSpec {
     assert(Post.harvest(spark, s"$dir/shard_p*").count() == 3)
   }
 
+  test("histogramJson emits the golden Histogrammar Bin shape") {
+    // 10 bins over [0,100): 5 → bin 0, 55/60 → bins 5 and 6, -1 underflow,
+    // 100 overflow (hi-exclusive), NaN nanflow — entries counts all 6
+    val vals = Seq(5.0, 55.0, 60.0, -1.0, 100.0, Double.NaN).toDF("similarity")
+    val got = Post.histogramJson(vals, "similarity", nBins = 10, lo = 0.0, hi = 100.0)
+    val golden =
+      """{"type":"Bin","data":{"low":0.0,"high":100.0,"entries":6,""" +
+        """"values:type":"Count","values":[1,0,0,0,0,1,1,0,0,0],""" +
+        """"underflow:type":"Count","underflow":1,""" +
+        """"overflow:type":"Count","overflow":1,""" +
+        """"nanflow:type":"Count","nanflow":1}}"""
+    assert(got == golden)
+
+    val dir = Files.createTempDirectory("graft-hist").toString
+    Post.writeHistogramJson(vals, "similarity", 10, 0.0, 100.0, s"$dir/hist.json")
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/hist.json")) == golden)
+  }
+
   test("writeLines produces a single text file") {
     val dir = Files.createTempDirectory("graft-vocab").toString
     Post.writeLines(spark, Seq("alpha", "beta"), s"$dir/vocab")
