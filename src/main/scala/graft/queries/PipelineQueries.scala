@@ -93,6 +93,45 @@ object PipelineQueries {
         .select("doc_id", "n_chars")
     },
 
+    // ----- extension: SOURCE MIXING — rebalance a multi-source corpus toward
+    // a uniform per-source token share (the data-mixing step before LLM
+    // training): weight_s = total_tokens / (n_sources · source_tokens),
+    // capped at 1, and each doc keeps iff its 24-bit md5 fraction < weight_s.
+    // Both the cap and the comparison are ONE cross-multiplied integer
+    // inequality (u·src_tok·nsrc < 2^24·total), so there is no floating
+    // division to diverge between engines and ANSI overflow is impossible by
+    // domain (2^24·2^32·nsrc < 2^63). Scale shape: per-source totals are a
+    // tiny aggregate broadcast back into the scan — one pass, one groupBy.
+    "q_source_mix" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, source,
+                        len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tok
+                 FROM documents),
+      tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total,
+                     COUNT(DISTINCT source) AS nsrc FROM t),
+      srcs AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok
+               FROM t GROUP BY source),
+      sel AS (SELECT t.doc_id, t.source, t.n_tok
+              FROM t JOIN srcs s ON t.source = s.source CROSS JOIN tot
+              WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                      * s.src_tok * tot.nsrc
+                    < 16777216 * tot.total)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM sel GROUP BY source ORDER BY source""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      val tot = t.agg(sum("n_tok").cast("long").as("total"),
+        countDistinct("source").as("nsrc"))
+      val srcs = t.groupBy("source").agg(sum("n_tok").cast("long").as("src_tok"))
+      val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6),
+        16, 10).cast("long")
+      t.join(broadcast(srcs), "source").crossJoin(broadcast(tot))
+        .filter(u * col("src_tok") * col("nsrc") < lit(16777216L) * col("total"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
+        .orderBy("source")
+    },
+
     // ----- extension: sequence packing — the concat-and-chunk form every LLM
     // data loader uses: concatenate token streams in a deterministic order,
     // chunk into fixed context windows. bin/offset come from an exclusive

@@ -286,6 +286,23 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // ----- S1-as-connector, STREAMED: the BillsGen DSv2 source read through
+    // readStream (MICRO_BATCH_READ) — 5 admission-controlled micro-batches of
+    // 1000 rows drain under AvailableNow into a per-state count. Offsets are
+    // row indices, every batch regenerates from (seed, index), so replay from
+    // any checkpoint is exact. rows-only: the splitmix generator has no DuckDB
+    // analogue; the streamed-equals-batch invariant is BillsGenSourceSpec's,
+    // and the gate pins rows + checksum. Ignores sfDir by design (the source
+    // IS the data); serial because replayToTable scopes session confs.
+    "q_stream_bills_source" -> QueryDef.rowsOnly { (s, _) =>
+      graft.streaming.Streaming.replayToTable(
+        s.readStream.format("graft.sources.BillsGen")
+          .option("rows", "5000").option("rowsPerBatch", "1000").load()
+          .groupBy("state").agg(count(lit(1)).as("n")),
+        s"bills_source_${System.nanoTime()}")
+        .orderBy("state")
+    }.serial.expectAtGate(50L, "30473775183252591459"),
+
     // ----- extension: CUBE over two independent dims (ROLLUP: q_rollup)
     "q_cube" -> QueryDef.sql("""
       SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,

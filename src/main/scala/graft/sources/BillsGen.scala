@@ -96,7 +96,7 @@ private[sources] class BillsGenTable(options: CaseInsensitiveStringMap)
   override def name(): String = "billsgen"
   override def schema(): StructType = BillsGen.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // getTable receives table properties; reader options arrive here — merge
     // with reader options taking precedence.
@@ -173,7 +173,8 @@ private[sources] class BillsGenScanBuilder(options: CaseInsensitiveStringMap)
     seed = options.getLong("seed", 42L),
     requiredSchema = requiredSchema,
     pushed = pushed,
-    pushedAgg = pushedAgg)
+    pushedAgg = pushedAgg,
+    rowsPerBatch = options.getLong("rowsPerBatch", 1000L))
 }
 
 private[sources] class BillsGenScan(
@@ -182,7 +183,8 @@ private[sources] class BillsGenScan(
     seed: Long,
     requiredSchema: StructType,
     pushed: Array[Filter],
-    pushedAgg: Option[Aggregation] = None) extends Scan with Batch {
+    pushedAgg: Option[Aggregation] = None,
+    rowsPerBatch: Long = 1000L) extends Scan with Batch {
 
   /** With a pushed aggregation, the scan's output schema is the partial-agg
     * row (one LongType per aggregate, positional), not the table columns. */
@@ -222,6 +224,74 @@ private[sources] class BillsGenScan(
         new BillsGenAggReaderFactory(seed, pushed, specs)
       case None => new BillsGenReaderFactory(seed, requiredSchema, pushed)
     }
+
+  /** The same deterministic row range as a MICRO-BATCH STREAM: offsets are
+    * row indices, each batch generates [start, end) executor-side from
+    * (seed, index) alone, so restart/replay from any checkpointed offset
+    * regenerates identical rows — the exactly-once source contract for free.
+    * Column pruning and state/year pushdown apply unchanged (aggregate
+    * pushdown never reaches a streaming scan, so `pushedAgg` is batch-only). */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BillsGenMicroBatchStream(rows, rowsPerBatch, numPartitions, seed,
+      requiredSchema, pushed)
+}
+
+/** Row-index offset (json = the index itself). */
+private[sources] case class BillsGenOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch view of the generator: admission-controlled (default
+  * `rowsPerBatch` rows per trigger) and AvailableNow-aware (drains the
+  * remaining range in admission-sized batches, then terminates). */
+private[sources] class BillsGenMicroBatchStream(
+    rows: Long,
+    rowsPerBatch: Long,
+    numPartitions: Int,
+    seed: Long,
+    requiredSchema: StructType,
+    pushed: Array[Filter])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  override def initialOffset(): Offset = BillsGenOffset(0L)
+  override def deserializeOffset(json: String): Offset = BillsGenOffset(json.toLong)
+
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def reportLatestOffset(): Offset = BillsGenOffset(rows)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[BillsGenOffset].n
+    val hi = limit match {
+      case m: ReadMaxRows => math.min(rows, lo + m.maxRows())
+      case _ => rows
+    }
+    BillsGenOffset(hi)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[BillsGenOffset].n
+    val hi = end.asInstanceOf[BillsGenOffset].n
+    if (hi <= lo) Array.empty
+    else {
+      val per = math.max(1L, (hi - lo + numPartitions - 1) / numPartitions)
+      (lo until hi by per)
+        .map(l => BillsGenPartition(l, math.min(l + per, hi)): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BillsGenReaderFactory(seed, requiredSchema, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class BillsGenPartition(lo: Long, hi: Long) extends InputPartition

@@ -108,4 +108,35 @@ class BillsGenSourceSpec extends SparkSpec {
     val other = read("rows" -> "1000", "numPartitions" -> "3")
     assert(other.exceptAll(df).count() == 0 && df.exceptAll(other).count() == 0)
   }
+
+  private def readStream(opts: (String, String)*): DataFrame = {
+    val r = spark.readStream.format("graft.sources.BillsGen")
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("micro-batch stream drains the full row range under AvailableNow " +
+      "in admission-sized batches and matches the batch read") {
+    val streamed = graft.streaming.Streaming.replayToTable(
+      readStream("rows" -> "2000", "rowsPerBatch" -> "500")
+        .groupBy("state").agg(count(lit(1)).as("n")),
+      s"bills_stream_${System.nanoTime()}")
+    val batch = read("rows" -> "2000").groupBy("state").agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming scan applies the same filter pushdown semantics") {
+    // rows with state >= 10 are filtered; streamed result == batch result
+    val streamed = graft.streaming.Streaming.replayToTable(
+      readStream("rows" -> "1000", "rowsPerBatch" -> "400")
+        .filter(col("state") < 10)
+        .groupBy("state").agg(count(lit(1)).as("n")),
+      s"bills_stream_f_${System.nanoTime()}")
+    val batch = read("rows" -> "1000").filter(col("state") < 10)
+      .groupBy("state").agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    assert(streamed.select(sum("n")).head.getLong(0) ==
+      read("rows" -> "1000").filter(col("state") < 10).count())
+  }
 }
