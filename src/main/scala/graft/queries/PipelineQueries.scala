@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.dedup.MinHashDedup
 import graft.functions.Aggregators
 import graft.io.Tables
 import graft.text.TextOps
@@ -130,6 +131,99 @@ object PipelineQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
         .orderBy("source")
+    },
+
+    // ----- extension: BOILERPLATE DETECTION — flag the n-grams whose
+    // document frequency exceeds 20% of the corpus (the header/footer/
+    // template content a C4-style cleaning pass masks before training) and
+    // score each document by how much of it is boilerplate. Integer-only
+    // output (gram and hit counts), so the oracle is exact. Scale shape: the
+    // boilerplate set is by definition small (high-df grams only) →
+    // broadcast back into the per-doc scoring join; the doc-frequency
+    // aggregation is one distinct + groupBy with map-side combine.
+    "q_boilerplate" -> QueryDef.sql("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+                    FROM documents),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM toks),
+      df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      boiler AS (SELECT g FROM df CROSS JOIN n WHERE df * 5 >= n_docs),
+      per_doc AS (SELECT doc_id, COUNT(*) AS n_grams,
+                         COUNT(*) FILTER (WHERE g IN (SELECT g FROM boiler)) AS n_boiler
+                  FROM grams GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+             COALESCE(p.n_boiler, 0) AS n_boiler
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id""") { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.ngrams(TextOps.tokens(col("text")), 4)).as("g"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val boiler = grams.select("g", "doc_id").distinct()
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") * 5 >= col("n_docs"))
+        .select("g")
+      val perDoc = grams
+        .join(broadcast(boiler.withColumn("is_boiler", lit(1L))), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      Tables.documents(s, d).select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+        .orderBy("doc_id")
+    },
+
+    // ----- extension: QUALITY-RETAINED DEDUP — the production form of
+    // q_dedup_clusters' survivor rule: within each near-duplicate cluster
+    // keep the HIGHEST-QUALITY member (longest doc, tie → smallest id), not
+    // the smallest id. Same pairs→connected-components pipeline; the
+    // survivor pick is one row_number window per component — the payload
+    // (text) never rides the dedup shuffles, only (doc_id, n_chars) does.
+    "q_dedup_quality" -> QueryDef.sql("""
+      WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks)-1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+              FROM documents)),
+      e AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)*100.0
+                  / len(list_distinct(list_concat(a.s,b.s))) >= 70.0),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      reach AS (
+        SELECT src AS vertex, src AS root FROM sym
+        UNION
+        SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.vertex),
+      comp AS (SELECT vertex, MIN(root) AS component FROM reach GROUP BY vertex),
+      ranked AS (SELECT c.component, c.vertex AS doc_id, d.n_chars,
+                        ROW_NUMBER() OVER (PARTITION BY c.component
+                          ORDER BY d.n_chars DESC, c.vertex ASC) AS rk,
+                        COUNT(*) OVER (PARTITION BY c.component) AS n_members
+                 FROM comp c JOIN documents d ON d.doc_id = c.vertex)
+      SELECT component, doc_id AS survivor, n_chars, n_members
+      FROM ranked WHERE rk = 1 ORDER BY component""") { (s, d) =>
+      val pairs = MinHashDedup.nearDupPairs(Tables.documents(s, d).repartition(32),
+        MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.7))
+      val comp = graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      val w = Window.partitionBy("component")
+        .orderBy(col("n_chars").desc, col("vertex").asc)
+      comp
+        .join(Tables.documents(s, d).select(col("doc_id").as("vertex"), col("n_chars")),
+          "vertex")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .filter(col("rk") === 1)
+        .select(col("component"), col("vertex").as("survivor"),
+          col("n_chars"), col("n_members"))
+        .orderBy("component")
     },
 
     // ----- extension: sequence packing — the concat-and-chunk form every LLM
