@@ -368,6 +368,41 @@ object MlQueries {
           round(col("dot") * 100.0 / (col("n1") * col("n2")), 4).as("similarity"))
         .orderBy(desc("similarity"), asc("d1"), asc("d2"))
         .limit(50)
-    }
+    },
+
+    // ----- extension: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
+    // semantic dedup over the embedding column: k-means partitions the
+    // corpus into clusters, candidate pairs are generated ONLY within a
+    // cluster (the 100 TB shape — the cluster id is the equi-join key, so
+    // the pair generation is a bucketed self-join, never corpus-wide
+    // all-pairs), cosine >= τ pairs feed connected components and each
+    // near-dup group keeps its min-id representative. τ=0.35 matches the
+    // synthetic corpus's cosine range (real embedding spaces use ~0.95+).
+    // rows-only: the seeded k-means fit is not SQL-replayable; the gate
+    // pins rows + checksum.
+    "q_semdedup" -> QueryDef.rowsOnly { (s, d) =>
+      import graft.similarity.ArrayOps
+      val emb = spread(Tables.embeddings(s, d))
+      val (_, clustered) = Clustering.kmeans(
+        emb.select(col("vec_id"),
+          org.apache.spark.ml.functions.array_to_vector(col("embedding"))
+            .as("features")),
+        k = 16)
+      val t = clustered.select(col("vec_id"), col("prediction"))
+        .join(emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v")),
+          "vec_id")
+      val a = t.select(col("prediction"), col("vec_id").as("id1"), col("v").as("v1"))
+      val b = t.select(col("prediction"), col("vec_id").as("id2"), col("v").as("v2"))
+      val pairs = a.join(b, Seq("prediction"))
+        .filter(col("id2") > col("id1") &&
+          ArrayOps.cosine(col("v1"), col("v2")) >= 0.35)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      val drop = graft.graph.GraphOps.connectedComponents(pairs)
+        .filter(col("vertex") =!= col("component"))
+        .select(col("vertex"))
+      t.select("vec_id", "prediction")
+        .join(drop, t("vec_id") === drop("vertex"), "left_anti")
+        .orderBy("vec_id")
+    }.expectAtGate(400L, "227118589474776967215")
   )
 }

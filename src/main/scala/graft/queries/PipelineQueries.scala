@@ -487,6 +487,134 @@ object PipelineQueries {
           md5(array_join(slice(col("t"), col("chunk_start"), lit(64)), " ")
             .cast("binary")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_start")
+    },
+
+    // ----- extension: PII REDACTION — regex-scrub emails and phone-shaped
+    // digit runs before training. The synthetic corpus carries no PII, so a
+    // deterministic contact string derived from doc_id is appended first and
+    // then scrubbed — the machinery under test is the per-row redaction
+    // pipeline (count + replace + content fingerprint), which is a pure
+    // narrow map: zero shuffles, codegen regex, text never leaves the row
+    // (only counts and the md5 go to the exchange/sort). Patterns stay in
+    // the RE2-compatible subset so Spark (Java regex) and DuckDB (RE2)
+    // match identically.
+    "q_pii_redact" -> QueryDef.sql("""
+      WITH w AS (SELECT doc_id,
+                        text || ' contact user' || doc_id ||
+                        '@mail.example.org or call 555-10' || doc_id % 100 AS t
+                 FROM documents),
+      r AS (SELECT doc_id,
+                   len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS n_email,
+                   len(regexp_extract_all(t, '555-[0-9]+')) AS n_phone,
+                   regexp_replace(regexp_replace(t,
+                     '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                     '555-[0-9]+', '<PHONE>', 'g') AS red
+            FROM w)
+      SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+             CAST(n_phone AS BIGINT) AS n_phone, md5(red) AS red_md5
+      FROM r ORDER BY doc_id""") { (s, d) =>
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+      val phoneRe = "555-[0-9]+"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.org or call 555-10"), col("doc_id") % 100).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phone"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").cast("binary")).as("red_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ----- extension: GOPHER-STYLE QUALITY RULE GATE (Rae et al. 2021 §A1.1
+    // adapted to the synthetic corpus) — per-document boolean rules: token
+    // count in range, mean token length in range, max single-token share
+    // ≤ 20% (the repetition gate), ≥ 2 distinct stopwords (the "has real
+    // prose" gate). All thresholds are integer cross-multiplications, so
+    // the oracle replays every flag exactly. Shape: one explode + two
+    // keyed aggregations (token-level then doc-level), both with map-side
+    // partial aggregation; the doc text itself never reaches a shuffle.
+    "q_quality_rules" -> QueryDef.sql("""
+      WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+                   FROM documents),
+      c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok),
+      s AS (SELECT doc_id, SUM(cnt) AS n_tokens, MAX(cnt) AS max_cnt,
+                   SUM(cnt * strlen(tok)) AS n_chars,
+                   COUNT(DISTINCT CASE WHEN tok IN ('the','of','and','to','a','in','is')
+                                       THEN tok END) AS n_stop
+            FROM c GROUP BY doc_id),
+      f AS (SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.max_cnt, 0) AS max_cnt,
+                   COALESCE(s.n_chars, 0) AS n_chars,
+                   COALESCE(s.n_stop, 0) AS n_stop
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_tokens BETWEEN 10 AND 1000 AS BIGINT) AS r_len,
+             CAST(n_tokens > 0 AND 10*n_chars BETWEEN 20*n_tokens AND 80*n_tokens
+                  AS BIGINT) AS r_awl,
+             CAST(n_tokens > 0 AND max_cnt * 5 <= n_tokens AS BIGINT) AS r_rep,
+             CAST(n_stop >= 2 AS BIGINT) AS r_stop,
+             CAST(n_tokens BETWEEN 10 AND 1000
+                  AND n_tokens > 0 AND 10*n_chars BETWEEN 20*n_tokens AND 80*n_tokens
+                  AND max_cnt * 5 <= n_tokens AND n_stop >= 2 AS BIGINT) AS keep
+      FROM f ORDER BY doc_id""") { (s, d) =>
+      val stop = Seq("the", "of", "and", "to", "a", "in", "is")
+      val stats = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"), max("cnt").as("max_cnt"),
+          sum(col("cnt") * length(col("tok"))).as("n_chars"),
+          countDistinct(when(col("tok").isin(stop: _*), col("tok"))).as("n_stop"))
+      val f = Tables.documents(s, d).select("doc_id")
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("max_cnt"), lit(0L)).as("max_cnt"),
+          coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+          coalesce(col("n_stop"), lit(0L)).as("n_stop"))
+      val rLen = col("n_tokens").between(10, 1000)
+      val rAwl = col("n_tokens") > 0 &&
+        (col("n_chars") * 10).between(col("n_tokens") * 20, col("n_tokens") * 80)
+      val rRep = col("n_tokens") > 0 && col("max_cnt") * 5 <= col("n_tokens")
+      val rStop = col("n_stop") >= 2
+      f.select(col("doc_id"), col("n_tokens"),
+          rLen.cast("long").as("r_len"), rAwl.cast("long").as("r_awl"),
+          rRep.cast("long").as("r_rep"), rStop.cast("long").as("r_stop"),
+          (rLen && rAwl && rRep && rStop).cast("long").as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ----- extension: TOKEN-BUDGET SAMPLING — the data-mixing step after
+    // quality scoring: within each source, take documents in quality order
+    // (longest first, id tiebreak) until the source's token budget is
+    // exhausted; the document that crosses the budget line is kept. One
+    // running-sum window per source — the per-source partitioning IS the
+    // 100 TB shape (each source's cumsum is independent; text never rides
+    // the shuffle, only (doc_id, n_chars, tok)). The window SUM is cast to
+    // BIGINT on the oracle side because DuckDB widens it to HUGEINT.
+    "q_token_budget" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, source, n_chars,
+                        len(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+                 FROM documents),
+      w AS (SELECT doc_id, source, tok,
+                   CAST(SUM(tok) OVER (PARTITION BY source
+                     ORDER BY n_chars DESC, doc_id ASC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM t)
+      SELECT source, doc_id, CAST(tok AS BIGINT) AS tok, cum
+      FROM w WHERE cum - tok < 800 ORDER BY source, doc_id""") { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextOps.tokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("cum", sum("tok").over(w))
+        .filter(col("cum") - col("tok") < 800)
+        .select("source", "doc_id", "tok", "cum")
+        .orderBy("source", "doc_id")
     }
   )
 }

@@ -143,6 +143,61 @@ object Relational {
         .limit(20)
     },
 
+    // ----- TPC-H Q18 shape (large-volume orders): semi-join against a
+    // HAVING-filtered aggregate. The big-order key set is tiny by
+    // construction (46 orders at sf0.01), so Spark's AQE turns the IN into
+    // a broadcast semi-join; the only large exchanges are the two
+    // per-orderkey aggregations, both with map-side partial combine.
+    "q_tpch_q18" -> QueryDef.sql("""
+      SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 300)
+      GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey LIMIT 100""") { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val big = l.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q")).filter(col("q") > 300)
+        .select(col("l_orderkey").as("big_okey"))
+      val o = Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("big_okey"), "left_semi")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(Tables.customer(s, d), o("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
+        .limit(100)
+    },
+
+    // ----- TPC-H Q16 shape (supplier diversity per part attribute):
+    // distinct-count aggregation after an attribute-filtered join. Spark
+    // plans COUNT(DISTINCT) as the two-phase expand/partial-dedup — the
+    // dedup happens map-side before the per-group exchange; the part dim
+    // is broadcast.
+    "q_tpch_q16" -> QueryDef.sql("""
+      SELECT p.p_brand, p.p_type, p.p_size,
+             COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand <> 'Brand#3' AND p.p_type NOT LIKE 'ECONOMY%'
+        AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      GROUP BY p.p_brand, p.p_type, p.p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""") { (s, d) =>
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#3" &&
+          !col("p_type").startsWith("ECONOMY") &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+    },
+
     // ----- P1/P3/P5/P6: predicates + projection/rename (reference
     // ExtractCandidates.scala:98 filter-after-read; Utils.scala:276-281)
     "q_filter_project" -> QueryDef.sql("""
