@@ -22,7 +22,9 @@ object ScaleProbe {
   private val linearOps = Seq(
     "q_wordcount", "q_ngram_count", "q_langid_ngram", "q_quality",
     "q_token_count", "q_repetition", "q_chunk_overlap", "q_seq_packing",
-    "q_dedup_exact", "q_table_checksum", "q_winnow")
+    "q_dedup_exact", "q_table_checksum", "q_winnow",
+    "q_quality_rules", "q_boilerplate", "q_token_budget", "q_pii_redact",
+    "q_substring_dedup")
   private val linearFactors = Seq(1, 10, 50, 100)
   private val dupHeavyFactors = Seq(1, 2, 5, 10)
 

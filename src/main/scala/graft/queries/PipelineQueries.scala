@@ -586,6 +586,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- extension: EXACT-SUBSTRING DEDUP SCAN (Lee et al. 2021,
+    // arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    // Better", ExactSubstr) — count, per document, the stride-1 20-token
+    // windows that occur verbatim in ANOTHER document. The paper's suffix
+    // array is a single-machine structure; the Spark-first shape is the
+    // window-hash equi-join: explode windows, md5 them (the window text
+    // never leaves the generating row — only 32-byte hashes shuffle), find
+    // hashes spanning >= 2 docs, join back. Unlike q_boilerplate's high-df
+    // broadcast set, the shared-window set grows with the duplication rate,
+    // so the scoring join is a plain shuffled equi-join on the hash — the
+    // honest 100 TB shape.
+    "q_substring_dedup" -> QueryDef.sql("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+                    FROM documents),
+      win AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 18, 1)),
+                   i -> md5(array_to_string(t[i:i+19], ' ')))) AS w
+              FROM toks),
+      sh AS (SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+      per AS (SELECT doc_id, COUNT(*) AS n_windows,
+                     COUNT(*) FILTER (WHERE w IN (SELECT w FROM sh)) AS n_shared
+              FROM win GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(p.n_windows, 0) AS n_windows,
+             COALESCE(p.n_shared, 0) AS n_shared
+      FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id""") { (s, d) =>
+      val win = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("i", explode(when(size(col("t")) >= 20,
+          sequence(lit(1), size(col("t")) - 19)).otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("t"), col("i"), lit(20)), " ")
+            .cast("binary")).as("w"))
+      val shared = win.groupBy("w").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select(col("w"), lit(1L).as("hit"))
+      val per = win.join(shared, Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      Tables.documents(s, d).select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
     // ----- extension: TOKEN-BUDGET SAMPLING — the data-mixing step after
     // quality scoring: within each source, take documents in quality order
     // (longest first, id tiebreak) until the source's token budget is
