@@ -586,6 +586,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- extension: STRATIFIED TRAIN/VAL/TEST SPLIT — the deterministic
+    // 80/10/10 assignment every training pipeline needs: the split label is a
+    // pure function of the row key (md5 bucket), so the assignment is stable
+    // across runs, engines, and repartitions — no RNG state to version. One
+    // narrow map + one aggregation; at 100 TB the split column is computed in
+    // the scan projection and the report is a 3·n_sources-row aggregate.
+    "q_split_stratified" -> QueryDef.sql("""
+      WITH t AS (SELECT source,
+                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 10 AS b,
+                        len(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+                 FROM documents)
+      SELECT source,
+             CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+             COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source, split ORDER BY source, split""") { (s, d) =>
+      val b = md5Bits48(col("doc_id").cast("string")) % 10
+      Tables.documents(s, d)
+        .select(col("source"),
+          when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"),
+          TextOps.tokenCount(col("text")).cast("long").as("tok"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+        .orderBy("source", "split")
+    },
+
     // ----- extension: EXACT-SUBSTRING DEDUP SCAN (Lee et al. 2021,
     // arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
     // Better", ExactSubstr) — count, per document, the stride-1 20-token

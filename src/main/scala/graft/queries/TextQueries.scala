@@ -276,6 +276,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- extension: TOKENIZER FERTILITY — BPE-ish tokens per whitespace
+    // word, per language (the tokenizer-efficiency metric multilingual
+    // pipelines track: high fertility = the tokenizer fragments that
+    // language). Both counts ride the native scans (SplitNonEmpty /
+    // BpeishCount); integer sums, one final division.
+    "q_fertility" -> QueryDef.sql("""
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_ws,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_bpe,
+             ROUND(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS DOUBLE)
+                   / SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))), 6) AS fertility
+      FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("ws"),
+          org.apache.spark.sql.graft.bridge.column(
+            graft.expressions.BpeishCount(
+              org.apache.spark.sql.graft.bridge.expression(col("text")),
+              spaceOnlyWs = true)).cast("long").as("bpe"))
+        .groupBy("lang")
+        .agg(sum("ws").as("total_ws"), sum("bpe").as("total_bpe"),
+          round(sum("bpe").cast("double") / sum("ws"), 6).as("fertility"))
+        .orderBy("lang")
+    },
+
     // ----- extension: content-hash fingerprint
     "q_fingerprint" -> QueryDef.sql("""
       SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""") { (s, d) =>

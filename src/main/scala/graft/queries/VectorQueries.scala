@@ -269,6 +269,64 @@ object VectorQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .orderBy("q_id", "rn")
+    },
+
+    // ----- extension: HYBRID RETRIEVAL via Reciprocal Rank Fusion
+    // (Cormack et al. 2009): fuse a lexical ranking (query-term tf) and an
+    // embedding ranking (cosine to the query vector) by 1/(60+r) score sum —
+    // the standard BM25+dense fusion in RAG stacks. Ranks are integers and
+    // the two divisions + one sum run in the identical written order on both
+    // engines, so the fused score is bit-deterministic. The global rank
+    // windows here rank a per-query candidate list (retrieval lists are
+    // bounded by construction); corpus-wide global sort is not part of the
+    // operator's 100 TB contract.
+    "q_rrf_fusion" -> QueryDef.sql(s"""
+      WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+                   FROM documents),
+      tf AS (SELECT doc_id, COUNT(*) AS tf FROM tok
+             WHERE t IN ('join','hash','scan') GROUP BY doc_id),
+      lex AS (SELECT d.doc_id, COALESCE(tf.tf, 0) AS tf
+              FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id),
+      lrank AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS r_lex
+                FROM lex),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      vc AS (SELECT vec_id,
+                    list_reduce(list_transform(range(1, ${DIM + 1}), i -> v[i]*qv[i]), (x,y)->x+y)
+                    / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> v[i]*v[i]), (x,y)->x+y))
+                       * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> qv[i]*qv[i]), (x,y)->x+y))) AS cos
+             FROM e CROSS JOIN q),
+      vrank AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_vec
+                FROM vc)
+      SELECT l.doc_id, l.r_lex, v.r_vec,
+             ROUND(CAST(1 AS DOUBLE) / (60 + l.r_lex)
+                   + CAST(1 AS DOUBLE) / (60 + v.r_vec), 6) AS rrf
+      FROM lrank l JOIN vrank v ON l.doc_id = v.vec_id
+      ORDER BY rrf DESC, doc_id LIMIT 20""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      val tf = tok.filter(col("t").isin("join", "hash", "scan"))
+        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      val lex = Tables.documents(s, d).select("doc_id")
+        .join(tf, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("tf"), lit(0L)).as("tf"))
+      val lrank = lex.withColumn("r_lex",
+        row_number().over(Window.orderBy(col("tf").desc, col("doc_id").asc))
+          .cast("long"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vrank = e.crossJoin(broadcast(q))
+        .select(col("vec_id"), ArrayOps.cosine(col("v"), col("qv")).as("cos"))
+        .withColumn("r_vec",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+            .cast("long"))
+      lrank.join(vrank, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          round(lit(1.0) / (lit(60) + col("r_lex"))
+            + lit(1.0) / (lit(60) + col("r_vec")), 6).as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id"))
+        .limit(20)
     }
   )
 }
