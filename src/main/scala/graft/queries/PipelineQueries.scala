@@ -420,24 +420,31 @@ object PipelineQueries {
     // fraction per document (the Gopher-style repetition quality signal:
     // high rep_frac = degenerate/boilerplate text). One narrow n-gram
     // explode + one keyed aggregation; rational fraction, single rounding.
+    // The per-doc distinct is computed INSIDE the row (each document's
+    // bigram multiset is one array in one row), so the whole query is a
+    // narrow map + presentation sort — zero aggregation shuffles. The
+    // earlier explode→groupBy(countDistinct) form shuffled every bigram
+    // string (568 MB at the 500k-doc probe scale) and GC-cliffed ~10× at
+    // 100×; per-doc set semantics never needed the exchange.
     "q_repetition" -> QueryDef.sql("""
       WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
                     FROM documents),
-      bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-                    i -> array_to_string(t[i:i+1], ' '))) AS g
-             FROM toks),
-      r AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT g) AS uniq
-            FROM bi GROUP BY doc_id)
-      SELECT doc_id, total, uniq,
-             ROUND(1 - CAST(uniq AS DOUBLE) / total, 6) AS rep_frac
+      r AS (SELECT doc_id,
+                   list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) AS gs
+            FROM toks WHERE len(t) >= 2)
+      SELECT doc_id, CAST(len(gs) AS BIGINT) AS total,
+             CAST(len(list_distinct(gs)) AS BIGINT) AS uniq,
+             ROUND(1 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6) AS rep_frac
       FROM r ORDER BY doc_id""") { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("total"), countDistinct("g").as("uniq"))
-        .select(col("doc_id"), col("total"), col("uniq"),
-          round(lit(1) - col("uniq").cast("double") / col("total"), 6).as("rep_frac"))
+          TextOps.ngrams(TextOps.tokens(col("text")), 2).as("gs"))
+        .filter(size(col("gs")) >= 1)
+        .select(col("doc_id"),
+          size(col("gs")).cast("long").as("total"),
+          size(array_distinct(col("gs"))).cast("long").as("uniq"),
+          round(lit(1) - size(array_distinct(col("gs"))).cast("double")
+            / size(col("gs")), 6).as("rep_frac"))
         .orderBy("doc_id")
     },
 

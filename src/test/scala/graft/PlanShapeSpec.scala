@@ -22,7 +22,9 @@ class PlanShapeSpec extends SparkSpec {
   test("candidate/dedup/ANN joins plan without CartesianProduct") {
     for (q <- Seq("q_pairs_blocked", "q_minhash_dedup", "q_simhash_dedup",
                   "q_ann_lsh", "q_billmatch", "q_asof_join", "q_jaccard_pairs",
-                  "q_winnow_neardup", "q_edit_distance", "q_decontaminate")) {
+                  "q_winnow_neardup", "q_edit_distance", "q_decontaminate",
+                  "q_semdedup", "q_substring_dedup", "q_dedup_quality",
+                  "q_boilerplate", "q_rrf_fusion")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
@@ -45,7 +47,8 @@ class PlanShapeSpec extends SparkSpec {
     * side shuffle-free where designed. */
   test("broadcast where intended") {
     for (q <- Seq("q_join_agg", "q_cosine_topk", "q_decontaminate",
-                  "q_tfidf_topterms", "q_bm25")) {
+                  "q_tfidf_topterms", "q_bm25", "q_boilerplate",
+                  "q_source_mix")) {
       val p = planOf(q)
       assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
         p.contains("BroadcastNestedLoopJoin"), s"$q plans no broadcast")
