@@ -448,6 +448,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- extension: RARE-BIGRAM RATE — the integer-exact stand-in for
+    // n-gram-LM perplexity filtering: score each document by the fraction of
+    // its bigrams whose corpus count is < 3 (a high rare-fraction doc is the
+    // one a KenLM-style quality gate would flag; logs are avoided so the
+    // oracle is exact). Shape: corpus bigram counts are one groupBy with
+    // map-side combine; the rare set is NOT small under Zipf, so the scoring
+    // join is an honest shuffled equi-join on the gram — same discipline as
+    // q_substring_dedup, no false broadcast.
+    "q_rare_bigram" -> QueryDef.sql("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+                    FROM documents),
+      bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> array_to_string(t[i:i+1], ' '))) AS g
+             FROM toks),
+      cnt AS (SELECT g, COUNT(*) AS c FROM bi GROUP BY g),
+      per AS (SELECT b.doc_id, COUNT(*) AS n_bi,
+                     COUNT(*) FILTER (WHERE c.c < 3) AS n_rare
+              FROM bi b JOIN cnt c ON b.g = c.g GROUP BY b.doc_id)
+      SELECT doc_id, n_bi, n_rare,
+             ROUND(CAST(n_rare AS DOUBLE) / n_bi, 6) AS rare_frac
+      FROM per ORDER BY doc_id""") { (s, d) =>
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("g"))
+      val cnt = bi.groupBy("g").agg(count(lit(1)).as("c"))
+      bi.join(cnt, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"),
+          count(when(col("c") < 3, 1)).as("n_rare"))
+        .select(col("doc_id"), col("n_bi"), col("n_rare"),
+          round(col("n_rare").cast("double") / col("n_bi"), 6).as("rare_frac"))
+        .orderBy("doc_id")
+    },
+
     // ----- extension: type-token ratio per language — corpus-level lexical
     // diversity (the complement of per-doc repetition). One aggregation;
     // the distinct-token count is the same two-shuffle-safe shape as
