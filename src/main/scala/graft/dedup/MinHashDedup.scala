@@ -89,29 +89,39 @@ object MinHashDedup {
     * bucket shuffle. Shingle sets are re-attached afterwards by two equi-joins
     * against the prepared table, so the wide payload crosses the wire only
     * |verified candidates| times, not |bucket pairs|·|bands| times. */
-  def nearDupPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
-    val prepared = df.select(
+  /** The reusable per-document dedup sketch: `(__id, __sids, __bands)` —
+    * verify shingle-id sets plus banded signature bucket keys, no raw text.
+    * This is the frame an incremental ingest pipeline computes ONCE per
+    * corpus and keeps (persisted here; written as a parquet table at real
+    * scale) so each arriving batch sketches only itself and joins against
+    * the stored corpus sketch ([[dedupAgainst]]). Only the band keys and
+    * the verify sets survive — __shingles/__sig are dead once __bands is
+    * computed, and caching them would double the sketch footprint. */
+  def sketch(df: DataFrame, cfg: Config = Config()): DataFrame =
+    df.select(
       col(cfg.idCol).as("__id"),
       shingleHashes(col(cfg.textCol), cfg.shingleSize).as("__shingles"),
       shingleIds(col(cfg.textCol), cfg.shingleSize).as("__sids"))
       .withColumn("__sig", signature(col("__shingles"), cfg.numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.numHashes))
-      // only the band keys and the verify sets survive the persist —
-      // __shingles/__sig are dead once __bands is computed, and caching them
-      // would double the sketch footprint at scale
       .select(col("__id"), col("__sids"), col("__bands"))
+
+  /** (__id, __band, __bh) bucket rows from a [[sketch]] frame. */
+  private def buckets(sk: DataFrame): DataFrame =
+    sk.select(col("__id"), explode(col("__bands")).as("__b"))
+      .select(col("__id"), col("__b.band").as("__band"), col("__b.bh").as("__bh"))
+
+  def nearDupPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
+    val prepared = sketch(df, cfg)
       // persisted (spill-safe): four plan branches reuse this frame — the two
       // bucket-join sides and the two set re-joins — and Catalyst cannot
       // share an uncached subplan across them (measured 27x slower uncached).
       // Sketch rows are bounded (ids + hashes + shingle-id sets, no raw text).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val buckets = prepared
-      .select(col("__id"), explode(col("__bands")).as("__b"))
-      .select(col("__id"), col("__b.band").as("__band"), col("__b.bh").as("__bh"))
-
-    val a = buckets.alias("a")
-    val b = buckets.alias("b")
+    val bk = buckets(prepared)
+    val a = bk.alias("a")
+    val b = bk.alias("b")
     val cand = a.join(b,
         col("a.__band") === col("b.__band") &&
         col("a.__bh") === col("b.__bh") &&
@@ -152,5 +162,66 @@ object MinHashDedup {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** INCREMENTAL dedup: the rows of `batch` that duplicate nothing in
+    * `corpus` — exactly (same text) or nearly (shingle Jaccard ≥ threshold).
+    *
+    * This is the shape a 100 TB ingest actually runs: the standing corpus is
+    * never re-deduped against itself; each arriving batch is checked against
+    * it. Two gates, cheap one first:
+    *   1. exact-content: anti-join on md5(text) — only 16-byte hashes cross
+    *      the wire, and it also catches sub-shingle-length exact dups whose
+    *      empty shingle sets the Jaccard gate defines as jac = 0.
+    *   2. near-dup: batch [[sketch]] bucket-joined against the corpus
+    *      [[sketch]] on (band, bandhash) — a batch×corpus equi-join, NOT a
+    *      corpus self-join — candidates verified by exact shingle-set
+    *      Jaccard, matched batch ids anti-joined away.
+    * The corpus side is accepted pre-sketched (pass `corpusSketch` built by
+    * [[sketch]] and persisted/written once) so successive batches reuse it;
+    * the convenience overload sketches a raw corpus frame per call.
+    *
+    * Returns surviving `batch` rows with their original columns. Batch and
+    * corpus id spaces may overlap — candidate pairs are keyed (batch id,
+    * corpus id), never compared for order. */
+  def dedupAgainst(batch: DataFrame, corpusSketch: DataFrame,
+                   corpusTextHashes: DataFrame, cfg: Config): DataFrame = {
+    val exactSurvivors = batch.join(
+        corpusTextHashes.select(col("__h")).distinct(),
+        md5(col(cfg.textCol).cast("binary")) === col("__h"), "left_anti")
+
+    val bs = sketch(exactSurvivors, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = buckets(bs).alias("a")
+    val c = buckets(corpusSketch).alias("c")
+    val cand = a.join(c,
+        col("a.__band") === col("c.__band") && col("a.__bh") === col("c.__bh"))
+      .select(col("a.__id").as("bid"), col("c.__id").as("cid"))
+      .dropDuplicates("bid", "cid")
+
+    val jacRaw = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.ArraySetJaccard(
+        org.apache.spark.sql.graft.bridge.expression(col("t1")),
+        org.apache.spark.sql.graft.bridge.expression(col("t2")),
+        assumeDistinct = true))
+    val dupIds = cand
+      .join(bs.select(col("__id").as("bid"), col("__sids").as("t1")), "bid")
+      .join(corpusSketch.select(col("__id").as("cid"), col("__sids").as("t2")), "cid")
+      .filter(jacRaw >= cfg.jaccardThreshold * 100.0)
+      .select(col("bid")).distinct()
+
+    exactSurvivors.join(dupIds,
+      exactSurvivors(cfg.idCol) === dupIds("bid"), "left_anti")
+  }
+
+  /** [[dedupAgainst]] with the corpus sketched in-call (single-batch use;
+    * an ingest loop should build the corpus [[sketch]] + text-hash table
+    * once and pass them in). */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame,
+                   cfg: Config = Config()): DataFrame = {
+    val cs = sketch(corpus, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dedupAgainst(batch, cs,
+      corpus.select(md5(col(cfg.textCol).cast("binary")).as("__h")), cfg)
   }
 }

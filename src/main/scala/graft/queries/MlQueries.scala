@@ -269,6 +269,37 @@ object MlQueries {
         .orderBy("survivor")
     },
 
+    // ----- extension: INCREMENTAL dedup — the arriving-batch-vs-standing-
+    // corpus shape (docs with doc_id % 4 = 0 play the batch; the rest the
+    // corpus). A real 100 TB pipeline never re-dedups the corpus against
+    // itself: the corpus sketch is built once (MinHashDedup.sketch) and each
+    // batch bucket-joins against it. Oracle = exact text-equality +
+    // all-pairs shingle-Jaccard, valid for the same recall argument as
+    // q_minhash_dedup (banding misses < 1e-7 per pair at these thresholds).
+    "q_dedup_incremental" -> QueryDef.sql("""
+      WITH docs AS (SELECT doc_id, text,
+          list_distinct(list_transform(range(1, len(toks)-1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS toks
+              FROM documents)),
+      b AS (SELECT * FROM docs WHERE doc_id % 4 = 0),
+      c AS (SELECT * FROM docs WHERE doc_id % 4 <> 0),
+      exact_dup AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON c.text = b.text),
+      near_dup AS (SELECT DISTINCT b.doc_id FROM b JOIN c
+                   ON CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)*100.0
+                      / len(list_distinct(list_concat(b.s, c.s))) >= 70.0)
+      SELECT doc_id FROM b
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
+        AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+      ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      MinHashDedup.dedupAgainst(
+          spread(docs.filter(col("doc_id") % 4 === 0)),
+          spread(docs.filter(col("doc_id") % 4 =!= 0)),
+          MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.7))
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // ----- extension: SimHash near-dup detection. Gate variant hashes tokens
     // with md5 (SimHash.md5Hash60) so the oracle reproduces the signatures
     // bit-for-bit in SQL; the chunk-join candidate step has ZERO false

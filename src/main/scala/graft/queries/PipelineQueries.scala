@@ -652,6 +652,30 @@ object PipelineQueries {
         .orderBy("source", "split")
     },
 
+    // ----- extension: TRAINING-ORDER SHUFFLE — the deterministic global
+    // permutation a data loader consumes: shard = hash(doc_id) mod nShards,
+    // position = rank of the hash within the shard. Replayable randomness
+    // (md5, no RNG state) like q_split_stratified, but producing a total
+    // ORDER, not a label. Scale shape: one hash-partitioned window — each
+    // shard sorts independently (these are the output files), there is no
+    // global sort, and adding shards is the parallelism knob. Epoch reshuffle
+    // = salt the hash input with the epoch number.
+    "q_train_order" -> QueryDef.sql("""
+      WITH h AS (SELECT doc_id,
+                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+                 FROM documents)
+      SELECT doc_id, hv % 8 AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+      FROM h ORDER BY shard, pos""") { (s, d) =>
+      val w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5Bits48(col("doc_id").cast("string")).as("hv"))
+        .withColumn("shard", col("hv") % 8)
+        .select(col("doc_id"), col("shard"),
+          row_number().over(w).cast("long").as("pos"))
+        .orderBy("shard", "pos")
+    },
+
     // ----- extension: EXACT-SUBSTRING DEDUP SCAN (Lee et al. 2021,
     // arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
     // Better", ExactSubstr) — count, per document, the stride-1 20-token

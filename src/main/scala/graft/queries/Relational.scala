@@ -557,6 +557,70 @@ object Relational {
         max(col("o_totalprice")).as("max_v"))
     },
 
+    // ----- A7 extension: ANALYZE-style catalog statistics — per-column
+    // n_rows / n_null / exact NDV / min / max, the stats a cost-based
+    // optimizer (and a 100 TB layout audit) feeds on. ONE scan: all the
+    // aggregates run in a single agg (Spark plans the multi-distinct via one
+    // Expand), then stack() unpivots the row to per-column records. min/max
+    // serialize through integer-exact channels only (bigint/string/epoch-ms),
+    // so the oracle compare never touches float formatting. At 100 TB the
+    // same query swaps countDistinct for approx_count_distinct — the shape
+    // (one pass, no joins) is the point.
+    "q_table_stats" -> QueryDef.sql("""
+      SELECT * FROM (
+        SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(l_orderkey) AS n_null,
+               COUNT(DISTINCT l_orderkey) AS n_distinct,
+               CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+               CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+               COUNT(DISTINCT l_linenumber),
+               CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+               COUNT(DISTINCT l_returnflag),
+               MIN(l_returnflag), MAX(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+               COUNT(DISTINCT l_shipdate),
+               CAST(epoch_ms(MIN(l_shipdate)) AS VARCHAR),
+               CAST(epoch_ms(MAX(l_shipdate)) AS VARCHAR)
+        FROM lineitem)
+      ORDER BY column_name""") { (s, d) =>
+      Tables.lineitem(s, d).agg(
+          count(lit(1)).as("n"),
+          count(col("l_orderkey")).as("nn_ok"),
+          countDistinct(col("l_orderkey")).as("nd_ok"),
+          min(col("l_orderkey")).cast("string").as("mn_ok"),
+          max(col("l_orderkey")).cast("string").as("mx_ok"),
+          count(col("l_linenumber")).as("nn_ln"),
+          countDistinct(col("l_linenumber")).as("nd_ln"),
+          min(col("l_linenumber")).cast("string").as("mn_ln"),
+          max(col("l_linenumber")).cast("string").as("mx_ln"),
+          count(col("l_returnflag")).as("nn_rf"),
+          countDistinct(col("l_returnflag")).as("nd_rf"),
+          min(col("l_returnflag")).as("mn_rf"),
+          max(col("l_returnflag")).as("mx_rf"),
+          count(col("l_shipdate")).as("nn_sd"),
+          countDistinct(col("l_shipdate")).as("nd_sd"),
+          // l_shipdate parquet-reads as TIMESTAMP_NTZ; the session tz is
+          // pinned UTC, so the NTZ→instant cast is the same epoch DuckDB's
+          // epoch_ms computes on the naive value
+          unix_millis(min(col("l_shipdate")).cast("timestamp")).cast("string").as("mn_sd"),
+          unix_millis(max(col("l_shipdate")).cast("timestamp")).cast("string").as("mx_sd"))
+        .selectExpr("""stack(4,
+          'l_orderkey',  n, n - nn_ok, nd_ok, mn_ok, mx_ok,
+          'l_linenumber', n, n - nn_ln, nd_ln, mn_ln, mx_ln,
+          'l_returnflag', n, n - nn_rf, nd_rf, mn_rf, mx_rf,
+          'l_shipdate',  n, n - nn_sd, nd_sd, mn_sd, mx_sd)
+          AS (column_name, n_rows, n_null, n_distinct, min_s, max_s)""")
+        .orderBy("column_name")
+    },
+
     // ----- A7 extension: higher-moment statistics (stddev / skewness /
     // kurtosis). Spark's builtin skewness/kurtosis stream central moments in
     // partition order (non-deterministic doubles), so both engines derive the

@@ -24,7 +24,8 @@ class PlanShapeSpec extends SparkSpec {
                   "q_ann_lsh", "q_billmatch", "q_asof_join", "q_jaccard_pairs",
                   "q_winnow_neardup", "q_edit_distance", "q_decontaminate",
                   "q_semdedup", "q_substring_dedup", "q_dedup_quality",
-                  "q_boilerplate", "q_rrf_fusion")) {
+                  "q_boilerplate", "q_rrf_fusion", "q_dedup_incremental",
+                  "q_rare_bigram")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }

@@ -76,4 +76,34 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(1L, 2L, 3L)) // 4 is a copy of 1
   }
+
+  test("dedupAgainst drops exact, near, and short-exact dups; keeps the rest") {
+    // corpus: base + an under-shingle-length snippet (empty 3-gram set)
+    val corpus = Seq((10L, base), (11L, "tiny doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),           // exact dup of 10 → exact gate
+      (2L, nearDup),        // near dup of 10 → jaccard gate
+      (3L, unrelated),      // unique → survives
+      (4L, "tiny doc")      // exact dup of 11; jac = 0 on empty shingle sets,
+                            // only the content-hash gate can catch it
+    ).toDF("doc_id", "text")
+    val got = MinHashDedup.dedupAgainst(batch, corpus,
+        MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L))
+  }
+
+  test("dedupAgainst reuses a prebuilt corpus sketch; batch/corpus ids may overlap") {
+    val cfg = MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.5)
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val sk = MinHashDedup.sketch(corpus, cfg)
+    val hashes = corpus.select(
+      org.apache.spark.sql.functions.md5($"text".cast("binary")).as("__h"))
+    // batch id 1 collides with corpus id 1 on purpose — pair keys are
+    // (batch id, corpus id), never compared for order
+    val batch = Seq((1L, unrelated), (2L, nearDup)).toDF("doc_id", "text")
+    val got = MinHashDedup.dedupAgainst(batch, sk, hashes, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
 }
