@@ -78,17 +78,6 @@ object MinHashDedup {
       struct(b.as("band"), xxhash64(slice(sig, b * r + 1, lit(r))).as("bh")))
   }
 
-  /** Near-duplicate candidate pairs with exact-Jaccard verification over the
-    * SAME shingle sets the signatures sketch — the quantity MinHash actually
-    * estimates, so banding recall is measurable against an exact all-pairs
-    * oracle (and a candidate that survives is a true shingle-level near-dup).
-    * Returns (d1, d2, jac) with d1 < d2 and jac >= cfg.jaccardThreshold·100.
-    *
-    * Shuffle discipline (the 100 TB shape): the band-bucket self-join and the
-    * (d1,d2) dedup run over ID-ONLY rows — the shingle arrays never enter the
-    * bucket shuffle. Shingle sets are re-attached afterwards by two equi-joins
-    * against the prepared table, so the wide payload crosses the wire only
-    * |verified candidates| times, not |bucket pairs|·|bands| times. */
   /** The reusable per-document dedup sketch: `(__id, __sids, __bands)` —
     * verify shingle-id sets plus banded signature bucket keys, no raw text.
     * This is the frame an incremental ingest pipeline computes ONCE per
@@ -106,11 +95,24 @@ object MinHashDedup {
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.numHashes))
       .select(col("__id"), col("__sids"), col("__bands"))
 
-  /** (__id, __band, __bh) bucket rows from a [[sketch]] frame. */
-  private def buckets(sk: DataFrame): DataFrame =
+  /** (__id, __band, __bh) bucket rows from a [[sketch]] frame — the equi-join
+    * key table for batch ([[dedupAgainst]]) and streaming (stream-static
+    * band join) incremental dedup. */
+  def bandBuckets(sk: DataFrame): DataFrame =
     sk.select(col("__id"), explode(col("__bands")).as("__b"))
       .select(col("__id"), col("__b.band").as("__band"), col("__b.bh").as("__bh"))
 
+  /** Near-duplicate candidate pairs with exact-Jaccard verification over the
+    * SAME shingle sets the signatures sketch — the quantity MinHash actually
+    * estimates, so banding recall is measurable against an exact all-pairs
+    * oracle (and a candidate that survives is a true shingle-level near-dup).
+    * Returns (d1, d2, jac) with d1 < d2 and jac >= cfg.jaccardThreshold·100.
+    *
+    * Shuffle discipline (the 100 TB shape): the band-bucket self-join and the
+    * (d1,d2) dedup run over ID-ONLY rows — the shingle arrays never enter the
+    * bucket shuffle. Shingle sets are re-attached afterwards by two equi-joins
+    * against the prepared table, so the wide payload crosses the wire only
+    * |verified candidates| times, not |bucket pairs|·|bands| times. */
   def nearDupPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
     val prepared = sketch(df, cfg)
       // persisted (spill-safe): four plan branches reuse this frame — the two
@@ -119,7 +121,7 @@ object MinHashDedup {
       // Sketch rows are bounded (ids + hashes + shingle-id sets, no raw text).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bk = buckets(prepared)
+    val bk = bandBuckets(prepared)
     val a = bk.alias("a")
     val b = bk.alias("b")
     val cand = a.join(b,
@@ -192,8 +194,8 @@ object MinHashDedup {
 
     val bs = sketch(exactSurvivors, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = buckets(bs).alias("a")
-    val c = buckets(corpusSketch).alias("c")
+    val a = bandBuckets(bs).alias("a")
+    val c = bandBuckets(corpusSketch).alias("c")
     val cand = a.join(c,
         col("a.__band") === col("c.__band") && col("a.__bh") === col("c.__bh"))
       .select(col("a.__id").as("bid"), col("c.__id").as("cid"))

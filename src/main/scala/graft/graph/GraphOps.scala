@@ -292,4 +292,71 @@ object GraphOps {
     SELECT vertex, ROUND(rank, $digits) AS rank
     FROM r$numIter ORDER BY vertex"""
   }
+
+  /** Synchronous label propagation (community detection) with a DETERMINISTIC
+    * update: labelₖ₊₁(v) = the label most frequent among v's neighbors'
+    * labelₖ, ties broken by SMALLEST label; isolated vertices keep their
+    * label (= their own id, the initialization). GraphX's LabelPropagation
+    * breaks ties by hash-map iteration order — irreproducible across runs —
+    * so this DataFrame form is the one that can be oracle-checked and the
+    * one a pipeline should trust. Integer-exact throughout.
+    *
+    * Scale: per iteration, one join labels⋈edges + one two-key groupBy + one
+    * per-vertex argmax window — all keyed on vertex id (AQE reuses the
+    * partitioning); same localCheckpoint policy as [[pageRankDF]] for long
+    * runs. */
+  def labelPropagationDF(canonical: DataFrame, numIter: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = symmetric(canonical)
+    val vertices = sym.select(col("src").as("vertex")).distinct()
+    var labels = vertices.withColumn("label", col("vertex"))
+    for (i <- 0 until numIter) {
+      val counts = sym
+        .join(labels.withColumnRenamed("vertex", "dst"), "dst")
+        .groupBy(col("src").as("vertex"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("vertex")
+        .orderBy(col("c").desc, col("label"))
+      val upd = counts
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vertex"), col("label").as("__new"))
+      labels = labels
+        .join(upd, Seq("vertex"), "left")
+        .select(col("vertex"), coalesce(col("__new"), col("label")).as("label"))
+      if (numIter > 16 && (i + 1) % 8 == 0 && i + 1 < numIter)
+        labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
+  /** DuckDB oracle for [[labelPropagationDF]]: the fixed iteration count
+    * unrolled into chained CTEs, each iteration a neighbor-label count plus
+    * an arg-max by (count DESC, label ASC) row_number — the identical
+    * deterministic tie-break. */
+  def labelPropagationOracleSql(edgesSql: String, numIter: Int): String = {
+    val iters = (1 to numIter).map { k =>
+      s"""c$k AS (
+        SELECT s.src AS vertex, l.label, COUNT(*) AS c
+        FROM sym s JOIN l${k - 1} l ON l.vertex = s.dst
+        GROUP BY s.src, l.label),
+      u$k AS (
+        SELECT vertex, label FROM (
+          SELECT vertex, label,
+                 ROW_NUMBER() OVER (PARTITION BY vertex
+                                    ORDER BY c DESC, label) AS rn
+          FROM c$k) WHERE rn = 1),
+      l$k AS (
+        SELECT l.vertex, COALESCE(u.label, l.label) AS label
+        FROM l${k - 1} l LEFT JOIN u$k u ON u.vertex = l.vertex)"""
+    }.mkString(",\n")
+    s"""
+    WITH e0 AS ($edgesSql),
+    sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    verts AS (SELECT DISTINCT src AS vertex FROM sym),
+    l0 AS (SELECT vertex, vertex AS label FROM verts),
+    $iters
+    SELECT vertex, label AS community
+    FROM l$numIter ORDER BY vertex"""
+  }
 }

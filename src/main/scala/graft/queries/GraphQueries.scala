@@ -166,6 +166,20 @@ object GraphQueries {
         .orderBy("vertex")
     },
 
+    // ----- G-extension: label propagation community detection — synchronous
+    // LPA with the deterministic (count DESC, label ASC) tie-break, 4
+    // iterations. GraphX's LabelPropagation tie-breaks on hash-map order and
+    // is irreproducible; the DataFrame form is exact, so the oracle unrolls
+    // the same fixed iterations (like q_pagerank). Communities here converge
+    // toward the per-nation chain segments.
+    "q_label_propagation" -> QueryDef.sql(
+      GraphOps.labelPropagationOracleSql(edgesSql, numIter = 4)) { (s, d) =>
+      GraphOps.labelPropagationDF(
+          GraphOps.canonicalEdges(customerEdges(s, d), "src", "dst"), 4)
+        .select(col("vertex"), col("label").as("community"))
+        .orderBy("vertex")
+    },
+
     // ----- G3: landmark shortest paths (GraphX ShortestPaths; integer-exact;
     // oracle = recursive BFS with UNION dedup, depth-bounded over the small
     // subgraph)

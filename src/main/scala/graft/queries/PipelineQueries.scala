@@ -374,6 +374,56 @@ object PipelineQueries {
         .orderBy("doc_id")
     }.serial,
 
+    // ----- §2.13 STREAMING + dedup composition: incremental NEAR-DUP
+    // flagging of a document stream against a static corpus — the streaming
+    // twin of q_dedup_incremental. The corpus sketch (MinHashDedup.sketch)
+    // is static and persisted once; each micro-batch maps its docs to band
+    // hashes (narrow), stream-static equi-joins on (band, bandhash), and
+    // exact-Jaccard-verifies the candidates. The only stateful operator is
+    // the per-doc match counter; the stream's shingle sets ride with the
+    // stream rows (a micro-batch is small by definition — that is the
+    // incremental-ingest point). Oracle = exact all-pairs batch×corpus
+    // Jaccard, same recall argument as q_minhash_dedup.
+    "q_stream_neardup" -> QueryDef.sql("""
+      WITH docs AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks)-1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+              FROM documents)),
+      b AS (SELECT * FROM docs WHERE doc_id % 4 = 0),
+      c AS (SELECT * FROM docs WHERE doc_id % 4 <> 0)
+      SELECT DISTINCT b.doc_id AS doc_id FROM b JOIN c
+      ON CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)*100.0
+         / len(list_distinct(list_concat(b.s, c.s))) >= 70.0
+      ORDER BY b.doc_id""") { (s, d) =>
+      import graft.streaming.Streaming
+      val cfg = MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.7)
+      val corpusSk = MinHashDedup.sketch(
+        Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), cfg)
+      val corpusSide = MinHashDedup.bandBuckets(corpusSk)
+        .join(corpusSk.select(col("__id"), col("__sids").as("t2")), "__id")
+        .select(col("__band"), col("__bh"), col("t2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val streamCands = MinHashDedup.sketch(
+          Streaming.docStream(s, d).filter(col("doc_id") % 4 === 0), cfg)
+        .select(col("__id").as("doc_id"), col("__sids").as("t1"),
+          explode(col("__bands")).as("__b"))
+        .select(col("doc_id"), col("t1"),
+          col("__b.band").as("__band"), col("__b.bh").as("__bh"))
+        .join(corpusSide, Seq("__band", "__bh"))
+      val jacRaw = org.apache.spark.sql.graft.bridge.column(
+        graft.expressions.ArraySetJaccard(
+          org.apache.spark.sql.graft.bridge.expression(col("t1")),
+          org.apache.spark.sql.graft.bridge.expression(col("t2")),
+          assumeDistinct = true))
+      Streaming.replayToTable(
+          streamCands.filter(jacRaw >= cfg.jaccardThreshold * 100.0)
+            .groupBy("doc_id").agg(count(lit(1)).as("n_cand")),
+          s"stream_neardup_${System.nanoTime()}")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }.serial,
+
     // ----- §2.13 STREAMING: stateless corpus quality gate over the document
     // stream (token-count + length thresholds map-side, per-lang yield as the
     // one complete-mode aggregation) — the streaming form of the batch

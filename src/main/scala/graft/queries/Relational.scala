@@ -693,6 +693,27 @@ object Relational {
         .orderBy("p")
     },
 
+    // ----- A7 extension: exact median WITHOUT a global sort — the 100 TB
+    // path for q_quantiles' semantics. Spark's exact percentile() collects
+    // every group value into one aggregation buffer; operators.Quantile2Pass
+    // instead takes a histogram pass + a one-bin TakeOrdered (recursing on
+    // value-skewed bins), touching the driver with only nBins counters. The
+    // answer is the identical data element, so the double compares bit-equal.
+    "q_median_2pass" -> QueryDef.sql("""
+      WITH c AS (SELECT COUNT(*) AS n FROM lineitem)
+      SELECT n, (n+1)//2 AS k,
+             (SELECT l_extendedprice FROM lineitem
+              ORDER BY l_extendedprice
+              LIMIT 1 OFFSET (SELECT (n+1)//2 - 1 FROM c)) AS v
+      FROM c""") { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val n = li.count()
+      val k = (n + 1) / 2
+      val v = graft.operators.Quantile2Pass.kthSmallest(li, "l_extendedprice", k)
+      Seq((n, k, v)).toDF("n", "k", "v")
+    },
+
     // ----- O5: deterministic systematic sample (reference Bernoulli sample
     // AnalysisUtils.scala:98-104 is seed-dependent; modulo sampling is the
     // oracle-checkable equivalent)

@@ -83,4 +83,21 @@ class GraphOpsSpec extends SparkSpec {
       assert(math.abs(gx(v) - r) < 1e-6, s"vertex $v: graphx=${gx(v)} df=$r")
     }
   }
+
+  test("labelPropagationDF: deterministic communities, hand-computed") {
+    // 4 synchronous iterations with the (count DESC, label ASC) tie-break,
+    // traced by hand: the two triangles settle on labels 1 and 3; the
+    // isolated 7-8 edge oscillates each iteration (the classic synchronous-
+    // LPA bipartite oscillation) and lands on self-labels after an even
+    // number of rounds.
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                   4L -> 3L, 5L -> 3L, 6L -> 3L,
+                   7L -> 7L, 8L -> 8L)
+    val got = GraphOps.labelPropagationDF(canonical, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    val again = GraphOps.labelPropagationDF(canonical, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got, "LPA must be reproducible run-to-run")
+  }
 }
