@@ -24,7 +24,8 @@ object ScaleProbe {
     "q_token_count", "q_repetition", "q_chunk_overlap", "q_seq_packing",
     "q_dedup_exact", "q_table_checksum", "q_winnow",
     "q_quality_rules", "q_boilerplate", "q_token_budget", "q_pii_redact",
-    "q_substring_dedup")
+    "q_substring_dedup", "q_rare_bigram", "q_train_order",
+    "q_split_stratified", "q_fertility")
   private val linearFactors = Seq(1, 10, 50, 100)
   private val dupHeavyFactors = Seq(1, 2, 5, 10)
 
@@ -79,14 +80,19 @@ object ScaleProbe {
       timeDf(SparkEntry.queries(name)(spark, _), dir)._1
 
     // warm the io/codegen paths so factor-1 isn't charged first-touch cost
-    (linearOps :+ "q_minhash_dedup").filter(q => only.forall(_.contains(q)))
+    (linearOps ++ Seq("q_minhash_dedup", "q_dedup_incremental"))
+      .filter(q => only.forall(_.contains(q)))
       .foreach(q =>
         SparkEntry.queries(q)(spark, base).queryExecution.toRdd.count())
 
     val linRows = linearOps.filter(q => only.forall(_.contains(q))).map { q =>
       q -> linearFactors.map(f => f -> time(q, dirFor(f))).toMap
     }
-    val dupRows = Seq("q_minhash_dedup")
+    // q_dedup_incremental joins the replicated corpus too: every replica is
+    // a near-dup of its original, so like q_minhash_dedup its verified-match
+    // OUTPUT grows with the duplication factor — probed on the dup-heavy
+    // ladder, not the linear one.
+    val dupRows = Seq("q_minhash_dedup", "q_dedup_incremental")
       .filter(q => only.forall(_.contains(q))).map { q =>
       q -> dupHeavyFactors.map(f => f -> time(q, dirFor(f))).toMap
     }

@@ -285,6 +285,47 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ----- extension: TABLE DIFF — reconcile two dataset versions (the
+    // companion to q_table_checksum: the checksum says WHETHER two versions
+    // diverge, the diff says HOW). v2 is a deterministic mutation of the
+    // corpus: doc_id % 13 deleted, % 7 edited, % 17 re-inserted under a new
+    // id. Shape: content is reduced to an md5 in the scan projection, so the
+    // full-outer join shuffles only (id, 32-byte hash) — at 100 TB the text
+    // never rides the exchange, and the status rollup is a 4-row aggregate.
+    "q_table_diff" -> QueryDef.sql("""
+      WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+      v2 AS (SELECT doc_id,
+                    md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS h
+             FROM documents WHERE doc_id % 13 <> 0
+             UNION ALL
+             SELECT doc_id + 1000000, md5('new doc')
+             FROM documents WHERE doc_id % 17 = 0),
+      j AS (SELECT CASE WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN a.h <> b.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val v1 = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(concat(col("text"),
+            when(col("doc_id") % 7 === 0, " v2").otherwise(""))
+            .cast("binary")).as("h"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(lit("new doc").cast("binary")).as("h")))
+      v1.alias("a").join(v2.alias("b"),
+          col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(when(col("b.doc_id").isNull, "removed")
+          .when(col("a.doc_id").isNull, "added")
+          .when(col("a.h") =!= col("b.h"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    },
+
     // ----- extension: z-order layout key — bit-interleave of two dimensions,
     // the multi-dimensional clustering key for data layout (write
     // `ORDER BY zval` and both user_id- and value-range predicates prune

@@ -744,6 +744,27 @@ object Relational {
         .orderBy("status", "priority")
     },
 
+    // ----- A7 extension: per-group percentile bands — the p50/p95/p99
+    // latency-style report, exact interpolated quantiles per event type
+    // (same quantile_cont/percentile definition as the global q_quantiles;
+    // single rounding on both sides). At 100 TB, groups partition the data
+    // so each group's buffer is bounded by its own cardinality; for a group
+    // too big for that, q_median_2pass's bracketing is the fallback shape.
+    "q_percentile_groups" -> QueryDef.sql("""
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.50), 6) AS p50,
+             ROUND(quantile_cont(value, 0.95), 6) AS p95,
+             ROUND(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(percentile(col("value"), lit(0.50)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+          round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+        .orderBy("event_type")
+    },
+
     // ----- extension: PIVOT as conditional aggregation (oracle = FILTER aggs)
     "q_pivot" -> QueryDef.sql("""
       SELECT o_orderstatus,
