@@ -358,6 +358,27 @@ object Relational {
         .orderBy("state")
     }.serial.expectAtGate(50L, "30473775183252591459"),
 
+    // ----- S7: Avro source+sink round-trip through the AvroLite DSv2
+    // connector (the spark-avro jar is absent offline; sources.AvroLite
+    // reads/writes Avro container files over the Apache Avro core library
+    // that IS on the classpath). The documents table is written to Avro
+    // executor-side (one container file per partition), read back through
+    // the connector, and aggregated — matching the oracle's direct parquet
+    // aggregation proves both directions byte-faithful. The temp copy is
+    // per-run (nanoTime dir) so concurrent Verify workers never collide.
+    "q_avro_roundtrip" -> QueryDef.sql("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val dir = s"/tmp/graft_avro_${System.nanoTime()}"
+      graft.sources.AvroLite.write(Tables.documents(s, d), dir)
+      s.read.format("graft.sources.AvroLite").load(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("lang")
+    },
+
     // ----- extension: CUBE over two independent dims (ROLLUP: q_rollup)
     "q_cube" -> QueryDef.sql("""
       SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
