@@ -198,6 +198,73 @@ object Relational {
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
     },
 
+    // ----- TPC-H Q17 shape (small-quantity-order revenue): correlated
+    // scalar subquery (20% of per-part average quantity) DE-correlated into
+    // a per-partkey aggregate + equi-join — the rewrite every optimizer
+    // performs, written explicitly so the plan is the 100 TB plan: the part
+    // dim filters first and broadcasts, the avg aggregates only the
+    // semi-joined lineitems. Determinism: l_quantity is integer-valued, so
+    // AVG's partial sums are exact in doubles regardless of order; one
+    // multiply + one compare, identical IEEE ops both engines.
+    "q_tpch_q17" -> QueryDef.sql("""
+      SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#12' AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)""") { (s, d) =>
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#12")
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      val avgs = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((sum("l_quantity") / count("l_quantity")).as("avg_qty"))
+      li.join(avgs, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
+    },
+
+    // ----- TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // EXISTS / NOT-EXISTS pair over other suppliers of the same order,
+    // DE-correlated into one per-(order, supplier) aggregate + one
+    // per-order rollup — no correlated self-joins, which is how the plan
+    // must run at 100 TB (two keyed aggregations + two broadcast dims).
+    // Testdata has no commit/receipt dates, so "late" = l_returnflag='R';
+    // numwait counts qualifying orders per supplier (the order is counted
+    // once per supplier, the decorrelated form's natural unit).
+    "q_tpch_q21" -> QueryDef.sql("""
+      WITH os AS (SELECT l_orderkey, l_suppkey,
+                         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+                  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+      stats AS (SELECT l_orderkey, COUNT(*) AS n_supps,
+                       CAST(SUM(ret) AS BIGINT) AS n_ret
+                FROM os GROUP BY l_orderkey),
+      w AS (SELECT os.l_orderkey, os.l_suppkey
+            FROM os JOIN stats USING (l_orderkey)
+            WHERE os.ret = 1 AND stats.n_supps >= 2 AND stats.n_ret = 1),
+      j AS (SELECT s.s_name
+            FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+                   JOIN orders o ON o.o_orderkey = w.l_orderkey
+            WHERE o.o_orderstatus = 'F')
+      SELECT s_name, COUNT(*) AS numwait FROM j
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""") { (s, d) =>
+      val os = Tables.lineitem(s, d)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+      val stats = os.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supps"), sum("ret").as("n_ret"))
+      val w = os.join(stats, "l_orderkey")
+        .filter(col("ret") === 1 && col("n_supps") >= 2 && col("n_ret") === 1)
+      w.join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(100)
+    },
+
     // ----- P1/P3/P5/P6: predicates + projection/rename (reference
     // ExtractCandidates.scala:98 filter-after-read; Utils.scala:276-281)
     "q_filter_project" -> QueryDef.sql("""

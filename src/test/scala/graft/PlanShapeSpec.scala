@@ -67,13 +67,14 @@ class PlanShapeSpec extends SparkSpec {
     * heap, no global sort materialization) and the star joins must never
     * degrade to a cartesian product. */
   test("TPC-H joins: TakeOrdered top-K, no cartesian product") {
-    for (q <- Seq("q_tpch_q3", "q_tpch_q10")) {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q21")) {
       val p = planOf(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q lost the top-K heap plan")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
-    assert(!planOf("q_tpch_q5").contains("CartesianProduct"),
-      "q_tpch_q5 plans a cartesian product")
+    for (q <- Seq("q_tpch_q5", "q_tpch_q17"))
+      assert(!planOf(q).contains("CartesianProduct"),
+        s"$q plans a cartesian product")
   }
 
   /** The skyline rewrite must join survivors back by broadcast — the whole
