@@ -471,6 +471,48 @@ object AnalyticsQueries {
         .orderBy("user_id", "valid_from", "change_event_id")
     },
 
+    // ----- extension: RETRIEVAL EVAL HARNESS — rank-quality metrics for the
+    // lexical retrieval stack (first relevant rank = the integer core of MRR,
+    // hits@10 = precision@10 numerator, per query): ranking is tf-desc with
+    // doc_id tie-break, relevance is an independent metadata label
+    // (lang = 'en'), so the metric measures the ranking rather than itself.
+    // Integer-exact end to end (ranks and counts, no reciprocal floats).
+    // Scale shape: postings groupBy + one per-query window over ranked docs
+    // only (docs containing the term), then a metadata equi-join.
+    "q_retrieval_eval" -> QueryDef.sql("""
+      WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS t
+                   FROM documents),
+      tf AS (SELECT q.q, doc_id, COUNT(*) AS tf
+             FROM tok JOIN (VALUES ('join'), ('hash'), ('scan')) q(q) ON tok.t = q.q
+             GROUP BY q.q, doc_id),
+      r AS (SELECT q, doc_id, tf,
+                   ROW_NUMBER() OVER (PARTITION BY q ORDER BY tf DESC, doc_id) AS rnk
+            FROM tf),
+      j AS (SELECT r.q, r.rnk, (d.lang = 'en') AS rel
+            FROM r JOIN documents d ON d.doc_id = r.doc_id)
+      SELECT q, COUNT(*) AS n_ranked,
+             COALESCE(MIN(CASE WHEN rel THEN rnk END), 0) AS first_rel_rank,
+             COUNT(*) FILTER (WHERE rel AND rnk <= 10) AS hits_at_10,
+             COUNT(*) FILTER (WHERE rel) AS n_rel
+      FROM j GROUP BY q ORDER BY q""") { (s, d) =>
+      val terms = Seq("join", "hash", "scan")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy(col("t").as("q"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("q").orderBy(desc("tf"), asc("doc_id"))
+      tf.withColumn("rnk", row_number().over(w).cast("long"))
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").as("rel")), "doc_id")
+        .groupBy("q")
+        .agg(count(lit(1)).as("n_ranked"),
+          coalesce(min(when(col("rel"), col("rnk"))), lit(0L)).as("first_rel_rank"),
+          count(when(col("rel") && col("rnk") <= 10, 1)).as("hits_at_10"),
+          count(when(col("rel"), 1)).as("n_rel"))
+        .orderBy("q")
+    },
+
     // ----- O5 extension: deterministic k-per-stratum sample — md5 hash-race
     // within each group (the reservoir-sample shape with replayable
     // randomness; complements q_sample_stratified's per-stratum rates).
