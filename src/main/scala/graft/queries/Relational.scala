@@ -438,7 +438,10 @@ object Relational {
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
       val dir = s"/tmp/graft_avro_${System.nanoTime()}"
-      graft.sources.AvroLite.write(Tables.documents(s, d), dir)
+      // the DSv2 write path (two-phase commit: temp files renamed into
+      // place at driver job-commit, _SUCCESS marker)
+      Tables.documents(s, d).write.format("graft.sources.AvroLite")
+        .mode("overwrite").save(dir)
       s.read.format("graft.sources.AvroLite").load(dir)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),

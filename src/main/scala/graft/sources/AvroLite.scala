@@ -35,10 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
 class AvroLite extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = AvroLite.listFiles(AvroLite.pathOf(options))
-    require(files.nonEmpty, s"no .avro files under ${AvroLite.pathOf(options)}")
-    val r = new DataFileReader[GenericRecord](
-      files.head, new GenericDatumReader[GenericRecord]())
-    try AvroLite.toStructType(r.getSchema) finally r.close()
+    // empty → empty schema: the WRITE path infers before any file exists and
+    // then supplies the query schema via getTable (supportsExternalMetadata)
+    if (files.isEmpty) StructType(Nil)
+    else {
+      val r = new DataFileReader[GenericRecord](
+        files.head, new GenericDatumReader[GenericRecord]())
+      try AvroLite.toStructType(r.getSchema) finally r.close()
+    }
   }
 
   override def getTable(
@@ -62,7 +66,11 @@ object AvroLite {
     val f = new java.io.File(path)
     val all =
       if (f.isDirectory) f.listFiles().toSeq else Seq(f)
-    all.filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+    // hidden ('.') and marker ('_') names are never data — in particular the
+    // write path's uncommitted `.tmp-*.avro` attempt files
+    all.filter(x => x.getName.endsWith(".avro") &&
+        !x.getName.startsWith(".") && !x.getName.startsWith("_"))
+      .sortBy(_.getName)
   }
 
   /** Avro record schema → Spark StructType (flat records; `["null", T]`
@@ -161,16 +169,22 @@ object AvroLite {
 
 private[sources] class AvroLiteTable(schema: StructType,
                                      options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"avrolite(${AvroLite.pathOf(options)})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
     merged.putAll(o)
     new AvroLiteScanBuilder(schema, new CaseInsensitiveStringMap(merged))
   }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AvroLiteWriteBuilder(AvroLite.pathOf(options), info.schema())
 }
 
 private[sources] class AvroLiteScanBuilder(full: StructType,
@@ -242,4 +256,115 @@ private[sources] class AvroLiteReader(file: String, required: StructType)
     }
 
   override def close(): Unit = reader.close()
+}
+
+/** DSv2 WRITE path — `df.write.format("graft.sources.AvroLite")
+  * .mode("append"|"overwrite").save(path)` — with the real two-phase commit
+  * protocol the [[AvroLite.write]] helper hand-waves: each task writes a
+  * uniquely-named temp file (task id in the name, so a speculative retry
+  * never collides), task commit reports (temp, final) names, and only the
+  * DRIVER's job commit renames winners into place (plus deletes the old
+  * generation under truncate/overwrite) and drops a `_SUCCESS` marker.
+  * An aborted task deletes its temp; an aborted job deletes all reported
+  * temps — no torn output is ever visible to a reader. */
+private[sources] class AvroLiteWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new AvroLiteBatchWrite(path, schema, doTruncate)
+    }
+}
+
+private[sources] final case class AvroCommitMessage(tmp: String, fin: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class AvroLiteBatchWrite(path: String, schema: StructType,
+                                          truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  // job-unique token in the FINAL file names so append jobs never rename
+  // over a previous generation; retries within one job still converge on
+  // one name per partition
+  private val job = java.lang.Long.toHexString(System.nanoTime())
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new AvroLiteWriterFactory(path, AvroLite.toAvroSchema(schema).toString,
+      schema, job)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    if (truncate)
+      AvroLite.listFiles(path).foreach(_.delete())
+    messages.foreach { case AvroCommitMessage(tmp, fin) =>
+      val t = new java.io.File(tmp)
+      if (!t.renameTo(new java.io.File(dir, fin)))
+        throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+    }
+    java.nio.file.Files.write(dir.toPath.resolve("_SUCCESS"), Array.empty[Byte])
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case AvroCommitMessage(tmp, _) => new java.io.File(tmp).delete()
+      case _ =>
+    }
+}
+
+private[sources] class AvroLiteWriterFactory(path: String, avroJson: String,
+                                             schema: StructType, job: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new AvroLiteDataWriter(path, avroJson, schema, partitionId, taskId, job)
+}
+
+private[sources] class AvroLiteDataWriter(path: String, avroJson: String,
+                                          st: StructType,
+                                          partitionId: Int, taskId: Long,
+                                          job: String)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val schema = new Schema.Parser().parse(avroJson)
+  private val tmp = {
+    new java.io.File(path).mkdirs()
+    new java.io.File(path, f".tmp-part-$partitionId%05d-task-$taskId.avro")
+  }
+  private val w = new DataFileWriter[GenericRecord](
+    new GenericDatumWriter[GenericRecord](schema))
+  w.create(schema, tmp)
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(schema)
+    var i = 0
+    while (i < st.length) {
+      rec.put(i, if (row.isNullAt(i)) null else st.fields(i).dataType match {
+        case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+        case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
+        case LongType => java.lang.Long.valueOf(row.getLong(i))
+        case FloatType => java.lang.Float.valueOf(row.getFloat(i))
+        case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+        case StringType => row.getUTF8String(i).toString
+        case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+        case other => throw new IllegalStateException(s"unsupported $other")
+      })
+      i += 1
+    }
+    w.append(rec)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    w.close()
+    AvroCommitMessage(tmp.getAbsolutePath, f"part-$partitionId%05d-$job.avro")
+  }
+
+  override def abort(): Unit = { w.close(); tmp.delete() }
+  override def close(): Unit = ()
 }

@@ -64,6 +64,23 @@ class AvroLiteSpec extends SparkSpec {
     assert(back.as[Long].collect().sorted.toSeq == Seq(10L, 20L))
   }
 
+  test("DSv2 write: append accumulates, overwrite truncates, _SUCCESS lands") {
+    val dir = tmpDir()
+    (1L to 10L).toDF("id").repartition(2)
+      .write.format("graft.sources.AvroLite").mode("append").save(dir)
+    (11L to 20L).toDF("id").repartition(2)
+      .write.format("graft.sources.AvroLite").mode("append").save(dir)
+    def ids() = spark.read.format("graft.sources.AvroLite").load(dir)
+      .as[Long].collect().sorted.toSeq
+    assert(ids() == (1L to 20L))
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    // no uncommitted attempt files left behind
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".tmp")))
+    (21L to 25L).toDF("id").repartition(1)
+      .write.format("graft.sources.AvroLite").mode("overwrite").save(dir)
+    assert(ids() == (21L to 25L))
+  }
+
   test("schema mapping round-trips nullability and rejects nested types") {
     val st = StructType(Seq(
       StructField("a", LongType, nullable = false),
