@@ -34,11 +34,37 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder — a real deployment plugs an image/audio codec in here.
-    * Deterministic fake: dimensions from the first two payload bytes. */
+  /** REAL container-header dimension parse for the two formats whose headers
+    * are fixed-offset byte fields — no codec library required:
+    *  - PNG: 8-byte magic, then the IHDR chunk puts big-endian width/height
+    *    at bytes 16-19 / 20-23 (PNG spec §11.2.2);
+    *  - GIF: "GIF87a"/"GIF89a", then little-endian u16 width/height at
+    *    bytes 6-7 / 8-9 (GIF89a spec §18).
+    * Full pixel decode (and JPEG's variable-length marker walk) stays behind
+    * the codec stub. */
+  private[multimodal] def headerDims(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    if (p.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a)
+      Some((
+        (u8(16) << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19),
+        (u8(20) << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)))
+    else if (p.length >= 10 &&
+        u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+        (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+    else None
+  }
+
+  /** Decoder: REAL header parse when the payload carries a recognized image
+    * container ([[headerDims]]); otherwise the clearly-marked STUB fallback
+    * (deterministic fake dimensions from the first two payload bytes) a real
+    * deployment replaces with a codec. */
   private[multimodal] def decodeStub(r: MediaRecord): MediaFeatures = {
-    val w = if (r.payload.length > 0) 1 + (r.payload(0) & 0x7f) % 64 else 0
-    val h = if (r.payload.length > 1) 1 + (r.payload(1) & 0x7f) % 64 else 0
+    val (w, h) = headerDims(r.payload).getOrElse((
+      if (r.payload.length > 0) 1 + (r.payload(0) & 0x7f) % 64 else 0,
+      if (r.payload.length > 1) 1 + (r.payload(1) & 0x7f) % 64 else 0))
     val sha = MessageDigest.getInstance("SHA-256").digest(r.payload)
       .map("%02x".format(_)).mkString
     MediaFeatures(r.id, r.kind, r.payload.length, sha, w, h)

@@ -12,6 +12,25 @@ class MultimodalSpec extends SparkSpec {
     (3L, "x")
   ).toDF("doc_id", "text")
 
+  test("headerDims parses real PNG and GIF headers, rejects others") {
+    // hand-built PNG: magic + IHDR length/type + width=640 height=480 (BE)
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0).map(_.toByte)
+    assert(Multimodal.headerDims(png).contains((640, 480)))
+    // GIF89a with width=320 height=200 (LE u16)
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, 0xc8, 0x00).map(_.toByte))
+    assert(Multimodal.headerDims(gif).contains((320, 200)))
+    assert(Multimodal.headerDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.headerDims(Array.empty[Byte]).isEmpty)
+    // the decode path surfaces the REAL dims, not the stub fallback
+    val ds = Seq(Multimodal.MediaRecord(9L, "image", png)).toDS()
+    val f = Multimodal.extractFeatures(ds).head()
+    assert((f.width, f.height) == (640, 480))
+  }
+
   test("payloadFrom wraps text as binary with kind") {
     val ds = Multimodal.payloadFrom(docs, "doc_id", "text", kind = "image")
     val r = ds.collect().sortBy(_.id)
