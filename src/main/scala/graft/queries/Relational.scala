@@ -449,6 +449,27 @@ object Relational {
         .orderBy("lang")
     },
 
+    // ----- S7 + §2.13: the SAME Avro directory consumed as a MICRO-BATCH
+    // STREAM — AvroLite's file-arrival stream (offset = consumed-file count
+    // over the name-sorted listing; admission-controlled 2 files/trigger;
+    // AvailableNow drain pins the listing so the drain terminates). The
+    // streamed aggregation must equal the oracle's batch aggregation over
+    // the same rows — the streamed≡batch invariant, through Avro. Serial:
+    // replayToTable scopes session confs.
+    "q_stream_avro" -> QueryDef.sql("""
+      SELECT lang, COUNT(*) AS n_docs FROM documents
+      GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val dir = s"/tmp/graft_avro_stream_${System.nanoTime()}"
+      Tables.documents(s, d).write.format("graft.sources.AvroLite")
+        .mode("overwrite").save(dir)
+      graft.streaming.Streaming.replayToTable(
+          s.readStream.format("graft.sources.AvroLite")
+            .option("maxFilesPerTrigger", "2").load(dir)
+            .groupBy("lang").agg(count(lit(1)).as("n_docs")),
+          s"stream_avro_${System.nanoTime()}")
+        .orderBy("lang")
+    }.serial,
+
     // ----- extension: CUBE over two independent dims (ROLLUP: q_rollup)
     "q_cube" -> QueryDef.sql("""
       SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,

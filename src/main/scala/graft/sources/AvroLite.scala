@@ -175,6 +175,7 @@ private[sources] class AvroLiteTable(schema: StructType,
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
@@ -194,11 +195,13 @@ private[sources] class AvroLiteScanBuilder(full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new AvroLiteScan(AvroLite.pathOf(options), full, required)
+    new AvroLiteScan(AvroLite.pathOf(options), full, required,
+      options.getInt("maxFilesPerTrigger", 0))
 }
 
 private[sources] class AvroLiteScan(path: String, full: StructType,
-                                    required: StructType)
+                                    required: StructType,
+                                    maxFilesPerTrigger: Int = 0)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -209,6 +212,18 @@ private[sources] class AvroLiteScan(path: String, full: StructType,
       .map(f => AvroFilePartition(f.getAbsolutePath): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroLiteReaderFactory(required)
+
+  /** File-arrival MICRO-BATCH stream: the offset is the number of files
+    * consumed from the name-sorted listing, so each trigger reads exactly
+    * the newly landed files (one partition per file) and replay from a
+    * checkpointed offset re-reads the identical file slice. Assumes the
+    * directory is append-only with monotonically-sorting names — exactly
+    * what the [[AvroLiteBatchWrite]] job-token naming produces; an external
+    * producer must follow the same discipline (or use the batch source).
+    * `maxFilesPerTrigger` bounds admission per micro-batch. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroLiteMicroBatchStream(path, required, maxFilesPerTrigger)
 }
 
 private[sources] final case class AvroFilePartition(file: String)
@@ -258,6 +273,64 @@ private[sources] class AvroLiteReader(file: String, required: StructType)
   override def close(): Unit = reader.close()
 }
 
+private[sources] case class AvroFileOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class AvroLiteMicroBatchStream(path: String,
+                                                required: StructType,
+                                                maxFilesPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // AvailableNow pins the listing at prepare time so the drain terminates
+  // even if files keep landing during it
+  @volatile private var pinned: Option[Int] = None
+
+  private def listing(): Seq[java.io.File] = AvroLite.listFiles(path)
+  private def visibleCount(): Int =
+    pinned.getOrElse(listing().size)
+
+  override def initialOffset(): Offset = AvroFileOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    AvroFileOffset(json.toInt)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(listing().size)
+  override def reportLatestOffset(): Offset = AvroFileOffset(visibleCount())
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[AvroFileOffset].n
+    val avail = visibleCount()
+    val hi = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(avail, lo + m.maxFiles())
+      case _ => avail
+    }
+    AvroFileOffset(math.max(lo, hi))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[AvroFileOffset].n
+    val hi = end.asInstanceOf[AvroFileOffset].n
+    listing().slice(lo, hi)
+      .map(f => AvroFilePartition(f.getAbsolutePath): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroLiteReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 /** DSv2 WRITE path — `df.write.format("graft.sources.AvroLite")
   * .mode("append"|"overwrite").save(path)` — with the real two-phase commit
   * protocol the [[AvroLite.write]] helper hand-waves: each task writes a
@@ -289,8 +362,11 @@ private[sources] class AvroLiteBatchWrite(path: String, schema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   // job-unique token in the FINAL file names so append jobs never rename
   // over a previous generation; retries within one job still converge on
-  // one name per partition
-  private val job = java.lang.Long.toHexString(System.nanoTime())
+  // one name per partition. Zero-padded and leading the name, so names
+  // sort job-then-partition — later jobs' files always sort AFTER earlier
+  // jobs', which the streaming offset scheme (consumed-file count over the
+  // name-sorted list) depends on.
+  private val job = f"${System.nanoTime()}%016x"
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -362,7 +438,7 @@ private[sources] class AvroLiteDataWriter(path: String, avroJson: String,
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     w.close()
-    AvroCommitMessage(tmp.getAbsolutePath, f"part-$partitionId%05d-$job.avro")
+    AvroCommitMessage(tmp.getAbsolutePath, f"part-$job-$partitionId%05d.avro")
   }
 
   override def abort(): Unit = { w.close(); tmp.delete() }

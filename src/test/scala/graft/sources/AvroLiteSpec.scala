@@ -81,6 +81,32 @@ class AvroLiteSpec extends SparkSpec {
     assert(ids() == (21L to 25L))
   }
 
+  test("micro-batch stream: drain equals batch; admission bounds files per trigger") {
+    val dir = tmpDir()
+    (1L to 6L).toDF("id").repartition(3)
+      .write.format("graft.sources.AvroLite").mode("append").save(dir)
+    (7L to 9L).toDF("id").repartition(2)
+      .write.format("graft.sources.AvroLite").mode("append").save(dir)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft.sources.AvroLite")
+      .option("maxFilesPerTrigger", "2")
+      .load(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet()
+        b.collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == (1L to 9L), s"saw $seen")
+    // 5 files at 2 per trigger → at least 3 non-empty micro-batches
+    assert(batches.get() >= 3, s"admission ignored: ${batches.get()} batches")
+  }
+
   test("schema mapping round-trips nullability and rejects nested types") {
     val st = StructType(Seq(
       StructField("a", LongType, nullable = false),
