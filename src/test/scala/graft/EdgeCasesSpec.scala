@@ -24,6 +24,23 @@ class EdgeCasesSpec extends SparkSpec {
     assert(MinHashDedup.dedupExact(emptyDocs, "doc_id", "text").count() == 0)
   }
 
+  test("dedupAgainst: empty corpus keeps the whole batch; empty batch stays empty") {
+    val batch = Seq((1L, "some document text here"), (2L, "another doc")).toDF("doc_id", "text")
+    val cfg = MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.5)
+    assert(MinHashDedup.dedupAgainst(batch, emptyDocs, cfg).count() == 2)
+    assert(MinHashDedup.dedupAgainst(emptyDocs, batch, cfg).count() == 0)
+  }
+
+  test("Quantile2Pass rejects out-of-range ranks") {
+    val df = Seq(1.0, 2.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantile2Pass.kthSmallest(df, "v", 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantile2Pass.kthSmallest(df, "v", 3)
+    }
+  }
+
   test("candidate pairs on empty and single-row inputs") {
     val empty = Seq.empty[(String, String, Int)].toDF("pk", "state", "prediction")
     val one = Seq(("a", "FL", 0)).toDF("pk", "state", "prediction")
