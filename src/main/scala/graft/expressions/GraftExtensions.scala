@@ -93,6 +93,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "size-ratio prune (unsound if the promise is broken)"),
       (es: Seq[Expression]) => ArraySetJaccard(es(0), es(1), assumeDistinct = true)))
 
+    ext.injectFunction((FunctionIdentifier("graft_tokens"),
+      info("graft_tokens",
+        "graft_tokens(text) - whitespace-split non-empty tokens, one codegen pass"),
+      (es: Seq[Expression]) => SplitNonEmpty(es(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_bpeish_count"),
+      info("graft_bpeish_count",
+        "graft_bpeish_count(text) - BPE-ish subword token count without materializing tokens"),
+      (es: Seq[Expression]) => BpeishCount(es(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(hashes, k) - k-hash MinHash signature over 31-bit-reduced " +
+          "shingle hashes (deterministic md5-derived coefficients)"),
+      (es: Seq[Expression]) => {
+        val k = litInt(es(1), "k")
+        val (as, bs) = graft.dedup.MinHashDedup.coefficients(k)
+        MinHashSignature(es(0), as.toSeq, bs.toSeq, (1L << 31) - 1)
+      }))
+
     // threshold filters on the distinct-marked Jaccard kernel gain a
     // header-only size-ratio prune (graft.plans.JaccardPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilter)

@@ -30,6 +30,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(2) == 0L)
   }
 
+  test("tokenizer / token-count / minhash functions callable from spark.sql") {
+    val r = spark.sql("""
+      SELECT graft_tokens('  a  b   c ') AS toks,
+             graft_bpeish_count('hello world') AS n,
+             graft_minhash_sig(array(5L, 99L), 4) AS sig
+    """).head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getInt(1) > 0)
+    val sig = r.getSeq[Long](2)
+    assert(sig.length == 4 && sig.forall(s => s >= 0 && s < (1L << 31) - 1))
+    // SQL signature == library signature (same md5-derived coefficients)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lib = Seq(Seq(5L, 99L)).toDF("h")
+      .select(graft.dedup.MinHashDedup.signature(col("h"), 4))
+      .head().getSeq[Long](0)
+    assert(sig == lib)
+  }
+
   test("graft_jaccard: set semantics, duplicates collapsed, empty = 0") {
     val r = spark.sql("""
       SELECT graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j1,
