@@ -146,6 +146,65 @@ object VectorQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ----- extension: DIMENSION-TRUNCATION RECALL — the matryoshka-style
+    // eval a pipeline runs before switching retrieval to truncated
+    // embeddings: per probe, how many of the full-dim cosine top-5 survive
+    // when ranking uses only the first 16 of 64 dims. Integer output
+    // (overlap count), ranking discipline identical to q_cosine_topk
+    // (rounded cosine, cand_id tie-break). Scale shape: the second ranking
+    // reuses the same broadcast-probe kernel pass — truncation cost is the
+    // point (16/64 of the multiply-adds), not a new join topology.
+    "q_trunc_recall" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 50 = 0),
+      sf AS (SELECT q_id, vec_id AS cand_id,
+                    list_reduce(list_transform(range(1, ${DIM + 1}), i -> qv[i]*v[i]), (x,y)->x+y)
+                    / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> qv[i]*qv[i]), (x,y)->x+y))
+                       * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> v[i]*v[i]), (x,y)->x+y))) AS cos
+             FROM q JOIN t ON vec_id <> q_id),
+      rf AS (SELECT q_id, cand_id, ROUND(cos, 6) AS cos,
+                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cos, 6) DESC, cand_id) AS rn
+             FROM sf),
+      st AS (SELECT q_id, vec_id AS cand_id,
+                    list_reduce(list_transform(range(1, 17), i -> qv[i]*v[i]), (x,y)->x+y)
+                    / (SQRT(list_reduce(list_transform(range(1, 17), i -> qv[i]*qv[i]), (x,y)->x+y))
+                       * SQRT(list_reduce(list_transform(range(1, 17), i -> v[i]*v[i]), (x,y)->x+y))) AS cos
+             FROM q JOIN t ON vec_id <> q_id),
+      rt AS (SELECT q_id, cand_id, ROUND(cos, 6) AS cos,
+                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cos, 6) DESC, cand_id) AS rn
+             FROM st),
+      o AS (SELECT f.q_id, COUNT(*) AS n
+            FROM (SELECT q_id, cand_id FROM rf WHERE rn <= 5) f
+            JOIN (SELECT q_id, cand_id FROM rt WHERE rn <= 5) tr
+              ON f.q_id = tr.q_id AND f.cand_id = tr.cand_id
+            GROUP BY f.q_id)
+      SELECT q.q_id, COALESCE(o.n, 0) AS overlap5
+      FROM q LEFT JOIN o ON o.q_id = q.q_id
+      ORDER BY q.q_id""") { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val q = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def top5(cosCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+        broadcast(q).join(t, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            round(cosCol, 6).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("q_id", "cand_id")
+      }
+      val full = top5(ArrayOps.cosine(col("qv"), col("v")))
+      val trunc = top5(ArrayOps.cosine(slice(col("qv"), 1, 16), slice(col("v"), 1, 16)))
+      val overlap = full.join(trunc, Seq("q_id", "cand_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n"))
+      q.select("q_id")
+        .join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n"), lit(0L)).as("overlap5"))
+        .orderBy("q_id")
+    },
+
     // ----- extension: embedding-cosine near-dup / similarity join — sign-LSH
     // bucket + label blocking bounds the candidate set, exact cosine verifies.
     // (The synthetic embeddings have no true near-dups — max pairwise cosine
