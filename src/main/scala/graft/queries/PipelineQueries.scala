@@ -285,6 +285,77 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ----- extension: PER-SOURCE DEDUP REPORT — the summary table every
+    // corpus build publishes: per source, document count and how many are
+    // exact duplicates of an earlier doc (same text, smaller id wins,
+    // GLOBAL across sources — cross-source duplication is the interesting
+    // number). One window over (16-byte hash, id), one aggregation; text
+    // never rides an exchange.
+    "q_dedup_report" -> QueryDef.sql("""
+      WITH r AS (SELECT source,
+                        ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                 FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(*) FILTER (WHERE rn > 1) AS n_exact_dup
+      FROM r GROUP BY source ORDER BY source""") { (s, d) =>
+      val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("source"), row_number().over(w).as("rn"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("rn") > 1, 1)).as("n_exact_dup"))
+        .orderBy("source")
+    },
+
+    // ----- extension: ADAPTIVE LENGTH TRIM — per-language p5/p95 length
+    // gates (the adaptive complement of q_quality_rules' fixed thresholds:
+    // what counts as "too short" differs by language). Exact interpolated
+    // percentiles per lang (tiny aggregate) broadcast back into the scan —
+    // the q_source_mix shape. Output: per-lang yield counts.
+    "q_length_trim" -> QueryDef.sql("""
+      WITH b AS (SELECT lang,
+                        quantile_cont(n_chars, 0.05) AS lo,
+                        quantile_cont(n_chars, 0.95) AS hi
+                 FROM documents GROUP BY lang)
+      SELECT d.lang, COUNT(*) AS n_docs,
+             COUNT(*) FILTER (WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi) AS n_kept
+      FROM documents d JOIN b ON d.lang = b.lang
+      GROUP BY d.lang ORDER BY d.lang""") { (s, d) =>
+      val b = Tables.documents(s, d).groupBy("lang")
+        .agg(percentile(col("n_chars"), lit(0.05)).as("lo"),
+          percentile(col("n_chars"), lit(0.95)).as("hi"))
+      Tables.documents(s, d)
+        .join(broadcast(b), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"), 1))
+            .as("n_kept"))
+        .orderBy("lang")
+    },
+
+    // ----- extension: VOCABULARY BUILD — the tokenizer-training precursor:
+    // corpus token counts, min-count floor, deterministic id assignment by
+    // (count DESC, token ASC) rank. One groupBy with map-side combine + one
+    // global window over the SURVIVING vocab only (vocab is orders of
+    // magnitude smaller than the token stream; if even that sort is too big,
+    // shard ids by a leading hash — noted, not needed here). Top 100 by id.
+    "q_vocab_build" -> QueryDef.sql("""
+      WITH c AS (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+                 FROM documents),
+      v AS (SELECT token, COUNT(*) AS n FROM c GROUP BY token HAVING COUNT(*) >= 5)
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS vocab_id
+      FROM v ORDER BY vocab_id LIMIT 100""") { (s, d) =>
+      val w = Window.orderBy(desc("n"), asc("token"))
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .withColumn("vocab_id", row_number().over(w).cast("long"))
+        .orderBy("vocab_id")
+        .limit(100)
+    },
+
     // ----- extension: TABLE DIFF — reconcile two dataset versions (the
     // companion to q_table_checksum: the checksum says WHETHER two versions
     // diverge, the diff says HOW). v2 is a deterministic mutation of the
