@@ -285,6 +285,44 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ----- extension flagship: TRAINING-SET ASSEMBLY end to end — the tail
+    // of the corpus build that q_pipeline_corpus's gate→dedup→yield head
+    // feeds: rule gate (token range) → global exact dedup (min-id survivor)
+    // → deterministic md5 80/10/10 split → per-(split, lang) doc/token
+    // budget report. ONE declarative plan: scan → narrow gates → one
+    // content-hash window → narrow split label → one aggregation; every
+    // stage is an already-oracle-checked building block, integer-exact
+    // throughout.
+    "q_pipeline_trainset" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, lang, text,
+                        len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tok
+                 FROM documents),
+      g AS (SELECT * FROM t WHERE n_tok BETWEEN 10 AND 1000),
+      d AS (SELECT doc_id, lang, n_tok,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM g),
+      s AS (SELECT lang, n_tok,
+                   CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT lang, n_tok,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 10 AS b
+                  FROM d WHERE rn = 1))
+      SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM s GROUP BY split, lang ORDER BY split, lang""") { (s, d) =>
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+        .filter(col("n_tok").between(10, 1000))
+      val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
+      val b = md5Bits48(col("doc_id").cast("string")) % 10
+      gated.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("n_tok"),
+          when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("split", "lang")
+    },
+
     // ----- extension: PER-SOURCE DEDUP REPORT — the summary table every
     // corpus build publishes: per source, document count and how many are
     // exact duplicates of an earlier doc (same text, smaller id wins,
