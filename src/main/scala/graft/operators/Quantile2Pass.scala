@@ -38,9 +38,16 @@ object Quantile2Pass {
     val Row(mn: Double, mx: Double, n: Long) =
       df.agg(min(c), max(c), count(c)).head()
     require(k <= n, s"rank $k > non-null count $n")
-    if (mn == mx) mn
-    else {
-      val w = (mx - mn) / nBins
+    val wGuard = (mx - mn) / nBins
+    if (mn == mx || wGuard == 0.0) {
+      // degenerate range: equal values, or a sub-denormal span whose bin
+      // width underflows to 0 (the bin expression would divide by zero
+      // under ANSI). The span is at most nBins ulps — sort it directly.
+      if (mn == mx) mn
+      else df.select(c).orderBy(c).limit(k.toInt)
+        .agg(max(c)).head().getDouble(0)
+    } else {
+      val w = wGuard
       val bin = least(floor((c - mn) / w).cast("int"), lit(nBins - 1))
       val hist = df.groupBy(bin.as("__b")).agg(count(lit(1)).as("__c"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
