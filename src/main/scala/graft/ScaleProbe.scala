@@ -25,7 +25,9 @@ object ScaleProbe {
     "q_dedup_exact", "q_table_checksum", "q_winnow",
     "q_quality_rules", "q_boilerplate", "q_token_budget", "q_pii_redact",
     "q_substring_dedup", "q_rare_bigram", "q_train_order",
-    "q_split_stratified", "q_fertility")
+    "q_split_stratified", "q_fertility", "q_pipeline_trainset",
+    "q_vocab_build", "q_length_trim", "q_dedup_report", "q_table_diff",
+    "q_retrieval_eval")
   private val linearFactors = Seq(1, 10, 50, 100)
   private val dupHeavyFactors = Seq(1, 2, 5, 10)
 
