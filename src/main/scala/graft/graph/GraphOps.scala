@@ -359,4 +359,95 @@ object GraphOps {
     SELECT vertex, label AS community
     FROM l$numIter ORDER BY vertex"""
   }
+
+  /** HITS (Kleinberg 1999) hub/authority scores over DIRECTED edges —
+    * completes the classic link-analysis pair next to [[pageRankDF]] (the
+    * reference stops at PageRank, GraphUtils.scala:24-31; HITS is the other
+    * score a citation-graph workflow asks for). Mutual recursion:
+    * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each side
+    * renormalized per iteration. Normalization is BY MAX, not L2: the max is
+    * order-independent (exact in floating point), so the oracle can replay
+    * the arithmetic — an L2 norm would add a sqrt-of-sum whose rounding
+    * differences compound across iterations.
+    *
+    * Scale: per iteration two shuffled join+aggs keyed on vertex id (the same
+    * exchange reuse as [[pageRankDF]]) plus two single-row max aggregates that
+    * broadcast back — no driver collect. Unlike pageRankDF, the state is
+    * localCheckpoint-ed EVERY iteration: each normalization references its
+    * raw-score frame twice (score and max-of-score), so without truncation
+    * the logical plan QUADRUPLES per iteration — 4^k subtrees hang Catalyst
+    * analysis long before execution. One eager materialization of the
+    * (vertex, hub, auth) state per iteration is the GraphX per-superstep
+    * caching pattern, and keeps every iteration's plan constant-size. */
+  def hitsDF(directed: DataFrame, numIter: Int): DataFrame = {
+    val edges = directed.select(col("src"), col("dst"))
+    val vertices = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst"))).distinct().cache()
+    var state = vertices.withColumn("hub", lit(1.0))
+      .withColumn("auth", lit(1.0))
+    for (_ <- 0 until numIter) {
+      val hub = state.select(col("vertex"), col("hub"))
+      val araw = vertices
+        .join(edges.join(hub.withColumnRenamed("vertex", "src"), "src")
+                .groupBy(col("dst").as("vertex")).agg(sum("hub").as("s")),
+              Seq("vertex"), "left")
+        .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("araw"))
+      val auth = araw
+        .crossJoin(broadcast(araw.agg(max("araw").as("amax"))))
+        .select(col("vertex"),
+          when(col("amax") > 0, col("araw") / col("amax")).otherwise(0.0)
+            .as("auth"))
+      val hraw = vertices
+        .join(edges.join(auth.withColumnRenamed("vertex", "dst"), "dst")
+                .groupBy(col("src").as("vertex")).agg(sum("auth").as("s")),
+              Seq("vertex"), "left")
+        .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("hraw"))
+      val hub1 = hraw
+        .crossJoin(broadcast(hraw.agg(max("hraw").as("hmax"))))
+        .select(col("vertex"),
+          when(col("hmax") > 0, col("hraw") / col("hmax")).otherwise(0.0)
+            .as("hub"))
+      state = hub1.join(auth, "vertex").localCheckpoint()
+    }
+    state.select(col("vertex"), col("hub"), col("auth"))
+  }
+
+  /** DuckDB oracle for [[hitsDF]]: iterations unrolled into chained CTEs
+    * (ar/a/hr/h per step), max-normalized exactly like the DataFrame loop;
+    * scores rounded to `digits` on both sides. Every CTE is AS MATERIALIZED:
+    * each normalization references its raw frame twice, so DuckDB's default
+    * inlining would expand the chain 4^numIter-fold (the exact blowup
+    * [[hitsDF]] truncates with per-iteration localCheckpoint) — enough
+    * re-opened scans to exhaust the fd limit before it OOMs. */
+  def hitsOracleSql(edgesSql: String, numIter: Int, digits: Int = 6): String = {
+    val iters = (1 to numIter).map { k =>
+      s"""ar$k AS MATERIALIZED (
+        SELECT v.vertex, COALESCE(m.s, 0.0) AS araw
+        FROM verts v LEFT JOIN (
+          SELECT e.dst AS vertex, SUM(h.hub) AS s
+          FROM e0 e JOIN h${k - 1} h ON h.vertex = e.src
+          GROUP BY e.dst) m ON m.vertex = v.vertex),
+      a$k AS MATERIALIZED (
+        SELECT vertex, CASE WHEN mx > 0 THEN araw / mx ELSE 0.0 END AS auth
+        FROM ar$k CROSS JOIN (SELECT MAX(araw) AS mx FROM ar$k)),
+      hr$k AS MATERIALIZED (
+        SELECT v.vertex, COALESCE(m.s, 0.0) AS hraw
+        FROM verts v LEFT JOIN (
+          SELECT e.src AS vertex, SUM(a.auth) AS s
+          FROM e0 e JOIN a$k a ON a.vertex = e.dst
+          GROUP BY e.src) m ON m.vertex = v.vertex),
+      h$k AS MATERIALIZED (
+        SELECT vertex, CASE WHEN mx > 0 THEN hraw / mx ELSE 0.0 END AS hub
+        FROM hr$k CROSS JOIN (SELECT MAX(hraw) AS mx FROM hr$k))"""
+    }.mkString(",\n")
+    s"""
+    WITH e0 AS MATERIALIZED ($edgesSql),
+    verts AS MATERIALIZED (SELECT DISTINCT v AS vertex FROM
+      (SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0)),
+    h0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) AS hub FROM verts),
+    $iters
+    SELECT h.vertex, ROUND(h.hub, $digits) AS hub, ROUND(a.auth, $digits) AS auth
+    FROM h$numIter h JOIN a$numIter a ON a.vertex = h.vertex
+    ORDER BY h.vertex"""
+  }
 }

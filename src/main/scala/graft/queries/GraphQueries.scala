@@ -180,6 +180,18 @@ object GraphQueries {
         .orderBy("vertex")
     },
 
+    // ----- G-extension: HITS hub/authority (Kleinberg) over the DIRECTED
+    // low→high edge set — the link-analysis complement to q_pagerank. Max-
+    // normalized per iteration (order-independent, so the unrolled-CTE oracle
+    // replays the arithmetic exactly); 8 iterations, scores rounded to 6.
+    "q_hits" -> QueryDef.sql(
+      GraphOps.hitsOracleSql(edgesSql, numIter = 8)) { (s, d) =>
+      GraphOps.hitsDF(customerEdges(s, d), numIter = 8)
+        .select(col("vertex"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("vertex")
+    },
+
     // ----- G3: landmark shortest paths (GraphX ShortestPaths; integer-exact;
     // oracle = recursive BFS with UNION dedup, depth-bounded over the small
     // subgraph)

@@ -133,6 +133,63 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ----- extension: DOMAIN FILTER — the URL-level curation gate a web
+    // corpus runs before any content heuristic (RefinedWeb §3.1 / UT1-style
+    // blocklists): parse the host out of each document's URL, drop blocklisted
+    // hosts (literal list + a pattern tier), and cap the docs kept per host
+    // (domain-diversity cap) by a deterministic md5 quality rank. The corpus
+    // has no URL column, so one is synthesized from (source, doc_id) first —
+    // the machinery under test is host parsing + two-tier blocklist + capped
+    // keep. kept_id_sum pins exactly WHICH docs survived the rank cap, not
+    // just how many. Scale shape: host parse is a narrow map over (doc_id,
+    // source) only — text is never read (column pruning); the literal
+    // blocklist is O(list) predicate work, no join; the per-host cap is one
+    // window keyed on host (high cardinality → small partitions; a mega-host
+    // skew case would swap in the bounded-heap q_topk_agg shape).
+    "q_domain_filter" -> QueryDef.sql("""
+      WITH h AS (SELECT doc_id,
+                        regexp_extract('https://' || source || '-' ||
+                          (doc_id % 7) || '.example.org/doc/' || doc_id,
+                          '^https://([^/]+)/', 1) AS host
+                 FROM documents),
+      f AS (SELECT doc_id, host,
+                   (host IN ('src3-1.example.org', 'src11-4.example.org',
+                             'src17-0.example.org')
+                    OR contains(host, '-6.')) AS blocked,
+                   ROW_NUMBER() OVER (PARTITION BY host ORDER BY
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                          AS BIGINT), doc_id) AS rn
+            FROM h)
+      SELECT host, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+             CAST(SUM(CASE WHEN NOT blocked AND rn <= 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN NOT blocked AND rn <= 3 THEN doc_id ELSE 0 END)
+                  AS BIGINT) AS kept_id_sum
+      FROM f GROUP BY host ORDER BY host""") { (s, d) =>
+      val host = regexp_extract(
+        concat(lit("https://"), col("source"), lit("-"), col("doc_id") % 7,
+          lit(".example.org/doc/"), col("doc_id")),
+        "^https://([^/]+)/", 1)
+      val blocked = col("host").isin("src3-1.example.org",
+          "src11-4.example.org", "src17-0.example.org") ||
+        col("host").contains("-6.")
+      val w = Window.partitionBy("host")
+        .orderBy(md5Bits48(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), host.as("host"))
+        .withColumn("blocked", blocked)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).cast("long").as("n_blocked"),
+          sum(when(!col("blocked") && col("rn") <= 3, 1L).otherwise(0L))
+            .cast("long").as("n_kept"),
+          sum(when(!col("blocked") && col("rn") <= 3, col("doc_id")).otherwise(0L))
+            .cast("long").as("kept_id_sum"))
+        .orderBy("host")
+    },
+
     // ----- extension: BOILERPLATE DETECTION — flag the n-grams whose
     // document frequency exceeds 20% of the corpus (the header/footer/
     // template content a C4-style cleaning pass masks before training) and

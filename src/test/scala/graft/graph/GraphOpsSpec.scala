@@ -100,4 +100,34 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(again == got, "LPA must be reproducible run-to-run")
   }
+
+  test("hitsDF: hand-computed hub/authority structure on a directed star") {
+    // hubs {1,2} point at authorities {3,4,5}: 1 covers all three, 2 covers
+    // {3,4}; plus a detached edge 6→7. Traced by hand (max-normalization):
+    //   auth(3)=auth(4)=1 (the shared targets), auth(5)<1, hub(1)=1,
+    //   hub(2)≈0.78 after convergence, and the detached pair decays toward 0.
+    val directed = Seq(
+      (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 3L), (2L, 4L),
+      (6L, 7L)
+    ).toDF("src", "dst")
+    val got = GraphOps.hitsDF(directed, numIter = 8)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // source-only vertices have auth 0; sink-only vertices have hub 0
+    for (v <- Seq(1L, 2L, 6L)) assert(got(v)._2 == 0.0, s"auth($v)")
+    for (v <- Seq(3L, 4L, 5L, 7L)) assert(got(v)._1 == 0.0, s"hub($v)")
+    // 3 and 4 are symmetric shared targets → exactly equal, and the max auth
+    assert(got(3L)._2 == got(4L)._2)
+    assert(got(3L)._2 == 1.0)
+    assert(got(5L)._2 > 0.0 && got(5L)._2 < 1.0)
+    // 1 covers a superset of 2's targets → strictly the better hub (max = 1)
+    assert(got(1L)._1 == 1.0)
+    assert(got(2L)._1 > 0.0 && got(2L)._1 < 1.0)
+    // fixed point: h solves 2h²+h−2=0 → h=(−1+√17)/4 ≈ 0.78078; 8 sync
+    // iterations sit ~1e-3 above the limit
+    assert(math.abs(got(2L)._1 - 0.78078) < 5e-3)
+    // the detached hub/authority pair is dominated and decays
+    assert(got(6L)._1 < got(2L)._1 && got(7L)._2 < got(5L)._2)
+  }
 }
