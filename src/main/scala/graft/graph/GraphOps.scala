@@ -360,6 +360,82 @@ object GraphOps {
     FROM l$numIter ORDER BY vertex"""
   }
 
+  /** k-core membership by iterative peeling: repeatedly drop vertices whose
+    * degree WITHIN the surviving subgraph is < k, until fixpoint. The
+    * distributed-standard algorithm — each round is one join+agg keyed on
+    * vertex id; rounds are bounded by the longest removal cascade, and the
+    * loop THROWS if `maxRounds` is hit without converging rather than
+    * silently returning a non-core (the SCC numIter lesson from round 3).
+    * State is localCheckpoint-ed per round: the survivor set feeds the next
+    * round's plan twice (once per edge endpoint), so untruncated lineage
+    * would double per round. */
+  def kCoreDF(canonical: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    val sym = symmetric(canonical)
+    var surv = sym.select(col("src").as("vertex")).distinct().localCheckpoint()
+    var n = surv.count()
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val next = sym
+        .join(surv.withColumnRenamed("vertex", "src"), "src")
+        .join(surv.withColumnRenamed("vertex", "dst"), "dst")
+        .groupBy(col("src").as("vertex")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("vertex")
+        .localCheckpoint()
+      val m = next.count()
+      changed = m != n
+      n = m; surv = next; round += 1
+    }
+    require(!changed, s"k-core peel did not converge in $maxRounds rounds")
+    surv
+  }
+
+  /** Coreness (max k such that the vertex survives the k-core peel) for
+    * k = 1..maxK; vertices outside every core report 0. maxK peels — fine for
+    * the small k a curation pipeline asks for; a full decomposition would
+    * switch to the degeneracy-ordering algorithm. */
+  def corenessDF(canonical: DataFrame, maxK: Int): DataFrame = {
+    val verts = symmetric(canonical).select(col("src").as("vertex")).distinct()
+    val cores = (1 to maxK)
+      .map(k => kCoreDF(canonical, k).withColumn("k", lit(k.toLong)))
+      .reduce(_ unionByName _)
+    verts
+      .join(cores.groupBy("vertex").agg(max("k").as("c")), Seq("vertex"), "left")
+      .select(col("vertex"), coalesce(col("c"), lit(0L)).as("coreness"))
+  }
+
+  /** DuckDB oracle for [[corenessDF]]: for each k the peel is unrolled to a
+    * FIXED `rounds` depth (extra rounds past the fixpoint are no-ops, only
+    * under-unrolling can diverge — pair it with a key-bounded subgraph whose
+    * cascade length is SF-independent). Every round CTE is MATERIALIZED:
+    * each round references the previous survivor set twice. */
+  def corenessOracleSql(edgesSql: String, maxK: Int, rounds: Int): String = {
+    val peels = (1 to maxK).map { k =>
+      val rs = (1 to rounds).map { r =>
+        s"""s${k}_$r AS MATERIALIZED (
+          SELECT e.src AS vertex FROM sym e
+          JOIN s${k}_${r - 1} a ON a.vertex = e.src
+          JOIN s${k}_${r - 1} b ON b.vertex = e.dst
+          GROUP BY e.src HAVING COUNT(*) >= $k)"""
+      }.mkString(",\n")
+      s"""s${k}_0 AS (SELECT vertex FROM verts),
+      $rs"""
+    }.mkString(",\n")
+    val corUnion = (1 to maxK)
+      .map(k => s"SELECT vertex, $k AS k FROM s${k}_$rounds")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH e0 AS MATERIALIZED ($edgesSql),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM sym),
+    $peels,
+    cor AS ($corUnion)
+    SELECT v.vertex, CAST(COALESCE(MAX(c.k), 0) AS BIGINT) AS coreness
+    FROM verts v LEFT JOIN cor c ON c.vertex = v.vertex
+    GROUP BY v.vertex ORDER BY v.vertex"""
+  }
+
   /** HITS (Kleinberg 1999) hub/authority scores over DIRECTED edges —
     * completes the classic link-analysis pair next to [[pageRankDF]] (the
     * reference stops at PageRank, GraphUtils.scala:24-31; HITS is the other

@@ -30,6 +30,45 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // ----- extension: per-key EWMA — the smoothed-metric readout every
+    // training/monitoring pipeline computes over an event stream (loss
+    // curves, rate dashboards). adjust=true form over a BOUNDED 32-event
+    // frame: ewma_i = Σ_j w_j·x_{i-j} / Σ_j w_j with w_j = (1-α)^j — the
+    // bounded frame is deliberate: the closed-form infinite recurrence needs
+    // pow(1-α, -i) which overflows for long sequences, while a 32-tap finite
+    // window is overflow-free at any sequence length and is what streaming
+    // smoothers ship anyway. Both engines build the SAME indexed transform
+    // over the frame list (element j × pow(0.75, n-j)) so the float op order
+    // matches; results rounded to 6. Shape: one window over user_id — a
+    // single hash-partitioned sort, no join, value lists capped at 32 doubles.
+    "q_ewma" -> QueryDef.sql("""
+      WITH w AS (SELECT event_id, user_id, ts, value,
+                        list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS arr
+                 FROM events)
+      SELECT event_id, user_id, value,
+             ROUND(
+               list_sum(list_transform(range(1, len(arr) + 1),
+                 j -> arr[j] * pow(0.75, len(arr) - j))) /
+               list_sum(list_transform(range(1, len(arr) + 1),
+                 j -> pow(0.75, len(arr) - j))), 6) AS ewma
+      FROM w ORDER BY user_id, event_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-31, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("arr", collect_list("value").over(w))
+        .selectExpr("event_id", "user_id", "value",
+          """round(
+               aggregate(transform(sequence(1, size(arr)),
+                 j -> element_at(arr, j) * pow(0.75D, size(arr) - j)),
+                 0D, (acc, v) -> acc + v) /
+               aggregate(transform(sequence(1, size(arr)),
+                 j -> pow(0.75D, size(arr) - j)),
+                 0D, (acc, v) -> acc + v), 6) AS ewma""")
+        .orderBy("user_id", "event_id")
+    },
+
     // ----- F20 extension on the Spark 4 VARIANT type: parse the props JSON
     // once into a variant column, then typed variant_get extraction — the
     // shredding-friendly path for semi-structured columns at scale (parse

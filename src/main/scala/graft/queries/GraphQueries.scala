@@ -180,6 +180,36 @@ object GraphQueries {
         .orderBy("vertex")
     },
 
+    // ----- G-extension: k-core coreness by iterative peeling (k = 1..4).
+    // Runs on the key-bounded slice (keys < 200, like shortest paths) with an
+    // extra (i, i+3) skip edge where i % 3 = 0 — the braid alone is uniformly
+    // 2-core, the skip edges create pockets of coreness 3. The slice keeps
+    // the peel-cascade length SF-independent, so the oracle's fixed 12-round
+    // unroll always covers the fixpoint the Spark side asserts it reached.
+    "q_kcore" -> QueryDef.sql(
+      GraphOps.corenessOracleSql(s"""
+        SELECT a.c_custkey AS src, b.c_custkey AS dst
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND b.c_custkey > a.c_custkey
+         AND (b.c_custkey <= a.c_custkey + 2
+              OR (b.c_custkey = a.c_custkey + 3 AND a.c_custkey % 3 = 0))
+        WHERE a.c_custkey < $SP_MAX_KEY AND b.c_custkey < $SP_MAX_KEY""",
+        maxK = 4, rounds = 12)) { (s, d) =>
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val a = c.alias("a"); val b = c.alias("b")
+      val edges = a.join(b,
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("b.c_custkey") > col("a.c_custkey") &&
+          (col("b.c_custkey") <= col("a.c_custkey") + 2 ||
+           (col("b.c_custkey") === col("a.c_custkey") + 3 &&
+            col("a.c_custkey") % 3 === 0)))
+        .filter(col("a.c_custkey") < SP_MAX_KEY && col("b.c_custkey") < SP_MAX_KEY)
+        .select(col("a.c_custkey").as("src"), col("b.c_custkey").as("dst"))
+      GraphOps.corenessDF(GraphOps.canonicalEdges(edges, "src", "dst"), maxK = 4)
+        .orderBy("vertex")
+    },
+
     // ----- G-extension: HITS hub/authority (Kleinberg) over the DIRECTED
     // low→high edge set — the link-analysis complement to q_pagerank. Max-
     // normalized per iteration (order-independent, so the unrolled-CTE oracle

@@ -101,6 +101,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(again == got, "LPA must be reproducible run-to-run")
   }
 
+  test("corenessDF: clique, bridge, and triangle peel to hand-checked cores") {
+    // 4-clique {1,2,3,4} — bridge 4-5-6 — triangle {6,7,8}. Coreness: clique
+    // members 3 (each has in-clique degree 3); the bridge vertex 5 keeps
+    // degree 2 between the two cores → 2; triangle members 2. The 3-core
+    // peel must CASCADE: removing 5 drops 6 to degree 2, which unravels the
+    // triangle — a one-round peel would wrongly leave {6,7,8} in the 3-core.
+    val g = GraphOps.canonicalEdges(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (6L, 8L)
+    ).toDF("src", "dst"), "src", "dst")
+    val got = GraphOps.corenessDF(g, maxK = 4)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+                   5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 2L)
+    assert(got == want)
+    // membership API: the 3-core is exactly the clique
+    val core3 = GraphOps.kCoreDF(g, 3).as[Long].collect().toSet
+    assert(core3 == Set(1L, 2L, 3L, 4L))
+    assert(GraphOps.kCoreDF(g, 4).count() == 0)
+  }
+
   test("hitsDF: hand-computed hub/authority structure on a directed star") {
     // hubs {1,2} point at authorities {3,4,5}: 1 covers all three, 2 covers
     // {3,4}; plus a detached edge 6→7. Traced by hand (max-normalization):
