@@ -93,21 +93,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark has no type
-    * for. With spark.sql.legacy.parquet.nanosAsLong=true (set by
-    * [[graft.GraftSession]]) it surfaces as LongType nanos; re-derive a
-    * microsecond TimestampType via exact integer division (a double division
-    * here would round ~128 ns and shift second boundaries). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
+  /** Normalize `ts` to session-UTC TimestampType regardless of the fixture's
+    * physical parquet encoding. The upstream generator has shipped events.ts
+    * three ways across fixture generations, and the engine must absorb all of
+    * them IN ONE PLACE (batch and streaming readers both call this — never
+    * restate the physical type elsewhere):
+    *  - TIMESTAMP(NANOS): Spark has no nanos type; with
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set by
+    *    [[graft.GraftSession]]) it surfaces as LongType nanos — re-derive a
+    *    microsecond TimestampType via exact integer division (a double
+    *    division would round ~128 ns and shift second boundaries).
+    *  - timestamp[us] without UTC adjustment: surfaces as TIMESTAMP_NTZ —
+    *    reinterpret as instant in the session timezone (UTC per
+    *    GraftSession), which matches how DuckDB reads the same naive column.
+    *  - plain TIMESTAMP: pass through. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts",
+        df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case _ => raw
+      case TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case _ => df
     }
-  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -36,10 +36,19 @@ object GraphQueries {
       ON a.c_nationkey = b.c_nationkey
      AND b.c_custkey > a.c_custkey AND b.c_custkey <= a.c_custkey + 2"""
 
-  /** Bounded subgraph for shortest paths: keys < 200 keeps the per-nation
-    * chains ~8 long, so BFS depth 30 covers the diameter in the oracle. */
+  /** Bounded subgraph for the k-core / SCC gates. */
   private val SP_MAX_KEY = 200
-  private val SP_LANDMARKS = Seq(1L, 5L)
+
+  /** Shortest-paths subgraph: same-nation edges with a WIDER key window
+    * (diff <= 60, keys < 600) than the braided-chain rule — same-nation keys
+    * sit ~25 apart on average, so the chain window (<=2) leaves the bounded
+    * subgraph nearly edgeless and the round-4 gate returned 0 rows on both
+    * engines (a vacuous pass). The wide window yields a connected component
+    * with diameter >10 at sf0.01 (62 oracle rows). Landmarks are NOT pinned
+    * keys: they are derived from the data (the two smallest vertices that
+    * have an edge) so a fixture regeneration can never strand them. */
+  private val SP_WIN_MAX_KEY = 600
+  private val SP_KEY_WINDOW = 60
   private val SP_DEPTH = 30
 
   val defs: Map[String, QueryDef] = Map(
@@ -224,25 +233,40 @@ object GraphQueries {
 
     // ----- G3: landmark shortest paths (GraphX ShortestPaths; integer-exact;
     // oracle = recursive BFS with UNION dedup, depth-bounded over the small
-    // subgraph)
+    // subgraph; landmarks data-derived, never pinned — see SP_WIN_MAX_KEY doc)
     "q_shortest_paths" -> QueryDef.sql(s"""
       WITH RECURSIVE e AS (
-        $edgesSql AND b.c_custkey < $SP_MAX_KEY AND a.c_custkey < $SP_MAX_KEY),
+        SELECT a.c_custkey AS src, b.c_custkey AS dst
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND b.c_custkey > a.c_custkey
+         AND b.c_custkey <= a.c_custkey + $SP_KEY_WINDOW
+        WHERE a.c_custkey < $SP_WIN_MAX_KEY AND b.c_custkey < $SP_WIN_MAX_KEY),
       sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      lms AS (SELECT DISTINCT src AS lm FROM sym ORDER BY lm LIMIT 2),
       bfs AS (
-        SELECT lm AS vertex, lm AS landmark, 0 AS d
-        FROM (VALUES (${SP_LANDMARKS.mkString("), (")})) AS t(lm)
-        WHERE lm IN (SELECT src FROM sym)
+        SELECT lm AS vertex, lm AS landmark, 0 AS d FROM lms
         UNION
         SELECT s.dst, b.landmark, b.d + 1
         FROM bfs b JOIN sym s ON s.src = b.vertex
         WHERE b.d < $SP_DEPTH)
       SELECT vertex, landmark, MIN(d) AS distance
       FROM bfs GROUP BY vertex, landmark ORDER BY vertex, landmark""") { (s, d) =>
-      val edges = GraphOps.canonicalEdges(
-        customerEdges(s, d).filter(
-          col("src") < SP_MAX_KEY && col("dst") < SP_MAX_KEY), "src", "dst")
-      GraphOps.shortestPathLengths(edges, SP_LANDMARKS)
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val a = c.alias("a"); val b = c.alias("b")
+      val raw = a.join(b,
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("b.c_custkey") > col("a.c_custkey") &&
+          col("b.c_custkey") <= col("a.c_custkey") + SP_KEY_WINDOW)
+        .filter(col("a.c_custkey") < SP_WIN_MAX_KEY &&
+          col("b.c_custkey") < SP_WIN_MAX_KEY)
+        .select(col("a.c_custkey").as("src"), col("b.c_custkey").as("dst"))
+      val edges = GraphOps.canonicalEdges(raw, "src", "dst")
+      // landmarks = two smallest edge endpoints (bounded driver scalar: 2 rows)
+      val landmarks = GraphOps.symmetric(edges)
+        .select(col("src")).distinct().orderBy("src").limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      GraphOps.shortestPathLengths(edges, landmarks)
         .orderBy("vertex", "landmark")
     }
   )

@@ -181,10 +181,13 @@ object MlQueries {
       val vecs = spread(Tables.embeddings(s, d))
         .select(col("vec_id"),
           org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
+      // threshold 1.15: the synthetic embeddings' nearest-pair distance is
+      // ~0.99, so 1.0 returned a single pair and the gate was near-vacuous;
+      // 1.15 yields O(100) pairs at sf0.01 — enough to catch a broken join
       LshJoins.brpSelfJoin(vecs, "vec_id", "features",
-        threshold = 1.0, bucketLength = 0.5)
+        threshold = 1.15, bucketLength = 0.5)
         .orderBy("pk1", "pk2")
-    }.expectAtGate(1L, "1073989426381618019"),
+    }.expectAtGate(348L, "200285707061649059628"),
 
     // ----- J4: two-phase approx k-NN (reference CustomizedLSH.scala:92-137).
     // The probe is an out-of-corpus token set, so its hash buckets are (nearly

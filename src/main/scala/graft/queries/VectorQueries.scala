@@ -17,6 +17,9 @@ object VectorQueries {
   private val SUP_THR = 0.1  // support threshold for set-based kernels
   private val N_PLANES = 6   // 64 LSH buckets
   private val DIM = 64
+  // near-dup gate sizing: fewer planes (coarser buckets) + lower cosine floor
+  private val ND_PLANES = 4
+  private val ND_COS = 0.25
 
   private def duckSupport(v: String): String =
     s"list_transform($v, x -> CASE WHEN x > $SUP_THR THEN 1 ELSE 0 END)"
@@ -209,9 +212,11 @@ object VectorQueries {
     // bucket + label blocking bounds the candidate set, exact cosine verifies.
     // (The synthetic embeddings have no true near-dups — max pairwise cosine
     // ≈0.48 — so the threshold is set to exercise non-trivial output; the
-    // operator IS the near-dup shape: raise the threshold on real data.)
+    // operator IS the near-dup shape: raise the threshold on real data.
+    // 4 planes / cos>=0.25 sizes the gate to O(30) rows at sf0.01 — the
+    // round-4 settings left ONE row, a near-vacuous check.)
     "q_embed_neardup" -> QueryDef.sql {
-      val planes = SignLsh.hyperplanes(N_PLANES, DIM)
+      val planes = SignLsh.hyperplanes(ND_PLANES, DIM)
       val bucketSql = SignLsh.sqlBucket("v", planes)
       s"""
       WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -223,9 +228,9 @@ object VectorQueries {
             FROM tb a JOIN tb b
               ON a.bkt = b.bkt AND a.label = b.label AND b.vec_id > a.vec_id)
       SELECT d1, d2, ROUND(cos, 6) AS cos FROM s
-      WHERE cos >= 0.35 ORDER BY d1, d2"""
+      WHERE cos >= $ND_COS ORDER BY d1, d2"""
     } { (s, d) =>
-      val planes = SignLsh.hyperplanes(N_PLANES, DIM)
+      val planes = SignLsh.hyperplanes(ND_PLANES, DIM)
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           ArrayOps.asDouble(col("embedding")).as("v"))
@@ -238,7 +243,7 @@ object VectorQueries {
           col("b.vec_id") > col("a.vec_id"))
         .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
           ArrayOps.cosine(col("a.v"), col("b.v")).as("cos"))
-        .filter(col("cos") >= 0.35)
+        .filter(col("cos") >= ND_COS)
         .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
         .orderBy("d1", "d2")
     },

@@ -24,28 +24,28 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events.parquet at-rest schema: ts is TIMESTAMP(NANOS) which surfaces as
-    * LongType under nanosAsLong (see graft.io.Tables.events). */
-  val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming scan of the events parquet data; ts re-derived to microsecond
-    * TimestampType (same transform as the batch reader). The file source needs
+  /** Streaming scan of the events parquet data. The file source requires a
+    * user-supplied schema, and the fixture's physical ts encoding has drifted
+    * across generations (TIMESTAMP(NANOS)-as-Long, TIMESTAMP_NTZ, plain
+    * TIMESTAMP) — so NEVER hardcode it: probe the actual footer through the
+    * batch reader (one driver-side metadata read, no data scan), feed that
+    * schema to readStream, and normalize ts with the SAME shared transform
+    * the batch path uses ([[Tables.normalizeEventTs]]). Batch and stream
+    * cannot disagree about the fixture by construction. The file source needs
     * a directory, and the testdata ships single-file tables — pathGlobFilter
     * scopes the directory scan to the events file(s). */
   def eventStream(spark: SparkSession, dir: String,
-                  maxFilesPerTrigger: Int = 8): DataFrame =
-    spark.readStream
-      .schema(rawEventSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+                  maxFilesPerTrigger: Int = 8): DataFrame = {
+    val footerSchema = spark.read
       .option("pathGlobFilter", "events.parquet*")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(dir).schema
+    Tables.normalizeEventTs(
+      spark.readStream
+        .schema(footerSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .option("pathGlobFilter", "events.parquet*")
+        .parquet(dir))
+  }
 
   /** documents.parquet at-rest schema (plain types — no nanos timestamps). */
   val rawDocumentSchema: StructType = StructType(Seq(

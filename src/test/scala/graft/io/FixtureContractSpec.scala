@@ -1,0 +1,56 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Fixture contract: both event readers absorb whatever physical ts encoding
+  * the driver-generated parquet ships (TIMESTAMP(NANOS)-as-Long,
+  * TIMESTAMP_NTZ, plain TIMESTAMP) and surface identical session-UTC
+  * TimestampType instants in a sane epoch range.
+  *
+  * Parity alone is NOT enough: batch and stream share
+  * [[Tables.normalizeEventTs]], so a normalizer bug would pass a
+  * batch==stream check trivially. The absolute-range assertions are the
+  * independent anchor — the round-4 regression (micros divided by 1000)
+  * collapsed every event into ~2 hours of 1970 and would fail them
+  * immediately, on either path.
+  */
+class FixtureContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lo = java.sql.Timestamp.valueOf("2015-01-01 00:00:00").getTime
+  private val hi = java.sql.Timestamp.valueOf("2040-01-01 00:00:00").getTime
+
+  test("batch events reader: ts is TimestampType in a plausible epoch range") {
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val (mn, mx) = ev.agg(min(col("ts")).cast("long") * 1000L,
+        max(col("ts")).cast("long") * 1000L)
+      .as[(Long, Long)].head()
+    assert(mn >= lo && mx <= hi,
+      s"batch ts range [$mn, $mx] ms outside plausible [$lo, $hi]")
+  }
+
+  test("streaming events reader: same schema, same rows, same instants as batch") {
+    val batch = Tables.events(spark, sfDir)
+    val streamed = Streaming.replayToTable(
+      Streaming.eventStream(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n")),
+      "t_fixture_contract")
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    val b = batch
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == b)
+    assert(b.nonEmpty)
+    // absolute anchor on the STREAM path too: window starts in epoch range
+    assert(streamed.keys.forall(ws => ws * 1000L >= lo && ws * 1000L <= hi),
+      s"stream window starts outside plausible range: ${streamed.keys.take(3)}")
+  }
+}
