@@ -61,6 +61,37 @@ object Candidates {
       .select(ac(cfg.keyCol).as("pk1"), bc(cfg.keyCol).as("pk2"))
   }
 
+  /** Level-0 UNBLOCKED pair generation with the reference's `onlyInOut`
+    * switch (reference feature/Utils.scala:68-105, optimize=0): no blocking
+    * label — every cross-group pair of the corpus. `onlyInOut = true`
+    * emits ORDERED pairs (`pk1 != pk2`, both orientations, the reference's
+    * in→out direction semantics); `false` canonicalizes `pk1 < pk2` (each
+    * unordered pair once).
+    *
+    * This is deliberately the reference's tiny-corpus escape hatch and an
+    * ANTI-SCALE mode: with no equi-key the plan is a filtered cartesian
+    * join, O(n²) pairs. Kept for reference parity and small ad-hoc corpora
+    * ONLY — at any real scale use [[pairs]], whose blocking label is the
+    * join's equi-key. */
+  def pairsLevel0(df: DataFrame, cfg: CandidateConfig,
+                  onlyInOut: Boolean = false): DataFrame = {
+    val base = (cfg.includeKeys, cfg.excludeKeys) match {
+      case (Some(keys), _) => df.filter(col(cfg.keyCol).isin(keys: _*))
+      case (_, Some(keys)) => df.filter(!col(cfg.keyCol).isin(keys: _*))
+      case _ => df
+    }
+    val t = base.select(Seq(cfg.keyCol, cfg.groupCol).distinct.map(col): _*)
+    val a = t.alias("a")
+    val b = t.alias("b")
+    def ac(c: String) = col(s"a.$c")
+    def bc(c: String) = col(s"b.$c")
+    val keyCond =
+      if (onlyInOut) ac(cfg.keyCol) =!= bc(cfg.keyCol)
+      else ac(cfg.keyCol) < bc(cfg.keyCol)
+    a.join(b, keyCond && (ac(cfg.groupCol) =!= bc(cfg.groupCol)))
+      .select(ac(cfg.keyCol).as("pk1"), bc(cfg.keyCol).as("pk2"))
+  }
+
   /** J1: attach a payload column (e.g. features) to both sides of each pair —
     * the reference's twoSidedJoin (Utils.scala:251-260) as two equi-joins;
     * Catalyst broadcasts `payload` when it is small enough. */

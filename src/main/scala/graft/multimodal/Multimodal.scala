@@ -34,14 +34,20 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** REAL container-header dimension parse for the two formats whose headers
-    * are fixed-offset byte fields — no codec library required:
+  /** REAL container-header dimension parse for the three formats whose
+    * headers are parseable without a codec library:
     *  - PNG: 8-byte magic, then the IHDR chunk puts big-endian width/height
     *    at bytes 16-19 / 20-23 (PNG spec §11.2.2);
     *  - GIF: "GIF87a"/"GIF89a", then little-endian u16 width/height at
-    *    bytes 6-7 / 8-9 (GIF89a spec §18).
-    * Full pixel decode (and JPEG's variable-length marker walk) stays behind
-    * the codec stub. */
+    *    bytes 6-7 / 8-9 (GIF89a spec §18);
+    *  - JPEG: variable-length marker walk from SOI (FFD8) to the first SOF
+    *    frame header (markers C0-CF minus C4/C8/CC — baseline, progressive,
+    *    lossless, arithmetic variants all share the layout), which carries
+    *    big-endian u16 height then width after the precision byte
+    *    (ITU-T T.81 §B.2.2). Fill bytes (repeated FF) are legal between
+    *    segments; standalone markers (RST/SOI/EOI) carry no length field;
+    *    the walk stops at SOS — a SOF always precedes the scan data.
+    * Full pixel decode stays behind the codec stub. */
   private[multimodal] def headerDims(p: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int) = p(i) & 0xff
     if (p.length >= 24 &&
@@ -54,7 +60,38 @@ object Multimodal {
         u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
         (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
       Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8)
+      jpegSofDims(p)
     else None
+  }
+
+  /** JPEG marker walk (see [[headerDims]] doc). Returns (width, height) from
+    * the first SOFn segment, None on truncated/corrupt streams. */
+  private def jpegSofDims(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    var i = 2
+    while (i + 1 < p.length && u8(i) == 0xff) {
+      var j = i + 1
+      while (j < p.length && u8(j) == 0xff) j += 1 // skip fill bytes
+      if (j >= p.length) return None
+      val m = u8(j)
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        // SOF: [len u16][precision u8][height u16][width u16]...
+        return if (j + 7 < p.length)
+          Some(((u8(j + 6) << 8) | u8(j + 7), (u8(j + 4) << 8) | u8(j + 5)))
+        else None
+      } else if (m == 0xd9 || m == 0xda) {
+        return None // EOI / SOS before any SOF: no frame header present
+      } else if (m >= 0xd0 && m <= 0xd8) {
+        i = j + 1 // standalone marker, no length field
+      } else {
+        if (j + 2 >= p.length) return None
+        val len = (u8(j + 1) << 8) | u8(j + 2) // includes the 2 length bytes
+        if (len < 2) return None
+        i = j + 1 + len
+      }
+    }
+    None
   }
 
   /** Decoder: REAL header parse when the payload carries a recognized image

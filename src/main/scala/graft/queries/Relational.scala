@@ -470,6 +470,59 @@ object Relational {
         .orderBy("lang")
     }.serial,
 
+    // ----- S6: whole-file text scan, one row per file (reference
+    // utils/MetadataConverter.scala:37: sc.wholeTextFiles over a harvest dir
+    // → per-file metadata). The harvest dir is materialized from the
+    // documents table (one UTF-8 .txt per doc_id < 20 — a bounded driver
+    // write, the shape of a real file-drop inbox), wholeText-read back, and
+    // reduced to per-file metadata: id from the file name, char count, line
+    // count, content md5. Matching the oracle's direct computation over the
+    // documents table proves the scan is byte-faithful end to end.
+    "q_wholetext_scan" -> QueryDef.sql("""
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_scanned,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, CHR(10), '')) + 1 AS BIGINT) AS n_lines,
+             MD5(text) AS content_md5
+      FROM documents WHERE doc_id < 20 ORDER BY doc_id""") { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_wholetext_")
+      Tables.documents(s, d).filter(col("doc_id") < 20)
+        .select("doc_id", "text").collect()  // bounded: 20 rows
+        .foreach { r =>
+          java.nio.file.Files.writeString(
+            dir.resolve(s"doc_${r.getLong(0)}.txt"), r.getString(1))
+        }
+      Tables.wholeText(s, dir.toString)
+        .select(col("value"),
+          element_at(split(input_file_name(), "/"), -1).as("fname"))
+        .select(
+          regexp_extract(col("fname"), "doc_(\\d+)\\.txt", 1)
+            .cast("long").as("doc_id"),
+          length(col("value")).cast("long").as("n_chars_scanned"),
+          (length(col("value")) -
+            length(regexp_replace(col("value"), "\n", "")) + 1)
+            .cast("long").as("n_lines"),
+          md5(col("value").cast("binary")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ----- S9: JSON-lines sink + source round-trip (reference
+    // utils/Postprocessor.scala:38: results written with df.write.json). A
+    // documents slice goes out through the stock JSON sink and back in
+    // through the schema-declared JSON-lines reader (Tables.jsonLines, the
+    // S1 surface); matching the oracle's direct parquet read proves sink
+    // escaping and source parsing are lossless, text column included.
+    "q_json_sink" -> QueryDef.sql("""
+      SELECT doc_id, lang, source, n_chars, MD5(text) AS content_md5
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id""") { (s, d) =>
+      val dir = s"/tmp/graft_json_sink_${System.nanoTime()}"
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .write.mode("overwrite").json(dir)
+      Tables.jsonLines(s, dir, Tables.schemas("documents"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+
     // ----- extension: CUBE over two independent dims (ROLLUP: q_rollup)
     "q_cube" -> QueryDef.sql("""
       SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,

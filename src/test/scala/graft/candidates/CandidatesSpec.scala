@@ -56,6 +56,28 @@ class CandidatesSpec extends SparkSpec {
     assert(got == Set(("a", "b"), ("b", "f"), ("d", "e")))
   }
 
+  test("pairsLevel0: onlyInOut=false canonicalizes each cross-state pair once") {
+    val got = Candidates.pairsLevel0(docs, base, onlyInOut = false)
+      .as[(String, String)].collect().toSet
+    // brute force: all unordered cross-state pairs (no blocking at level 0)
+    val rows = Seq(("a","FL"),("b","SC"),("c","MI"),("d","FL"),("e","SC"),("f","FL"))
+    val want = (for {
+      (p1, s1) <- rows; (p2, s2) <- rows
+      if p1 < p2 && s1 != s2
+    } yield (p1, p2)).toSet
+    assert(got == want)
+    assert(got.contains(("a", "e"))) // cross-block pair: level 0 ignores blocks
+  }
+
+  test("pairsLevel0: onlyInOut=true keeps BOTH orientations (reference pk1 != pk2)") {
+    val both = Candidates.pairsLevel0(docs, base, onlyInOut = true)
+      .as[(String, String)].collect().toSet
+    val once = Candidates.pairsLevel0(docs, base, onlyInOut = false)
+      .as[(String, String)].collect().toSet
+    assert(both == once ++ once.map(_.swap))
+    assert(both.size == 2 * once.size)
+  }
+
   test("attachBothSides carries payload to both pair sides") {
     val pairs = Candidates.pairs(docs, base)
     val payload = docs.select($"pk", $"length".as("len"))

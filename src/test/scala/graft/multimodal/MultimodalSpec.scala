@@ -31,6 +31,39 @@ class MultimodalSpec extends SparkSpec {
     assert((f.width, f.height) == (640, 480))
   }
 
+  test("headerDims walks JPEG markers to the SOF frame header") {
+    def jpeg(sofMarker: Int): Array[Byte] = Array[Int](
+      0xff, 0xd8,                                     // SOI
+      0xff, 0xe0, 0x00, 0x10,                         // APP0, len 16
+      'J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xdb, 0x00, 0x04, 0x00, 0x01,             // DQT, len 4
+      0xff, 0xff,                                     // legal fill byte
+      0xff, sofMarker, 0x00, 0x11,                    // SOFn, len 17
+      0x08,                                           // precision
+      0x01, 0xe0,                                     // height 480 (BE)
+      0x02, 0x80,                                     // width 640 (BE)
+      0x03, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1        // 3 components
+    ).map(_.toByte)
+    // baseline (SOF0) and progressive (SOF2) share the frame-header layout
+    assert(Multimodal.headerDims(jpeg(0xc0)).contains((640, 480)))
+    assert(Multimodal.headerDims(jpeg(0xc2)).contains((640, 480)))
+    // C4 is DHT, not a SOF: its segment must be skipped, not parsed as dims;
+    // with no SOF before the stream ends the walk reports no dims
+    val dhtOnly = Array[Int](0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 0x00, 0x01)
+      .map(_.toByte)
+    assert(Multimodal.headerDims(dhtOnly).isEmpty)
+    // SOS before any SOF (corrupt): no dims rather than garbage
+    val sosFirst = Array[Int](0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0)
+      .map(_.toByte)
+    assert(Multimodal.headerDims(sosFirst).isEmpty)
+    // truncated mid-SOF: no dims
+    assert(Multimodal.headerDims(jpeg(0xc0).take(30)).isEmpty)
+    // the decode path surfaces the walked dims
+    val ds = Seq(Multimodal.MediaRecord(7L, "image", jpeg(0xc2))).toDS()
+    val f = Multimodal.extractFeatures(ds).head()
+    assert((f.width, f.height) == (640, 480))
+  }
+
   test("payloadFrom wraps text as binary with kind") {
     val ds = Multimodal.payloadFrom(docs, "doc_id", "text", kind = "image")
     val r = ds.collect().sortBy(_.id)
