@@ -33,6 +33,23 @@ class FixtureContractSpec extends SparkSpec {
       s"batch ts range [$mn, $mx] ms outside plausible [$lo, $hi]")
   }
 
+  test("any declared-timestamp column shipped as nanos-Long is normalized at load") {
+    // simulate a fixture regeneration flipping o_orderdate to TIMESTAMP(NANOS)
+    // (the encoding events.ts had in rounds 1-3, surfacing as LongType)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos_").toString
+    val usInstant = java.sql.Timestamp.valueOf("2024-06-01 12:00:00").getTime * 1000L
+    spark.range(3).selectExpr(
+        "id AS o_orderkey", "id AS o_custkey", "'O' AS o_orderstatus",
+        "1.0 AS o_totalprice",
+        s"(${usInstant}L + id * 1000000L) * 1000L AS o_orderdate", // nanos
+        "'1-URGENT' AS o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Tables.orders(spark, dir)
+    assert(got.schema("o_orderdate").dataType == TimestampType)
+    val mn = got.agg(min(unix_micros(col("o_orderdate")))).as[Long].head()
+    assert(mn == usInstant, s"nanos not re-derived: $mn vs $usInstant")
+  }
+
   test("streaming events reader: same schema, same rows, same instants as batch") {
     val batch = Tables.events(spark, sfDir)
     val streamed = Streaming.replayToTable(
