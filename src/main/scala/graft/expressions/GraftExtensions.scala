@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_porter_stem", "graft_porter_stem(token) - classic Porter (1980) stem of a token"),
       (es: Seq[Expression]) => PorterStem(es(0))))
 
+    ext.injectFunction((FunctionIdentifier("graft_snowball_stem"),
+      info("graft_snowball_stem",
+        "graft_snowball_stem(token) - Snowball (Porter2 English) stem of a token"),
+      (es: Seq[Expression]) => SnowballStem(es(0))))
+
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       info("graft_winnow",
         "graft_winnow(text, k, w) - winnowing fingerprints packed (pos << 32) | hash"),

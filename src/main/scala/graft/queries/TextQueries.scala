@@ -74,6 +74,19 @@ object TextQueries {
         .orderBy("stem")
     }.expectAtGate(31L, "19699369387328162539"),
 
+    // ----- M3 (Snowball parity): the same wordcount through the Porter2 /
+    // Snowball English stemmer — the algorithm the reference's stemming
+    // stage actually ran (spark-stemming jar, feature/Utils.scala:200-204).
+    // Algorithm pinned by SnowballStemmerSpec's hand-derived vectors; gate
+    // pins rows + checksum at sf0.01.
+    "q_snowball_wordcount" -> QueryDef.rowsOnly { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.snowballTokens(TextOps.tokens(lower(col("text"))))).as("stem"))
+        .groupBy("stem").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy("stem")
+    }.expectAtGate(31L, "18678319426136856827"),
+
     // ----- extension: language-ID heuristic (marker-word argmax)
     "q_langid" -> QueryDef.sql("""
       WITH t AS (SELECT doc_id, lang,

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Differences from the reference, on purpose:
   *  - cleaning is a Column expression (TextOps.clean), not a UDF;
-  *  - stemming (external spark-stemming jar, Utils.scala:200-204) is out of
-  *    scope offline — hook provided via `extraStages`;
+  *  - stemming (external spark-stemming jar, Utils.scala:200-204) is served
+  *    by in-repo clean-room stemmers: classic Porter (1980) or Snowball /
+  *    Porter2 English — the algorithm that jar actually ran — selected via
+  *    `stemmerAlgorithm`;
   *  - all stages are the stock Spark ML transformers, so the fitted
   *    PipelineModel is save/load-able and its transform is codegen-friendly.
   *
@@ -34,6 +36,7 @@ final case class FeatureConfig(
     useIdf: Boolean = true,
     minDocFreq: Int = 1,
     useStemming: Boolean = false,
+    stemmerAlgorithm: String = "porter", // "porter" | "snowball" (Porter2)
     extraStopWords: Seq[String] = Nil)
 
 object FeaturePipeline {
@@ -53,6 +56,7 @@ object FeaturePipeline {
     val stemmed = if (cfg.useStemming) "__stemmed" else "__filtered"
     val stemmer = new StemmerStage()
       .setInputCol("__filtered").setOutputCol("__stemmed")
+      .setAlgorithm(cfg.stemmerAlgorithm)
     val termsCol =
       if (cfg.addNGramFeatures) {
         "__ngrams"

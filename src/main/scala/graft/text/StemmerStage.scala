@@ -20,11 +20,20 @@ class StemmerStage(override val uid: String)
 
   final val inputCol = new Param[String](this, "inputCol", "input token column")
   final val outputCol = new Param[String](this, "outputCol", "output token column")
+  /** "porter" (classic 1980) or "snowball" (Porter2 English — what the
+    * reference's spark-stemming stage ran). */
+  final val algorithm = new Param[String](this, "algorithm",
+    "stemming algorithm: porter | snowball",
+    (v: String) => v == "porter" || v == "snowball")
+  setDefault(algorithm, "porter")
   def setInputCol(v: String): this.type = set(inputCol, v)
   def setOutputCol(v: String): this.type = set(outputCol, v)
+  def setAlgorithm(v: String): this.type = set(algorithm, v)
 
   override def transform(ds: Dataset[_]): DataFrame =
-    ds.withColumn($(outputCol), TextOps.stemTokens(col($(inputCol))))
+    ds.withColumn($(outputCol),
+      if ($(algorithm) == "snowball") TextOps.snowballTokens(col($(inputCol)))
+      else TextOps.stemTokens(col($(inputCol))))
 
   override def transformSchema(schema: StructType): StructType =
     StructType(schema.fields :+

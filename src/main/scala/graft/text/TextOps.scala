@@ -140,4 +140,14 @@ object TextOps {
 
   /** M3: Porter-stem every token of an array column. */
   def stemTokens(toks: Column): Column = transform(toks, porterStem(_))
+
+  /** M3: Snowball (Porter2 English) stem of one token — the reference's
+    * actual stemming algorithm ([[graft.expressions.SnowballStem]]). */
+  def snowballStem(token: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.SnowballStem(
+        org.apache.spark.sql.graft.bridge.expression(token)))
+
+  /** M3: Snowball-stem every token of an array column. */
+  def snowballTokens(toks: Column): Column = transform(toks, snowballStem(_))
 }
