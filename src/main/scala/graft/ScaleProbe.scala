@@ -31,6 +31,16 @@ object ScaleProbe {
   private val linearFactors = Seq(1, 10, 50, 100)
   private val dupHeavyFactors = Seq(1, 2, 5, 10)
 
+  /** Events-path ladder (the operator family hardened in round 5): replicas
+    * carry DISTINCT event/user ids but the SAME time range, so per-user state
+    * (sessions, as-of sorts, EWMA) scales in key count while windows densify
+    * — the actual shape of a growing event firehose. All of these read only
+    * the events table. */
+  private val eventsOps = Seq(
+    "q_window_tumbling", "q_window_sliding", "q_sessionize", "q_ewma",
+    "q_asof_join", "q_asof_forward", "q_range_join", "q_window_rank_fns")
+  private val eventsFactors = Seq(1, 10, 50, 100)
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outMd = args.lift(1).getOrElse("SCALEPROBE.md")
@@ -53,6 +63,18 @@ object ScaleProbe {
       }.reduce(_.unionByName(_))
       docs.repartition(32).write.mode("overwrite")
         .parquet(s"${dirFor(f)}/documents.parquet")
+    }
+    eventsFactors.filter(_ > 1).foreach { f =>
+      val evs = (0 until f).map { r =>
+        graft.io.Tables.events(spark, base)
+          .select(
+            (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(r * 10000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+      }.reduce(_.unionByName(_))
+      evs.repartition(32).write.mode("overwrite")
+        .parquet(s"${dirFor(f)}/events.parquet")
     }
 
     // Task-metric listener: per-run sums of spill/shuffle/GC, to attribute a
@@ -82,7 +104,7 @@ object ScaleProbe {
       timeDf(SparkEntry.queries(name)(spark, _), dir)._1
 
     // warm the io/codegen paths so factor-1 isn't charged first-touch cost
-    (linearOps ++ Seq("q_minhash_dedup", "q_dedup_incremental"))
+    (linearOps ++ eventsOps ++ Seq("q_minhash_dedup", "q_dedup_incremental"))
       .filter(q => only.forall(_.contains(q)))
       .foreach(q =>
         SparkEntry.queries(q)(spark, base).queryExecution.toRdd.count())
@@ -97,6 +119,9 @@ object ScaleProbe {
     val dupRows = Seq("q_minhash_dedup", "q_dedup_incremental")
       .filter(q => only.forall(_.contains(q))).map { q =>
       q -> dupHeavyFactors.map(f => f -> time(q, dirFor(f))).toMap
+    }
+    val evRows = eventsOps.filter(q => only.forall(_.contains(q))).map { q =>
+      q -> eventsFactors.map(f => f -> time(q, dirFor(f))).toMap
     }
 
     // ---- tail diagnosis (round-3 watch items): q_winnow and q_ngram_count
@@ -148,6 +173,17 @@ object ScaleProbe {
     linRows.foreach { case (q, t) =>
       val alpha = math.log(t(100) / t(10)) / math.log(10.0)
       sb.append(f"| $q | ${t(1)}%.2f | ${t(10)}%.2f | ${t(50)}%.2f | ${t(100)}%.2f | $alpha%.2f |\n")
+    }
+    if (evRows.nonEmpty) {
+      sb.append("\nEvents-path operators (replicated events: distinct user/event\n")
+      sb.append("ids per replica, same time range — per-user state scales in key\n")
+      sb.append("count, windows densify):\n\n")
+      sb.append("| query | 1× s | 10× s | 50× s | 100× s | α(10×→100×) |\n")
+      sb.append("|---|---|---|---|---|---|\n")
+      evRows.foreach { case (q, t) =>
+        val alpha = math.log(t(100) / t(10)) / math.log(10.0)
+        sb.append(f"| $q | ${t(1)}%.2f | ${t(10)}%.2f | ${t(50)}%.2f | ${t(100)}%.2f | $alpha%.2f |\n")
+      }
     }
     sb.append("\nDup-heavy dedup (output pairs grow quadratically in the\n")
     sb.append("duplication factor by construction — the operator's job):\n\n")

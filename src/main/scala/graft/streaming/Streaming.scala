@@ -47,24 +47,22 @@ object Streaming {
         .parquet(dir))
   }
 
-  /** documents.parquet at-rest schema (plain types — no nanos timestamps). */
-  val rawDocumentSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   /** Streaming scan of the documents parquet data — the SURVEY §2.13 "new
     * bills arriving vs a static corpus" ingestion shape: corpus-hygiene
-    * operators run over this stream exactly as over the batch frame. */
+    * operators run over this stream exactly as over the batch frame. Schema
+    * probed from the real footer, same as [[eventStream]] — never a
+    * hardcoded literal that fixture regeneration can silently invalidate. */
   def docStream(spark: SparkSession, dir: String,
-                maxFilesPerTrigger: Int = 8): DataFrame =
+                maxFilesPerTrigger: Int = 8): DataFrame = {
+    val footerSchema = spark.read
+      .option("pathGlobFilter", "documents.parquet*")
+      .parquet(dir).schema
     spark.readStream
-      .schema(rawDocumentSchema)
+      .schema(footerSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "documents.parquet*")
       .parquet(dir)
+  }
 
   // ---- window aggregations: one definition, batch AND streaming ----
 
