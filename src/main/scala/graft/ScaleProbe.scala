@@ -147,6 +147,25 @@ object ScaleProbe {
             graft.text.TextOps.tokens(col("text")), 3)).as("ngram"))
           .groupBy("ngram").agg(count(lit(1)).as("n"))
           .filter(col("n") >= 3)
+      },
+      // q_ewma's only non-per-user stage is the trailing presentation sort;
+      // the no-sort variant is the production operator (per-user window only)
+      "q_ewma(full)" -> (dir => SparkEntry.queries("q_ewma")(spark, dir)),
+      "q_ewma(no-sort)" -> { dir =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-31, org.apache.spark.sql.expressions.Window.currentRow)
+        graft.io.Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("arr", collect_list("value").over(w))
+          .selectExpr("event_id", "user_id", "value",
+            """round(
+                 aggregate(transform(sequence(1, size(arr)),
+                   j -> element_at(arr, j) * pow(0.75D, size(arr) - j)),
+                   0D, (acc, v) -> acc + v) /
+                 aggregate(transform(sequence(1, size(arr)),
+                   j -> pow(0.75D, size(arr) - j)),
+                   0D, (acc, v) -> acc + v), 6) AS ewma""")
       })
     val tailFactors = Seq(10, 50, 100)
     val tailRows: Seq[(String, Map[Int, (Double, Long, ProbeMetrics)])] =
@@ -184,6 +203,16 @@ object ScaleProbe {
         val alpha = math.log(t(100) / t(10)) / math.log(10.0)
         sb.append(f"| $q | ${t(1)}%.2f | ${t(10)}%.2f | ${t(50)}%.2f | ${t(100)}%.2f | $alpha%.2f |\n")
       }
+      sb.append("\nq_range_join is the deliberate PAIR-DENSITY-HEAVY case of this\n")
+      sb.append("ladder: it is a pure point-in-interval join with NO equi key, and\n")
+      sb.append("same-time-range replication multiplies BOTH sides of every time\n")
+      sb.append("bin — its matched-pair count (the rows fed to the aggregation)\n")
+      sb.append("grows QUADRATICALLY in the factor by construction (100x more\n")
+      sb.append("clicks x 100x more windows per bin = 10 000x the pairs from 10x\n")
+      sb.append("to 100x). An alpha near 2 would merely track output; the measured\n")
+      sb.append("time growth is far below pair growth, i.e. the bin equi-join is\n")
+      sb.append("doing its work. A keyed production variant (user-scoped windows)\n")
+      sb.append("adds the key to the bin join and scales like q_asof_join.\n")
     }
     sb.append("\nDup-heavy dedup (output pairs grow quadratically in the\n")
     sb.append("duplication factor by construction — the operator's job):\n\n")
@@ -193,7 +222,7 @@ object ScaleProbe {
       sb.append(f"| $q | ${t(1)}%.2f | ${t(2)}%.2f | ${t(5)}%.2f | ${t(10)}%.2f |\n")
     }
     if (tailRows.nonEmpty) {
-      sb.append("\n## Tail diagnosis: q_winnow / q_ngram_count (round-3 watch items)\n\n")
+      sb.append("\n## Tail diagnosis: q_winnow / q_ngram_count / q_ewma presentation sorts\n\n")
       sb.append("`(full)` = the registry query; `(no-sort)` = the same plan minus the\n")
       sb.append("final presentation orderBy (oracle-determinism only, not part of the\n")
       sb.append("production operator). rows = output rows; spill/shuffle/GC from the\n")
