@@ -179,6 +179,63 @@ object Relational {
     // plans COUNT(DISTINCT) as the two-phase expand/partial-dedup — the
     // dedup happens map-side before the per-group exchange; the part dim
     // is broadcast.
+    // ----- TPC-H Q12 shape (shipping-priority classification): lineitems in
+    // a shipdate band ⋈ orders → per-linestatus counts of high- vs low-
+    // priority orders. (The synthetic lineitem carries no
+    // shipmode/commit/receipt columns, so linestatus stands in for shipmode;
+    // the operator shape — join + conditional aggregation — is Q12's.)
+    // Integer counts: no float discipline needed.
+    "q_tpch_q12" -> QueryDef.sql("""
+      SELECT l.l_linestatus,
+             CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_linestatus ORDER BY l.l_linestatus""") { (s, d) =>
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // ----- TPC-H Q14 shape (promotion effect): one-month lineitem ⋈ part →
+    // promo revenue share. Ratio of two decimal-exact sums with ONE final
+    // double division (identical IEEE op on both engines); the part side
+    // rides a broadcast.
+    "q_tpch_q14" -> QueryDef.sql("""
+      SELECT ROUND(100.00 *
+               CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))
+                 ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) /
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE),
+               6) AS promo_revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""") { (s, d) =>
+      val p = Tables.part(s, d).select("p_partkey", "p_type")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(30, 6))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").like("PROMO%"), rev)
+            .otherwise(lit(0).cast(DecimalType(30, 6)))).cast("double") /
+          sum(rev).cast("double"), 6).as("promo_revenue"))
+    },
+
     "q_tpch_q16" -> QueryDef.sql("""
       SELECT p.p_brand, p.p_type, p.p_size,
              COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
