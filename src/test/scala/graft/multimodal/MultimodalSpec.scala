@@ -64,6 +64,30 @@ class MultimodalSpec extends SparkSpec {
     assert((f.width, f.height) == (640, 480))
   }
 
+  test("header parses are total on random and truncated byte streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val byteGen: Gen[Array[Byte]] = for {
+      n <- Gen.choose(0, 64)
+      prefix <- Gen.oneOf(
+        Seq[Byte](),                                 // arbitrary garbage
+        Seq(0xff.toByte, 0xd8.toByte),               // valid SOI then garbage
+        Seq(0xff.toByte, 0xd8.toByte, 0xff.toByte),  // dangling marker
+        "GIF89a".getBytes("US-ASCII").toSeq,         // GIF magic then garbage
+        Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) // partial PNG
+      rest <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield (prefix ++ rest).toArray
+    (0 until 20000).foreach { i =>
+      val bytes = sample(byteGen, i.toLong)
+      // must return (not throw) on every input; JPEG/GIF dims are u16-bounded
+      Multimodal.headerDims(bytes).foreach { case (w, h) =>
+        assert(w >= 0 && h >= 0)
+      }
+    }
+  }
+
   test("payloadFrom wraps text as binary with kind") {
     val ds = Multimodal.payloadFrom(docs, "doc_id", "text", kind = "image")
     val r = ds.collect().sortBy(_.id)
