@@ -94,6 +94,45 @@ object Multimodal {
     None
   }
 
+  /** Audio metadata from a WAV/RIFF container header — REAL parse, no codec:
+    * chunk walk from "RIFF....WAVE" to the "fmt " chunk (channels u16le,
+    * sample rate u32le, bits u16le, block align u16le) and the "data" chunk
+    * (frame count = data size / block align). Returns
+    * (channels, sampleRate, bitsPerSample, nFrames); nFrames −1 when no data
+    * chunk precedes truncation. Sample DECODE stays behind the codec stub. */
+  final case class WavInfo(channels: Int, sampleRate: Int,
+                           bitsPerSample: Int, nFrames: Long)
+
+  private[multimodal] def wavHeader(p: Array[Byte]): Option[WavInfo] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) =
+      i + 4 <= p.length && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    // Long cursor: a hostile u32 chunk size must not overflow the index
+    // arithmetic into a negative (or wrapped-positive) array access
+    var i = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var frames = -1L
+    while (i + 8 <= p.length && (fmt.isEmpty || frames < 0)) {
+      val at = i.toInt
+      val size = u32(at + 4)
+      if (tag(at, "fmt ") && size >= 16 && i + 8 + 16 <= p.length)
+        fmt = Some((u16(at + 10), u32(at + 12).toInt, u16(at + 22), u16(at + 20)))
+      else if (tag(at, "data"))
+        frames = fmt match {
+          case Some((_, _, _, ba)) if ba > 0 => size / ba
+          case _ => -1L
+        }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8L + size + (size & 1L)
+    }
+    fmt.map { case (c, r, b, _) => WavInfo(c, r, b, frames) }
+  }
+
   /** Decoder: REAL header parse when the payload carries a recognized image
     * container ([[headerDims]]); otherwise the clearly-marked STUB fallback
     * (deterministic fake dimensions from the first two payload bytes) a real

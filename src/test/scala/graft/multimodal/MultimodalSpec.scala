@@ -64,6 +64,28 @@ class MultimodalSpec extends SparkSpec {
     assert((f.width, f.height) == (640, 480))
   }
 
+  test("wavHeader walks RIFF chunks to fmt and data") {
+    def u16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def u32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def tag(s: String) = s.getBytes("US-ASCII").map(_.toInt).toSeq
+    // 2ch / 44100 Hz / 16-bit, one LIST chunk before fmt, 400-byte data
+    val wav = (tag("RIFF") ++ u32(1000) ++ tag("WAVE") ++
+      tag("LIST") ++ u32(4) ++ Seq(1, 2, 3, 4) ++
+      tag("fmt ") ++ u32(16) ++ u16(1) ++ u16(2) ++ u32(44100) ++
+        u32(44100 * 4) ++ u16(4) ++ u16(16) ++
+      tag("data") ++ u32(400) ++ Seq.fill(400)(0)
+    ).map(_.toByte).toArray
+    assert(Multimodal.wavHeader(wav)
+      .contains(Multimodal.WavInfo(2, 44100, 16, 100))) // 400 bytes / 4 align
+    // truncated right after the full fmt chunk (48 bytes): metadata known,
+    // frame count unknown; a cut INSIDE fmt (44 bytes) yields nothing
+    assert(Multimodal.wavHeader(wav.take(48))
+      .contains(Multimodal.WavInfo(2, 44100, 16, -1)))
+    assert(Multimodal.wavHeader(wav.take(44)).isEmpty)
+    assert(Multimodal.wavHeader("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(Multimodal.wavHeader(Array.empty[Byte]).isEmpty)
+  }
+
   test("header parses are total on random and truncated byte streams") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
@@ -76,7 +98,9 @@ class MultimodalSpec extends SparkSpec {
         Seq(0xff.toByte, 0xd8.toByte),               // valid SOI then garbage
         Seq(0xff.toByte, 0xd8.toByte, 0xff.toByte),  // dangling marker
         "GIF89a".getBytes("US-ASCII").toSeq,         // GIF magic then garbage
-        Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) // partial PNG
+        Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte), // partial PNG
+        ("RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+          "WAVE".getBytes("US-ASCII")).toSeq)        // WAV magic then garbage
       rest <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
     } yield (prefix ++ rest).toArray
     (0 until 20000).foreach { i =>
@@ -84,6 +108,9 @@ class MultimodalSpec extends SparkSpec {
       // must return (not throw) on every input; JPEG/GIF dims are u16-bounded
       Multimodal.headerDims(bytes).foreach { case (w, h) =>
         assert(w >= 0 && h >= 0)
+      }
+      Multimodal.wavHeader(bytes).foreach { info =>
+        assert(info.channels >= 0 && info.sampleRate >= 0)
       }
     }
   }
