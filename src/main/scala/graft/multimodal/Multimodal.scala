@@ -133,6 +133,55 @@ object Multimodal {
     fmt.map { case (c, r, b, _) => WavInfo(c, r, b, frames) }
   }
 
+  /** Video metadata from an MP4 / ISO-BMFF container — REAL parse, no codec:
+    * big-endian box walk at the top level (size u32, type 4cc; size==1 takes
+    * a u64 largesize, size==0 runs to EOF) into the `moov` container, then
+    * its `mvhd` movie header (version 0: u32 timescale + u32 duration at
+    * offsets 12/16 of the box payload; version 1: u64 times, timescale at 20,
+    * duration u64 at 24). Returns (timescale ticks/sec, duration ticks);
+    * seconds = duration / timescale. Frame DECODE stays behind the codec
+    * stub. Overflow-safe Long cursors, like [[wavHeader]]. */
+  final case class Mp4Info(timescale: Long, duration: Long)
+
+  private[multimodal] def mp4Header(p: Array[Byte]): Option[Mp4Info] = {
+    def u8(i: Long) = p(i.toInt) & 0xffL
+    def u32(i: Long): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
+    def typ(i: Long): String =
+      if (i + 8 > p.length) ""
+      else new String(p, i.toInt + 4, 4, "US-ASCII")
+    // (start, end) of each box's PAYLOAD within [from, to); None to stop
+    def walk(from: Long, to: Long, want: String): Option[(Long, Long)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = u32(i)
+        val (payload, end) =
+          if (size0 == 1L && i + 16 <= to) (i + 16, i + u64(i + 8))
+          else if (size0 == 0L) (i + 8, to)
+          else (i + 8, i + size0)
+        if (end <= i || end > to) return None // corrupt size: stop walking
+        if (typ(i) == want) return Some((payload, end))
+        i = end
+      }
+      None
+    }
+    if (p.length < 8) return None
+    // sanity: a real MP4 leads with ftyp/styp (or moov directly in fragments)
+    val lead = typ(0)
+    if (lead != "ftyp" && lead != "styp" && lead != "moov") return None
+    walk(0, p.length.toLong, "moov").flatMap { case (ms, me) =>
+      walk(ms, me, "mvhd").flatMap { case (hs, he) =>
+        if (hs + 4 > he) None
+        else u8(hs) match { // fullbox version
+          case 0L if hs + 20 <= he => Some(Mp4Info(u32(hs + 12), u32(hs + 16)))
+          case 1L if hs + 32 <= he => Some(Mp4Info(u32(hs + 20), u64(hs + 24)))
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** Decoder: REAL header parse when the payload carries a recognized image
     * container ([[headerDims]]); otherwise the clearly-marked STUB fallback
     * (deterministic fake dimensions from the first two payload bytes) a real

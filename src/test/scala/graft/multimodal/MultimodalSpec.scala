@@ -86,6 +86,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavHeader(Array.empty[Byte]).isEmpty)
   }
 
+  test("mp4Header walks boxes to moov/mvhd for both mvhd versions") {
+    def u32(v: Long) = Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    def u64(v: Long) = u32(v >> 32) ++ u32(v & 0xffffffffL)
+    def tag(s: String) = s.getBytes("US-ASCII").map(_.toInt & 0xffL).toSeq
+    def box(t: String, payload: Seq[Long]): Seq[Long] =
+      u32(8L + payload.size) ++ tag(t) ++ payload
+    val ftyp = box("ftyp", tag("isom") ++ u32(512) ++ tag("isom"))
+    // v0 mvhd: ver+flags, ctime, mtime, timescale 600, duration 36000 (60 s)
+    val mvhd0 = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(36000)
+      ++ Seq.fill(80)(0L))
+    val free = box("free", Seq.fill(6)(0L))
+    val mp4v0 = (ftyp ++ box("moov", free ++ mvhd0)).map(_.toByte).toArray
+    assert(Multimodal.mp4Header(mp4v0)
+      .contains(Multimodal.Mp4Info(600, 36000)))
+    // v1 mvhd: u64 times, timescale 90000, u64 duration
+    val mvhd1 = box("mvhd", u32(0x01000000L) ++ u64(0) ++ u64(0) ++ u32(90000)
+      ++ u64(4500000L) ++ Seq.fill(80)(0L))
+    val mp4v1 = (ftyp ++ box("moov", mvhd1)).map(_.toByte).toArray
+    assert(Multimodal.mp4Header(mp4v1)
+      .contains(Multimodal.Mp4Info(90000, 4500000L)))
+    // no moov, wrong magic, truncated mid-mvhd: all None, never a throw
+    assert(Multimodal.mp4Header((ftyp ++ free).map(_.toByte).toArray).isEmpty)
+    assert(Multimodal.mp4Header("not a video".getBytes).isEmpty)
+    assert(Multimodal.mp4Header(mp4v0.take(40)).isEmpty)
+  }
+
   test("header parses are total on random and truncated byte streams") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
@@ -100,7 +126,10 @@ class MultimodalSpec extends SparkSpec {
         "GIF89a".getBytes("US-ASCII").toSeq,         // GIF magic then garbage
         Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte), // partial PNG
         ("RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
-          "WAVE".getBytes("US-ASCII")).toSeq)        // WAV magic then garbage
+          "WAVE".getBytes("US-ASCII")).toSeq,        // WAV magic then garbage
+        (Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII")).toSeq,
+        (Array[Byte](0, 0, 0, 1) ++ "moov".getBytes("US-ASCII")).toSeq)
+          // MP4 leads incl. a largesize-flagged box
       rest <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
     } yield (prefix ++ rest).toArray
     (0 until 20000).foreach { i =>
@@ -111,6 +140,9 @@ class MultimodalSpec extends SparkSpec {
       }
       Multimodal.wavHeader(bytes).foreach { info =>
         assert(info.channels >= 0 && info.sampleRate >= 0)
+      }
+      Multimodal.mp4Header(bytes).foreach { info =>
+        assert(info.timescale >= 0 && info.duration >= 0)
       }
     }
   }
