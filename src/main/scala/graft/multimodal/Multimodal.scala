@@ -48,7 +48,7 @@ object Multimodal {
     *    segments; standalone markers (RST/SOI/EOI) carry no length field;
     *    the walk stops at SOS — a SOF always precedes the scan data.
     * Full pixel decode stays behind the codec stub. */
-  private[multimodal] def headerDims(p: Array[Byte]): Option[(Int, Int)] = {
+  def headerDims(p: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int) = p(i) & 0xff
     if (p.length >= 24 &&
         u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
@@ -103,7 +103,7 @@ object Multimodal {
   final case class WavInfo(channels: Int, sampleRate: Int,
                            bitsPerSample: Int, nFrames: Long)
 
-  private[multimodal] def wavHeader(p: Array[Byte]): Option[WavInfo] = {
+  def wavHeader(p: Array[Byte]): Option[WavInfo] = {
     def u8(i: Int) = p(i) & 0xff
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def u32(i: Int): Long =
@@ -143,7 +143,7 @@ object Multimodal {
     * stub. Overflow-safe Long cursors, like [[wavHeader]]. */
   final case class Mp4Info(timescale: Long, duration: Long)
 
-  private[multimodal] def mp4Header(p: Array[Byte]): Option[Mp4Info] = {
+  def mp4Header(p: Array[Byte]): Option[Mp4Info] = {
     def u8(i: Long) = p(i.toInt) & 0xffL
     def u32(i: Long): Long =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
@@ -180,6 +180,40 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ---- deterministic synthetic container builders: minimal, VALID headers
+  // (the exact bytes the parsers above walk) so the binary-column round-trip
+  // can be gate-checked against a SQL oracle without codec libraries or
+  // binary fixtures on disk (q_media_metadata).
+
+  def synthPng(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R').map(_.toByte) ++ be32(w) ++ be32(h)
+  }
+
+  def synthWav(channels: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val blockAlign = channels * bits / 8
+    val dataSize = frames * blockAlign
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataSize) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(dataSize) ++ Array.fill(dataSize)(0.toByte)
+  }
+
+  def synthMp4(timescale: Long, duration: Long): Array[Byte] = {
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ Array.fill(80)(0.toByte))
+    ftyp ++ box("moov", mvhd)
   }
 
   /** Decoder: REAL header parse when the payload carries a recognized image

@@ -100,6 +100,53 @@ object FunctionQueries {
         .toDF()
         .select(col("id"), col("n_bytes"), col("sha"), col("width"), col("height"))
         .orderBy("id")
+    },
+
+    // ----- multimodal extension: REAL container metadata through binary
+    // columns — deterministic PNG/WAV/MP4 containers are synthesized from
+    // doc ids executor-side, round-tripped through the binary payload
+    // column, and parsed back by the REAL header walks
+    // (Multimodal.headerDims/wavHeader/mp4Header). The oracle recomputes
+    // the expected metadata arithmetically: a parser or builder drift on
+    // any byte offset breaks the hash.
+    "q_media_metadata" -> QueryDef.sql("""
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 1 + doc_id % 1920
+               WHEN 1 THEN 8000 + (doc_id % 5) * 8000
+               ELSE 600 + doc_id % 1000
+             END AS BIGINT) AS meta1,
+             CAST(CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 1 + doc_id % 1080
+               WHEN 1 THEN 1 + doc_id % 2
+               ELSE (600 + doc_id % 1000) * 30
+             END AS BIGINT) AS meta2
+      FROM documents WHERE doc_id < 90 ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 90)
+        .select("doc_id").as[Long]
+        .map { id =>
+          (id % 3) match {
+            case 0 =>
+              val bytes = Multimodal.synthPng(
+                (1 + id % 1920).toInt, (1 + id % 1080).toInt)
+              val (w, h) = Multimodal.headerDims(bytes).get
+              (id, "image", w.toLong, h.toLong)
+            case 1 =>
+              val bytes = Multimodal.synthWav(
+                (1 + id % 2).toInt, (8000 + (id % 5) * 8000).toInt, 16, 16)
+              val info = Multimodal.wavHeader(bytes).get
+              (id, "audio", info.sampleRate.toLong, info.channels.toLong)
+            case _ =>
+              val bytes = Multimodal.synthMp4(600 + id % 1000, (600 + id % 1000) * 30)
+              val info = Multimodal.mp4Header(bytes).get
+              (id, "video", info.timescale, info.duration)
+          }
+        }
+        .toDF("doc_id", "kind", "meta1", "meta2")
+        .orderBy("doc_id")
     }
   )
 }
