@@ -526,4 +526,57 @@ object GraphOps {
     FROM h$numIter h JOIN a$numIter a ON a.vertex = h.vertex
     ORDER BY h.vertex"""
   }
+
+  /** Link prediction over the undirected graph: for every non-edge pair
+    * (u, v) sharing at least one neighbor, the common-neighbor count and the
+    * pair's neighborhood Jaccard (cn / (deg u + deg v − cn), one final double
+    * division so the score is bit-reproducible).
+    *
+    * Distributed shape — the standard middle-vertex generation: candidate
+    * pairs are produced by joining the symmetric adjacency against itself on
+    * the SHARED neighbor (equi-join on w for sym(w,u) × sym(w,v), u < v), so
+    * work is bucketed per middle vertex and the corpus is never all-paired.
+    * A middle vertex of degree d contributes d·(d−1)/2 pairs — the skew
+    * lever at scale is capping or salting the few super-degree vertices,
+    * exactly the lever the LSH band joins already use. Existing edges are
+    * removed with a LEFT ANTI join on the canonical pair.
+    */
+  def linkPrediction(canonical: DataFrame): DataFrame = {
+    val sym = symmetric(canonical)
+    val deg = sym.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("deg"))
+    val left = sym.select(col("src").as("w"), col("dst").as("u"))
+    val right = sym.select(col("src").as("w"), col("dst").as("v"))
+    val cn = left.join(right, "w")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"))
+      .join(canonical.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+    cn
+      .join(deg.select(col("vertex").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("vertex").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        (col("cn").cast("double") / (col("du") + col("dv") - col("cn")))
+          .as("jaccard"))
+  }
+
+  /** DuckDB oracle for [[linkPrediction]] over `edgesSql` (src/dst pairs,
+    * already canonical src<dst). */
+  def linkPredictionOracleSql(edgesSql: String): String = s"""
+    WITH e AS MATERIALIZED ($edgesSql),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS vertex, COUNT(*) AS deg FROM sym GROUP BY src),
+    cn AS (
+      SELECT a.dst AS u, b.dst AS v, COUNT(*) AS cn
+      FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY a.dst, b.dst),
+    nonedge AS (
+      SELECT cn.* FROM cn LEFT JOIN e ON e.src = cn.u AND e.dst = cn.v
+      WHERE e.src IS NULL)
+    SELECT n.u, n.v, n.cn,
+           CAST(n.cn AS DOUBLE) / (du.deg + dv.deg - n.cn) AS jaccard
+    FROM nonedge n
+    JOIN deg du ON du.vertex = n.u
+    JOIN deg dv ON dv.vertex = n.v"""
 }

@@ -644,6 +644,63 @@ object EventQueries {
         .groupBy("user_id")
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // ----- extension: time-series resample + gap fill (operators.Resample) —
+    // hourly per-user grid densified between each user's first and last
+    // activity, zero-count gap rows emitted, exact-decimal hourly totals
+    // forward-filled across gaps. Users < 30 bound the spine at gate scale;
+    // the spine is O(keys × buckets) regardless of event volume (see
+    // Resample's scale note). Oracle: generate_series spine + LAST_VALUE
+    // IGNORE NULLS window.
+    "q_gap_fill" -> QueryDef.sql("""
+      WITH pb AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(30,2))) AS total
+        FROM events WHERE user_id < 30 GROUP BY 1, 2),
+      k AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+            FROM pb GROUP BY user_id),
+      spine AS (SELECT user_id,
+                       UNNEST(generate_series(mn, mx, 3600)) AS bucket
+                FROM k),
+      j AS (SELECT s.user_id, s.bucket,
+                   COALESCE(pb.n, 0) AS n, pb.total
+            FROM spine s LEFT JOIN pb
+              ON pb.user_id = s.user_id AND pb.bucket = s.bucket)
+      SELECT user_id, bucket, CAST(n AS BIGINT) AS n,
+             CAST(LAST_VALUE(total IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket) AS DOUBLE) AS filled_total
+      FROM j ORDER BY user_id, bucket""") { (s, d) =>
+      graft.operators.Resample.gapFill(
+          Tables.events(s, d).filter(col("user_id") < 30),
+          "user_id", unix_timestamp(col("ts")), col("value"), 3600L)
+        .orderBy("user_id", "bucket")
+    },
+
+    // ----- extension: incremental aggregate maintenance — merge a standing
+    // partial-aggregate state (70% of the feed, already reduced to
+    // per-(user, type) n/total) with a newly arrived raw slice (the other
+    // 30%) WITHOUT recomputing the standing side from raw rows: partials are
+    // re-reduced by summing counts and exact-decimal totals. The 100 TB
+    // nightly-ingest shape — yesterday's aggregate table + today's delta in
+    // one shuffle over pre-reduced rows. Oracle: the full recompute, which
+    // the merge must equal exactly.
+    "q_incremental_agg" -> QueryDef.sql("""
+      SELECT user_id, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""") { (s, d) =>
+      val e = Tables.events(s, d)
+      def part(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,2)")).as("total"))
+      val standing = part(e.filter(col("event_id") % 10 < 7)) // prior state
+      val arriving = part(e.filter(col("event_id") % 10 >= 7)) // new delta
+      standing.unionByName(arriving)
+        .groupBy("user_id", "event_type")
+        .agg(sum("n").as("n"), sum("total").cast("double").as("total"))
+        .orderBy("user_id", "event_type")
     }
   )
 }

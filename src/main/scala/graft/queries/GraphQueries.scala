@@ -39,6 +39,14 @@ object GraphQueries {
   /** Bounded subgraph for the k-core / SCC gates. */
   private val SP_MAX_KEY = 200
 
+  /** Link-prediction edge band (see q_link_prediction's density note). */
+  private val LP_KEY_WINDOW = 25
+  private val lpEdgesSql = s"""
+    SELECT a.c_custkey AS src, b.c_custkey AS dst
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND b.c_custkey > a.c_custkey AND b.c_custkey <= a.c_custkey + $LP_KEY_WINDOW"""
+
   /** Shortest-paths subgraph: same-nation edges with a WIDER key window
     * (diff <= 60, keys < 600) than the braided-chain rule — same-nation keys
     * sit ~25 apart on average, so the chain window (<=2) leaves the bounded
@@ -268,6 +276,29 @@ object GraphQueries {
         .collect().map(_.getLong(0)).toSeq
       GraphOps.shortestPathLengths(edges, landmarks)
         .orderBy("vertex", "landmark")
+    },
+
+    // ----- G-extension: link prediction (common neighbors + neighborhood
+    // Jaccard) — the candidate-generation half of a similarity-graph
+    // completion pass. Pairs come from the middle-vertex equi-join (work
+    // bucketed per shared neighbor, never all-pairs); existing edges drop via
+    // LEFT ANTI; score = one final double division. Totally ordered by
+    // (u, v); integer cn plus single-division jaccard keep the hash exact.
+    // Runs on a WIDER same-nation band (diff <= 25) than the braided chain:
+    // same-nation keys sit ~25 apart, so the chain window (<=2) leaves almost
+    // no distance-2 pairs and the gate would be near-vacuous (5 rows).
+    "q_link_prediction" -> QueryDef.sql(
+      GraphOps.linkPredictionOracleSql(lpEdgesSql) + "\n    ORDER BY u, v") {
+      (s, d) =>
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val a = c.alias("a"); val b = c.alias("b")
+      val raw = a.join(b,
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("b.c_custkey") > col("a.c_custkey") &&
+          col("b.c_custkey") <= col("a.c_custkey") + LP_KEY_WINDOW)
+        .select(col("a.c_custkey").as("src"), col("b.c_custkey").as("dst"))
+      GraphOps.linkPrediction(GraphOps.canonicalEdges(raw, "src", "dst"))
+        .orderBy("u", "v")
     }
   )
 }

@@ -1203,6 +1203,57 @@ object Relational {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    },
+
+    // ----- extension: CDC MERGE / upsert (operators.MergeInto) — apply a
+    // change batch (insert / update / delete) to a base snapshot, the
+    // Delta-style MERGE INTO on plain DataFrames. Fixture-derived feed:
+    // keys %4==0 are absent from base and arrive as inserts, %4==1 get a
+    // +10.00 price update, %4==2 are deleted, %4==3 pass through untouched.
+    // The engine runs the union+max_by reduction (ONE shuffle, no join —
+    // see MergeInto's scale note); the oracle states the set algebra
+    // directly. Exact-decimal prices; one final double cast.
+    "q_merge_upsert" -> QueryDef.sql("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(30,2)) AS price
+        FROM orders WHERE o_orderkey % 4 <> 0),
+      chg AS (
+        SELECT o_orderkey, 'I' AS op, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(30,2)) AS price
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(30,2)) + 10
+        FROM orders WHERE o_orderkey % 4 = 1
+        UNION ALL
+        SELECT o_orderkey, 'D', o_orderstatus, NULL
+        FROM orders WHERE o_orderkey % 4 = 2)
+      SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      FROM (
+        SELECT b.* FROM base b
+        LEFT JOIN chg c ON c.o_orderkey = b.o_orderkey WHERE c.o_orderkey IS NULL
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, price FROM chg WHERE op <> 'D')
+      ORDER BY o_orderkey""") { (s, d) =>
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(30,2)").as("price"))
+      val price = col("o_totalprice").cast("decimal(30,2)")
+      val changes = o.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), lit("I").as("op"), col("o_orderstatus"),
+          price.as("price"))
+        .unionByName(o.filter(col("o_orderkey") % 4 === 1)
+          .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+            (price + 10).cast("decimal(30,2)").as("price")))
+        .unionByName(o.filter(col("o_orderkey") % 4 === 2)
+          .select(col("o_orderkey"), lit("D").as("op"), col("o_orderstatus"),
+            lit(null).cast("decimal(30,2)").as("price")))
+      graft.operators.MergeInto(base, changes, "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"))
+        .orderBy("o_orderkey")
     }
   )
 }
