@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction planning — the table-maintenance pass that turns a
+  * file inventory (path, bytes, partition) into rewrite groups of
+  * approximately `targetBytes` each. At 100 TB the small-file problem IS the
+  * scan-performance problem (a million 1 MB files cost more in task setup
+  * and footer reads than the data itself), and the planning step must itself
+  * be distributed: this one is a single window pass over the inventory.
+  *
+  * Packing rule: within each table partition, files are laid out in a
+  * deterministic order and assigned to bin floor(prefix / target), where
+  * `prefix` is the EXCLUSIVE running byte sum — i.e. next-fit packing with
+  * fixed byte boundaries. Every bin except the last holds at least `target`
+  * bytes once its boundary-crossing file lands, no bin is split across
+  * partitions, and the assignment is replayable (same inventory + order →
+  * same plan) so a retried planning job emits identical rewrite groups.
+  *
+  * Scale shape: ONE shuffle on the partition column (the window), no
+  * self-join, no driver-side loop; the inventory rows are (path, bytes)
+  * pairs — never data. Skewed partitions (many files) stay a single window
+  * state per partition, which is exactly the constraint a real compactor
+  * has anyway (its rewrite groups cannot span partitions).
+  */
+object Compaction {
+
+  /** Per-file bin assignment: input columns + `bin` (0-based within the
+    * partition) + `prefix_bytes` (exclusive running sum used for the
+    * assignment, exposed for audit). */
+  def plan(files: DataFrame, partCol: String, sizeCol: Column,
+           orderCol: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("prefix_bytes",
+        coalesce(sum(sizeCol.cast("long")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prefix_bytes") / targetBytes))
+  }
+
+  /** The rewrite-group summary a compactor would execute: one row per
+    * (partition, bin) with file count and total bytes. */
+  def groups(files: DataFrame, partCol: String, sizeCol: Column,
+             orderCol: Column, targetBytes: Long): DataFrame =
+    plan(files, partCol, sizeCol, orderCol, targetBytes)
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(sizeCol.cast("long")).as("total_bytes"))
+}

@@ -1008,6 +1008,34 @@ object PipelineQueries {
         .filter(col("cum") - col("tok") < 800)
         .select("source", "doc_id", "tok", "cum")
         .orderBy("source", "doc_id")
+    },
+
+    // ----- extension: small-file COMPACTION PLAN (operators.Compaction) —
+    // the lakehouse maintenance pass: a file inventory (here the documents
+    // table standing in as one "file" per doc, bytes = n_chars, table
+    // partition = source) packed into ~8 KB rewrite groups by next-fit over
+    // the exclusive running byte sum. One window shuffle on the partition
+    // column; rewrite groups never span partitions; replayable (same
+    // inventory → same plan). Output: one row per (source, bin).
+    "q_compaction_plan" -> QueryDef.sql("""
+      WITH inv AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes
+        FROM documents),
+      p AS (
+        SELECT source, bytes,
+               CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS prefix_bytes
+        FROM inv)
+      SELECT source, CAST(FLOOR(prefix_bytes / 8192) AS BIGINT) AS bin,
+             COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes
+      FROM p GROUP BY 1, 2 ORDER BY source, bin""") { (s, d) =>
+      graft.operators.Compaction.groups(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              col("n_chars").cast("long").as("bytes")),
+          "source", col("bytes"), col("doc_id"), targetBytes = 8192L)
+        .orderBy("source", "bin")
     }
   )
 }
