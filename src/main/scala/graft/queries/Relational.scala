@@ -715,6 +715,33 @@ object Relational {
         .orderBy("event_type")
     }.expectAtGate(5L, "2739258601448585293"),
 
+    // ----- extension: HLL SKETCH MAINTENANCE — the mergeable-state form of
+    // distinct counting: per-slice Datasketches HLL sketches (8 slices
+    // standing in for daily partitions) merged with hll_union_agg, vs the
+    // single-pass sketch over the raw rows. HLL registers are per-bucket
+    // maxima, and union takes the elementwise max, so merged ≡ direct
+    // EXACTLY — asserted per row in `merge_exact` — which is what makes
+    // sketches the 100 TB pattern: month = union of 30 daily sketches, no
+    // raw re-scan. Exact distinct included for error context. No SQL oracle
+    // (DuckDB's HLL is a different sketch); gate-pinned instead.
+    "q_hll_merge" -> QueryDef.rowsOnly { (s, d) =>
+      val e = Tables.events(s, d)
+      val slices = e.withColumn("slice", col("event_id") % 8)
+        .groupBy("event_type", "slice")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val merged = slices.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("n_users_merged"))
+      val direct = e.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+          .as("n_users_direct"),
+          count_distinct(col("user_id")).as("n_users_exact"))
+      merged.join(direct, "event_type")
+        .withColumn("merge_exact",
+          col("n_users_merged") === col("n_users_direct"))
+        .orderBy("event_type")
+    }.expectAtGate(5L, "2744656859061854039"),
+
     // ----- extension: SKEW — salted shuffle join (operators.SkewOps). Same
     // result as the plain lineitem⋈orders join; the salt spreads any hot
     // orderkey over 8 shuffle partitions. merge hint keeps it shuffle-based
@@ -1254,6 +1281,78 @@ object Relational {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("price").cast("double").as("price"))
         .orderBy("o_orderkey")
-    }
+    },
+
+    // ----- extension: STREAMING upsert sink — the same change feed consumed
+    // as a file stream (1 file per micro-batch) and applied incrementally to
+    // a persisted snapshot via foreachBatch + MergeInto: the Delta-style
+    // "streaming MERGE INTO" recipe with plain parquet standing in for the
+    // transactional table (tmp-then-promote write; a real deployment swaps
+    // in a format with atomic commit). foreachBatch applies batches in
+    // order, so per-key change sequences replay correctly. The final
+    // snapshot must equal the one-shot batch MERGE — same oracle as
+    // q_merge_upsert. Serial: runs a streaming query.
+    "q_stream_upsert" -> QueryDef.sql("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(30,2)) AS price
+        FROM orders WHERE o_orderkey % 4 <> 0),
+      chg AS (
+        SELECT o_orderkey, 'I' AS op, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(30,2)) AS price
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(30,2)) + 10
+        FROM orders WHERE o_orderkey % 4 = 1
+        UNION ALL
+        SELECT o_orderkey, 'D', o_orderstatus, NULL
+        FROM orders WHERE o_orderkey % 4 = 2)
+      SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      FROM (
+        SELECT b.* FROM base b
+        LEFT JOIN chg c ON c.o_orderkey = b.o_orderkey WHERE c.o_orderkey IS NULL
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, price FROM chg WHERE op <> 'D')
+      ORDER BY o_orderkey""") { (s, d) =>
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(30,2)").as("price"))
+      val price = col("o_totalprice").cast("decimal(30,2)")
+      val changes = o.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), lit("I").as("op"), col("o_orderstatus"),
+          price.as("price"))
+        .unionByName(o.filter(col("o_orderkey") % 4 === 1)
+          .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+            (price + 10).cast("decimal(30,2)").as("price")))
+        .unionByName(o.filter(col("o_orderkey") % 4 === 2)
+          .select(col("o_orderkey"), lit("D").as("op"), col("o_orderstatus"),
+            lit(null).cast("decimal(30,2)").as("price")))
+      val tag = System.nanoTime()
+      val chgDir = s"/tmp/graft_upsert_chg_$tag"
+      val snapDir = s"/tmp/graft_upsert_snap_$tag"
+      changes.repartition(3, col("op")).write.mode("overwrite").parquet(chgDir)
+      base.write.mode("overwrite").parquet(snapDir)
+      val schema = s.read.parquet(chgDir).schema
+      val applyBatch: (DataFrame, Long) => Unit = (batch, id) => {
+        val next = graft.operators.MergeInto(
+          s.read.parquet(snapDir), batch, "o_orderkey")
+        val tmp = s"${snapDir}_b$id"
+        next.write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).write.mode("overwrite").parquet(snapDir)
+      }
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(chgDir)
+        .writeStream.foreachBatch(applyBatch)
+        .option("checkpointLocation", s"${snapDir}_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(snapDir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast("double").as("price"))
+        .orderBy("o_orderkey")
+    }.serial
   )
 }
