@@ -27,7 +27,7 @@ object ScaleProbe {
     "q_substring_dedup", "q_rare_bigram", "q_train_order",
     "q_split_stratified", "q_fertility", "q_pipeline_trainset",
     "q_vocab_build", "q_length_trim", "q_dedup_report", "q_table_diff",
-    "q_retrieval_eval")
+    "q_retrieval_eval", "q_compaction_plan")
   private val linearFactors = Seq(1, 10, 50, 100)
   private val dupHeavyFactors = Seq(1, 2, 5, 10)
 
@@ -38,7 +38,8 @@ object ScaleProbe {
     * the events table. */
   private val eventsOps = Seq(
     "q_window_tumbling", "q_window_sliding", "q_sessionize", "q_ewma",
-    "q_asof_join", "q_asof_forward", "q_range_join", "q_window_rank_fns")
+    "q_asof_join", "q_asof_forward", "q_range_join", "q_window_rank_fns",
+    "q_incremental_agg", "q_hll_merge")
   private val eventsFactors = Seq(1, 10, 50, 100)
 
   def main(args: Array[String]): Unit = {

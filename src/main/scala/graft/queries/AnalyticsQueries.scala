@@ -528,6 +528,57 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("lang", "rn")
+    },
+
+    // ----- extension: DATA-QUALITY CHECK SUITE (Deequ shape) — the
+    // pre-training contract gate: completeness, key uniqueness, value
+    // bounds, domain membership, and a cross-column consistency rule, ALL
+    // measured in ONE aggregation pass (conditional counts over a single
+    // scan; the wide row is unpivoted to (check, metric, passed) rows with
+    // stack()). At 100 TB this runs as one map-side-combined agg — no
+    // per-check scans, no driver loop; `passed` is integer arithmetic so
+    // the verdict is engine-exact. Metric semantics: violation COUNT for
+    // every check (0 = clean), so no float ratios ride the gate.
+    "q_data_checks" -> QueryDef.sql("""
+      WITH m AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(text) AS null_text,
+               COUNT(*) - COUNT(DISTINCT doc_id) AS dup_ids,
+               COALESCE(SUM(CASE WHEN n_chars < 1 THEN 1 END), 0) AS under_min,
+               COALESCE(SUM(CASE WHEN n_chars > 1000000 THEN 1 END), 0) AS over_max,
+               COALESCE(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','zz')
+                                 THEN 1 END), 0) AS bad_lang,
+               COALESCE(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 END), 0)
+                 AS len_mismatch
+        FROM documents)
+      SELECT chk AS check_name, CAST(violations AS BIGINT) AS violations,
+             violations = 0 AS passed
+      FROM (
+        SELECT 'text_complete' AS chk, null_text AS violations FROM m
+        UNION ALL SELECT 'doc_id_unique', dup_ids FROM m
+        UNION ALL SELECT 'n_chars_min', under_min FROM m
+        UNION ALL SELECT 'n_chars_max', over_max FROM m
+        UNION ALL SELECT 'lang_domain', bad_lang FROM m
+        UNION ALL SELECT 'n_chars_consistent', len_mismatch FROM m)
+      ORDER BY check_name""") { (s, d) =>
+      val m = Tables.documents(s, d).agg(
+        (count(lit(1)) - count(col("text"))).as("null_text"),
+        (count(lit(1)) - count_distinct(col("doc_id"))).as("dup_ids"),
+        coalesce(sum(when(col("n_chars") < 1, 1L)), lit(0L)).as("under_min"),
+        coalesce(sum(when(col("n_chars") > 1000000, 1L)), lit(0L)).as("over_max"),
+        coalesce(sum(when(!col("lang").isin("en", "de", "fr", "es", "zz"), 1L)),
+          lit(0L)).as("bad_lang"),
+        coalesce(sum(when(col("n_chars") =!= length(col("text")), 1L)),
+          lit(0L)).as("len_mismatch"))
+      m.select(expr("""stack(6,
+          'text_complete', null_text,
+          'doc_id_unique', dup_ids,
+          'n_chars_min', under_min,
+          'n_chars_max', over_max,
+          'lang_domain', bad_lang,
+          'n_chars_consistent', len_mismatch) AS (check_name, violations)"""))
+        .withColumn("passed", col("violations") === 0)
+        .orderBy("check_name")
     }
   )
 }
