@@ -542,7 +542,11 @@ object GraphOps {
     * removed with a LEFT ANTI join on the canonical pair.
     */
   def linkPrediction(canonical: DataFrame): DataFrame = {
+    // the symmetric adjacency feeds FOUR plan branches (both join sides,
+    // the degree table, and — via canonical — the anti-join); persist it so
+    // the edge derivation computes once instead of replanning per branch
     val sym = symmetric(canonical)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("src").as("vertex"))
       .agg(count(lit(1)).as("deg"))
     val left = sym.select(col("src").as("w"), col("dst").as("u"))

@@ -1237,9 +1237,10 @@ object Relational {
     // Delta-style MERGE INTO on plain DataFrames. Fixture-derived feed:
     // keys %4==0 are absent from base and arrive as inserts, %4==1 get a
     // +10.00 price update, %4==2 are deleted, %4==3 pass through untouched.
-    // The engine runs the union+max_by reduction (ONE shuffle, no join —
-    // see MergeInto's scale note); the oracle states the set algebra
-    // directly. Exact-decimal prices; one final double cast.
+    // This gate exercises the UNION+REDUCE strategy (change feed too large
+    // to broadcast: one key shuffle, no join); q_stream_upsert exercises the
+    // default BROADCAST strategy per micro-batch. The oracle states the set
+    // algebra directly. Exact-decimal prices; one final double cast.
     "q_merge_upsert" -> QueryDef.sql("""
       WITH base AS (
         SELECT o_orderkey, o_orderstatus,
@@ -1277,7 +1278,8 @@ object Relational {
         .unionByName(o.filter(col("o_orderkey") % 4 === 2)
           .select(col("o_orderkey"), lit("D").as("op"), col("o_orderstatus"),
             lit(null).cast("decimal(30,2)").as("price")))
-      graft.operators.MergeInto(base, changes, "o_orderkey")
+      graft.operators.MergeInto(base, changes, "o_orderkey",
+          broadcastChanges = false)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("price").cast("double").as("price"))
         .orderBy("o_orderkey")
