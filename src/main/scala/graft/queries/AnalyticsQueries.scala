@@ -471,6 +471,45 @@ object AnalyticsQueries {
         .orderBy("user_id", "valid_from", "change_event_id")
     },
 
+    // ----- extension: POINT-IN-TIME SNAPSHOT — reconstruct every user's
+    // state as of an instant T from the SCD2 validity history (q_scd2's
+    // plan): the time-travel read that makes a change history useful. T is
+    // data-derived (midpoint of the event time range — integer arithmetic,
+    // engine-exact) and broadcast as a one-row scalar frame; the interval
+    // probe is a filter, not a join, so the snapshot costs one window pass
+    // + one broadcast. At 100 TB the SCD2 table is the persisted artifact
+    // and this query is a filter over it.
+    "q_asof_snapshot" -> QueryDef.sql("""
+      WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+      t AS (SELECT CAST((MIN(us) + MAX(us)) // 2 AS BIGINT) AS t0 FROM e),
+      c AS (SELECT user_id, event_type, event_id, us,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM e),
+      ch AS (SELECT user_id, event_type, event_id, us FROM c
+             WHERE prev IS NULL OR event_type <> prev),
+      v AS (SELECT user_id, event_type, event_id AS change_event_id, us AS valid_from,
+                   LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS vt
+            FROM ch)
+      SELECT v.user_id, v.event_type, v.change_event_id, v.valid_from
+      FROM v CROSS JOIN t
+      WHERE v.valid_from <= t.t0 AND (v.vt IS NULL OR v.vt > t.t0)
+      ORDER BY v.user_id""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val t0 = e.agg(((min("us") + max("us")) / 2).cast("long").as("t0"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      e.withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .withColumn("vt", lead("us", 1).over(w))
+        .crossJoin(broadcast(t0))
+        .filter(col("us") <= col("t0") &&
+          (col("vt").isNull || col("vt") > col("t0")))
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("change_event_id"), col("us").as("valid_from"))
+        .orderBy("user_id")
+    },
+
     // ----- extension: RETRIEVAL EVAL HARNESS — rank-quality metrics for the
     // lexical retrieval stack (first relevant rank = the integer core of MRR,
     // hits@10 = precision@10 numerator, per query): ranking is tf-desc with

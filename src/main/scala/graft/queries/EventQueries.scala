@@ -677,6 +677,54 @@ object EventQueries {
         .orderBy("user_id", "bucket")
     },
 
+    // ----- extension: INTERVAL UNION / coverage — each event opens a 5-min
+    // activity interval [sec, sec+300); per user, overlapping intervals merge
+    // into islands and the query reports island count and total covered
+    // seconds (the "how much wall-clock was this key active" measure — ad
+    // exposure, sensor uptime, session coverage). The sweep is two per-key
+    // window passes (running max of interval end detects island starts, a
+    // running sum numbers them) + one aggregation: integer seconds end to
+    // end, work O(events per key), never an interval self-join.
+    "q_interval_union" -> QueryDef.sql("""
+      WITH iv AS (SELECT user_id, event_id,
+                         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                         CAST(FLOOR(epoch(ts)) + 300 AS BIGINT) AS e
+                  FROM events),
+      m AS (SELECT user_id, event_id, s, e,
+                   MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+            FROM iv),
+      g AS (SELECT user_id, s, e,
+                   CAST(SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+            FROM m),
+      isl AS (SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
+              FROM g GROUP BY user_id, island)
+      SELECT user_id, COUNT(*) AS n_islands,
+             CAST(SUM(i_end - i_start) AS BIGINT) AS covered_s
+      FROM isl GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      val byKey = Window.partitionBy("user_id").orderBy("s", "event_id")
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("s"),
+          (unix_timestamp(col("ts")) + 300).as("e"))
+      iv
+        .withColumn("maxe",
+          max("e").over(byKey.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("island",
+          sum(when(col("maxe").isNull || col("s") > col("maxe"), 1L)
+            .otherwise(0L))
+            .over(byKey.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min("s").as("i_start"), max("e").as("i_end"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_end") - col("i_start")).as("covered_s"))
+        .orderBy("user_id")
+    },
+
     // ----- extension: incremental aggregate maintenance — merge a standing
     // partial-aggregate state (70% of the feed, already reduced to
     // per-(user, type) n/total) with a newly arrived raw slice (the other
