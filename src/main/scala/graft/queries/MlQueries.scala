@@ -215,6 +215,57 @@ object MlQueries {
         .orderBy("d1", "d2")
     }.expectAtGate(93956L, "54071171296996192912380"),
 
+    // ----- M13 exact limit, ORACLE-CHECKED: threshold=0 makes DIMSUM keep
+    // every term with probability 1, so the estimator degenerates to exact
+    // cosine — the operator's first externally-verified row (q_dimsum's
+    // sampled path stays gate-pinned). Exact integer term-count vectors
+    // (deterministic vocab indices via sorted row_number) make the dot/norm
+    // sums integer-exact on both engines; ROUND to 3 decimals absorbs
+    // DIMSUM's ~1e-15 scaled-accumulation reordering. Corpus slice bounded
+    // (doc_id < 2000, all rows at the sf0.01 gate) because the ORACLE is the
+    // quadratic token equi-join — at 100 TB you run q_dimsum
+    // (threshold > 0: sampling bounds the shuffle), never the exact limit.
+    "q_dimsum_exact" -> QueryDef.sql("""
+      WITH tf AS (SELECT doc_id, token, COUNT(*) AS c FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+                    FROM documents WHERE doc_id < 2000)
+                  GROUP BY doc_id, token),
+      nrm AS (SELECT doc_id, SQRT(CAST(SUM(c*c) AS DOUBLE)) AS nrm FROM tf GROUP BY doc_id),
+      dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(SUM(a.c*b.c) AS DOUBLE) AS dot
+               FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+      SELECT d1, d2, ROUND(dot/(n1.nrm*n2.nrm) + 0.000000001, 3) AS cos_sim
+      FROM dots
+      JOIN nrm n1 ON d1 = n1.doc_id
+      JOIN nrm n2 ON d2 = n2.doc_id
+      WHERE dot/(n1.nrm*n2.nrm) >= 0.34995
+      ORDER BY d1, d2""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d).filter(col("doc_id") < 2000)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      val vocab = tf.select("token").distinct()
+        .withColumn("tidx", row_number().over(Window.orderBy("token")) - 1)
+      val dim = vocab.count().toInt // bounded driver scalar (verification scale)
+      val toVec = udf((entries: Seq[org.apache.spark.sql.Row]) => {
+        val sorted = entries
+          .map(r => (r.getInt(0), r.getLong(1).toDouble)).sortBy(_._1)
+        org.apache.spark.ml.linalg.Vectors.sparse(dim,
+          sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+      })
+      val assembled = tf.join(broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("tidx"), col("c"))).as("entries"))
+        .select(col("doc_id"), toVec(col("entries")).as("features"))
+      Dimsum.docSimilarities(assembled, "doc_id", "features", threshold = 0.0)
+        .filter(col("cos_sim") >= 0.34995)
+        .select(col("d1"), col("d2"),
+          round(col("cos_sim") + lit(1e-9), 3).as("cos_sim"))
+        .orderBy("d1", "d2")
+    },
+
     // ----- extension: MinHash banded-LSH near-dup detection (pure columns).
     // Oracle = EXACT all-pairs shingle-set Jaccard: valid because banding has
     // ~100% recall at the thresholds the data exercises (near-dups here are

@@ -705,15 +705,30 @@ object Relational {
     },
 
     // ----- extension: sketch cardinality — HLL++ approx distinct per key.
-    // No SQL oracle (DuckDB's HLL differs); rows-only + error-band spec in
-    // SketchesSpec.
-    "q_approx_distinct" -> QueryDef.rowsOnly { (s, d) =>
+    // DuckDB's HLL is a different sketch, so the estimate itself cannot be
+    // oracle-matched — instead the gate is ERROR-CERTIFIED: Spark computes
+    // both the HLL++ estimate and the exact count and emits a within_bound
+    // flag (|approx−exact| ≤ 3·rsd·exact); the oracle emits the exact counts
+    // with a literal TRUE. A sketch drifting outside its advertised error
+    // band flips the flag and the hash goes red — a strictly stronger check
+    // than the old rows-only pin. (The estimate-vs-rsd distribution is
+    // additionally spec-covered in SketchesSpec.)
+    "q_approx_distinct" -> QueryDef.sql("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS n_users_exact,
+             COUNT(*) AS n_events,
+             TRUE AS within_bound
+      FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          count_distinct(col("user_id")).as("n_users_exact"),
           count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("n_users_exact"), col("n_events"),
+          (abs(col("approx") - col("n_users_exact")) <=
+            lit(3 * 0.02) * col("n_users_exact")).as("within_bound"))
         .orderBy("event_type")
-    }.expectAtGate(5L, "2739258601448585293"),
+    },
 
     // ----- extension: HLL SKETCH MAINTENANCE — the mergeable-state form of
     // distinct counting: per-slice Datasketches HLL sketches (8 slices
