@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  private val P = (1L << 31) - 1 // Mersenne prime 2^31-1
+  /** Signature hash modulus (Mersenne prime 2^31-1) — public so the
+    * q_minhash_sig oracle replays the affine family with the same constant. */
+  val P: Long = (1L << 31) - 1
 
   final case class Config(
       idCol: String = "doc_id",

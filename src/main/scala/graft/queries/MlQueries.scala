@@ -8,7 +8,7 @@ import graft.io.Tables
 import graft.linalg.Dimsum
 import graft.lsh.LshJoins
 import graft.similarity.Kernels
-import graft.text.{FeatureConfig, FeaturePipeline}
+import graft.text.{FeatureConfig, FeaturePipeline, TextOps}
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,6 +28,16 @@ object MlQueries {
       .map(w => "'" + w.replace("'", "''") + "'").mkString(",")
 
   private val tfidfCfg = FeatureConfig(numTextFeatures = 1024)
+
+  /** The affine MinHash coefficient table as SQL VALUES rows, generated from
+    * the SAME [[MinHashDedup.coefficients]] the engine kernel uses — the
+    * oracle then recomputes every signature slot independently (shingle →
+    * md5 hash → min over (a·h+b) mod P), so a drifted kernel, shingle
+    * construction, or sentinel rule turns q_minhash_sig red. */
+  private[queries] lazy val minhashCoefSqlValues: String = {
+    val (as, bs) = MinHashDedup.coefficients(16)
+    as.indices.map(k => s"(${k}, ${as(k)}, ${bs(k)})").mkString(", ")
+  }
 
   private val featCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -379,6 +389,42 @@ object MlQueries {
       SimHash.nearDupPairs(spread(Tables.documents(s, d)),
         SimHash.Config(maxHammingDistance = 3, tokenHash = SimHash.md5Hash60))
         .orderBy("d1", "d2")
+    },
+
+    // ----- M11 signature-level gate: the MinHashSignature codegen kernel's
+    // OUTPUT replayed slot-for-slot in SQL. Gate variant hashes shingles
+    // with md5 (engine: SimHash.md5Hash60 mod P; oracle: the same 60-bit
+    // md5 prefix mod P) and the oracle recomputes min((a_k·h+b_k) mod P)
+    // per slot from the interpolated coefficient table — this checks the
+    // signatures THEMSELVES, where the dedup gates (q_minhash_dedup et al.)
+    // only check end-to-end pair recall. Shingle-less docs (< 3 tokens) pin
+    // the all-P sentinel on both sides. The xxhash64 family stays the scale
+    // path (DuckDB cannot replay Spark's xxhash64) — same split as
+    // q_simhash_dedup's md5 gate vs xxhash64 default.
+    "q_minhash_sig" -> QueryDef.sql(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' ')),
+                 g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483647))) AS h
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+              FROM documents)),
+      coef(k, a, b) AS (VALUES ${MlQueries.minhashCoefSqlValues}),
+      m AS (SELECT s.doc_id, c.k, MIN((c.a * s.h + c.b) % 2147483647) AS sig_v
+            FROM sh s CROSS JOIN coef c GROUP BY s.doc_id, c.k)
+      SELECT d.doc_id AS doc_id, CAST(c.k AS INTEGER) AS k,
+             COALESCE(m.sig_v, 2147483647) AS sig_v
+      FROM documents d
+      CROSS JOIN coef c
+      LEFT JOIN m ON m.doc_id = d.doc_id AND m.k = c.k
+      ORDER BY d.doc_id, c.k""") { (s, d) =>
+      val shingles = array_distinct(transform(
+        TextOps.ngrams(TextOps.tokens(col("text")), 3),
+        g => pmod(SimHash.md5Hash60(g), lit(MinHashDedup.P))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), MinHashDedup.signature(shingles, 16).as("sig"))
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "sig_v")))
+        .orderBy("doc_id", "k")
     },
 
     // ----- J2 full form: blocked candidate pairs on a clustered corpus
