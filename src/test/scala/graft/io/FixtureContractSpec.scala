@@ -50,6 +50,24 @@ class FixtureContractSpec extends SparkSpec {
     assert(mn == usInstant, s"nanos not re-derived: $mn vs $usInstant")
   }
 
+  test("TPC-H timestamp columns land in a plausible epoch range at load") {
+    // the same drift class events.ts hit: if the generator flips
+    // o_orderdate / l_shipdate encodings, the normalized values must still
+    // be sane instants (nanos-as-Long misread as micros would be 1970)
+    // TPC-H business dates live in the spec's 1992-1998 window, not the
+    // events table's wall-clock range
+    val tlo = java.sql.Timestamp.valueOf("1990-01-01 00:00:00").getTime
+    val thi = java.sql.Timestamp.valueOf("2010-01-01 00:00:00").getTime
+    for ((table, c) <- Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")) {
+      val df = Tables.load(spark, sfDir, table)
+      val (mn, mx) = df.agg(min(col(c)).cast("timestamp").cast("long") * 1000L,
+          max(col(c)).cast("timestamp").cast("long") * 1000L)
+        .as[(Long, Long)].head()
+      assert(mn >= tlo && mx <= thi,
+        s"$table.$c range [$mn, $mx] ms outside plausible [$tlo, $thi]")
+    }
+  }
+
   test("streaming events reader: same schema, same rows, same instants as batch") {
     val batch = Tables.events(spark, sfDir)
     val streamed = Streaming.replayToTable(
