@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
 /** ML-surface operators (SURVEY §2.9, M1-M13) on the `documents` corpus (the
   * bills-table stand-in) — feature extraction, clustering/topics/LSA blocking,
   * LSH joins, DIMSUM, MinHash/SimHash dedup, and the flagship end-to-end
-  * bill-match pipeline. Seeds fixed; oracle is rows-only (DuckDB has no ML
-  * analogue) — semantic checks live in the ScalaTest suites.
+  * bill-match pipeline. Seeds fixed. ML fits are rows-only + gate-pinned
+  * (DuckDB has no ML analogue; semantic checks live in the ScalaTest
+  * suites), but every sketch family also carries an externally-replayable
+  * gate: exact-Jaccard oracles for the dedup joins, md5 signature replay
+  * for SimHash (q_simhash_dedup) and MinHash (q_minhash_sig), and DIMSUM's
+  * exact threshold-0 limit (q_dimsum_exact).
   */
 object MlQueries {
 
