@@ -71,6 +71,55 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- extension: the FULL CorpusBuild composition oracle-checked end to
+    // end — quality gate → exact dedup (min-id survivor) → banded-LSH
+    // near-dup dedup (greedy smaller-id survivor) → 4-gram decontamination
+    // against the raw eval slice → deterministic md5 split → per-(split,
+    // lang) budget report, replayed stage-for-stage in DuckDB. The near-dup
+    // stage's oracle is EXACT all-pairs 5-gram-shingle Jaccard ≥ 80 — valid
+    // for the same reason as q_minhash_dedup (the corpus's near-dups sit at
+    // jac ≈ 90+, where 16-band/4-row recall misses < 1e-7 per pair; verified
+    // to match at gate scale before shipping). The quadratic oracle is
+    // gate-scale-only; the ENGINE path stays banded/bucketed at any scale.
+    "q_corpus_build" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, lang, text,
+                        list_filter(string_split(text,' '), x -> x <> '') AS toks
+                 FROM documents),
+      tt AS (SELECT doc_id, lang, text, toks, len(toks) AS n_tok FROM t),
+      g AS (SELECT * FROM tt WHERE n_tok BETWEEN 10 AND 1000),
+      e AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM g),
+      ex AS (SELECT doc_id, lang, toks, n_tok FROM e WHERE rn = 1),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS s
+             FROM ex),
+      dup AS (SELECT DISTINCT b.doc_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) * 100.0
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 80.0),
+      nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      bench AS (SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+3], ' '))) AS g4
+                FROM tt WHERE doc_id % 11 = 0),
+      g4s AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+3], ' '))) AS g4
+              FROM nd WHERE doc_id % 11 <> 0),
+      bad AS (SELECT DISTINCT doc_id FROM g4s WHERE g4 IN (SELECT g4 FROM bench)),
+      s AS (SELECT lang, n_tok,
+                   CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT lang, n_tok,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 10 AS b
+                  FROM nd
+                  WHERE doc_id % 11 <> 0
+                    AND doc_id NOT IN (SELECT doc_id FROM bad)))
+      SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM s GROUP BY split, lang ORDER BY split, lang""") { (s, d) =>
+      graft.CorpusBuild.build(s, d)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("split", "lang")
+    },
+
     // ----- extension: deterministic weighted sampling — a hash race: each row
     // gets priority u/w (u = 48-bit md5 of the key, w = weight), k smallest
     // win. Weight-monotone selection (heavier rows win more often) that any
