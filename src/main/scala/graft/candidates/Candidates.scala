@@ -92,6 +92,71 @@ object Candidates {
       .select(ac(cfg.keyCol).as("pk1"), bc(cfg.keyCol).as("pk2"))
   }
 
+  /** [[pairs]] with a QUADRATIC-BLOWUP GUARD for oversized blocks — the
+    * reference's documented scale cliff (one 27 800-doc k-means cluster ⇒
+    * 3.9e8 pairs, docs/tuning_kmeans.md:130,182; AQE splits the hot tasks
+    * but cannot reduce the pair COUNT, which is inherent to all-pairs).
+    *
+    * Blocks with ≤ `maxBlockSize` rows run the exact all-pairs join
+    * unchanged. Oversized blocks switch to banded MinHash LSH over each
+    * row's feature SUPPORT (nonzero indices): signatures are a narrow
+    * per-row map, the bucket key (block, band, bandhash) is the join's
+    * equi-key, and the pair count collapses from n² to bucket-local —
+    * retaining pairs with high support overlap, which is exactly the set a
+    * downstream cosine/jaccard top-K can score highly (disjoint supports ⇒
+    * similarity 0). Recall for support-Jaccard s is 1-(1-s^r)^bands,
+    * r = numHashes/bands — ≥ 0.998 at s ≥ 0.8 with the defaults.
+    *
+    * The cap is a per-block PAIR budget in disguise (n² vs n·bucket): at
+    * 100 TB this bounds the worst block's work without giving up the exact
+    * path where it is affordable. Both branches share one scan of `df`. */
+  def pairsWithBudget(df: DataFrame, cfg: CandidateConfig, featuresCol: String,
+                      maxBlockSize: Long, numHashes: Int = 32,
+                      bands: Int = 16): DataFrame = {
+    val blockC = cfg.blockCol.getOrElse(
+      throw new IllegalArgumentException("pairsWithBudget requires blockCol"))
+    val base = (cfg.includeKeys, cfg.excludeKeys) match {
+      case (Some(keys), _) => df.filter(col(cfg.keyCol).isin(keys: _*))
+      case (_, Some(keys)) => df.filter(!col(cfg.keyCol).isin(keys: _*))
+      case _ => df
+    }
+    val sizes = base.groupBy(col(blockC)).agg(count(lit(1)).as("__bn"))
+    val tagged = base.join(sizes, blockC) // small agg side: AQE broadcasts it
+
+    val exact = pairs(tagged.filter(col("__bn") <= maxBlockSize).drop("__bn"), cfg)
+
+    val big = tagged.filter(col("__bn") > maxBlockSize).drop("__bn")
+    val support = udf((v: org.apache.spark.ml.linalg.Vector) =>
+      v.toSparse.indices.map(_.toLong))
+    val cols = Seq(cfg.keyCol, cfg.groupCol, blockC) ++ cfg.lengthCol
+    val sketched = big
+      .select((cols.distinct.map(col) :+
+        graft.dedup.MinHashDedup.signature(
+          support(col(featuresCol)), numHashes).as("__sig")): _*)
+      .select((cols.distinct.map(col) :+
+        explode(graft.dedup.MinHashDedup.bandHashes(
+          col("__sig"), bands, numHashes)).as("__b")): _*)
+      .select((cols.distinct.map(col) :+
+        col("__b.band").as("__band")) :+ col("__b.bh").as("__bh"): _*)
+    val a = sketched.alias("a")
+    val b = sketched.alias("b")
+    def ac(c: String) = col(s"a.$c")
+    def bc(c: String) = col(s"b.$c")
+    val lengthCond: Column = cfg.lengthCol.map { c =>
+      abs(ac(c) - bc(c)) / sqrt(ac(c).cast("double") * bc(c)) < cfg.maxLengthRatio
+    }.getOrElse(lit(true))
+    val lshPairs = a.join(b,
+        (ac(blockC) === bc(blockC)) &&
+        (ac("__band") === bc("__band")) && (ac("__bh") === bc("__bh")) &&
+        (ac(cfg.keyCol) < bc(cfg.keyCol)) &&
+        (ac(cfg.groupCol) =!= bc(cfg.groupCol)) &&
+        lengthCond)
+      .select(ac(cfg.keyCol).as("pk1"), bc(cfg.keyCol).as("pk2"))
+      .dropDuplicates("pk1", "pk2")
+
+    exact.unionByName(lshPairs)
+  }
+
   /** J1: attach a payload column (e.g. features) to both sides of each pair —
     * the reference's twoSidedJoin (Utils.scala:251-260) as two equi-joins;
     * Catalyst broadcasts `payload` when it is small enough. */

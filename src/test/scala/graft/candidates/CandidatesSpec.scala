@@ -87,4 +87,42 @@ class CandidatesSpec extends SparkSpec {
     assert(got(("a", "b")) == (1000L, 1100L))
     assert(got(("c", "f")) == (5000L, 1050L))
   }
+
+  // ---- pairsWithBudget: quadratic-blowup guard for oversized blocks ----
+
+  private lazy val vdocs = {
+    import org.apache.spark.ml.linalg.Vectors
+    def sv(ix: Int*) = Vectors.sparse(60, ix.toArray, Array.fill(ix.length)(1.0))
+    Seq(
+      // block 0: 5 docs (oversized under cap 4)
+      ("g1", "FL", 0, sv(1, 2, 3, 4, 5)),   // identical support pair ...
+      ("g2", "SC", 0, sv(1, 2, 3, 4, 5)),   // ... must survive the LSH path
+      ("h1", "FL", 0, sv(10, 11, 12)),      // pairwise-disjoint supports:
+      ("h2", "SC", 0, sv(20, 21, 22)),      // zero-similarity pairs the
+      ("h3", "MI", 0, sv(30, 31, 32)),      // budget is allowed to drop
+      // block 1: 2 docs (exact path)
+      ("s1", "FL", 1, sv(1, 2)),
+      ("s2", "SC", 1, sv(3, 4))
+    ).toDF("pk", "state", "prediction", "features")
+  }
+
+  test("pairsWithBudget: cap above every block size reproduces pairs() exactly") {
+    val exact = Candidates.pairs(vdocs, base).as[(String, String)].collect().toSet
+    val got = Candidates.pairsWithBudget(vdocs, base, "features", maxBlockSize = 100)
+      .as[(String, String)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("pairsWithBudget: oversized block switches to LSH, keeps identical-support pairs") {
+    val exact = Candidates.pairs(vdocs, base).as[(String, String)].collect().toSet
+    val got = Candidates.pairsWithBudget(vdocs, base, "features",
+        maxBlockSize = 4, numHashes = 64, bands = 8)
+      .as[(String, String)].collect().toSet
+    assert(got.subsetOf(exact), s"budget path invented pairs: ${got -- exact}")
+    assert(got.contains(("g1", "g2")), "identical-support pair dropped by LSH banding")
+    assert(got.contains(("s1", "s2")), "small block must keep the exact path")
+    val hPairs = got.filter { case (x, y) => x.startsWith("h") && y.startsWith("h") }
+    assert(hPairs.isEmpty, s"disjoint-support pairs should not bucket-collide: $hPairs")
+    assert(got.size < exact.size, "budget produced no reduction on the oversized block")
+  }
 }
