@@ -441,6 +441,23 @@ object MlQueries {
         .orderBy("pk1", "pk2")
     }.expectAtGate(9963L, "5765546440449434717339"),
 
+    // ----- J2 with the oversized-block quadratic guard: same candidate
+    // config as q_candidates but blocks past 40 rows switch to banded
+    // MinHash LSH over feature supports (Candidates.pairsWithBudget) — at
+    // sf0.01 the k-means blocks average ~60 docs, so the cap BINDS and the
+    // LSH path is exercised for real. Deterministic (md5 coefficients,
+    // seeded k-means fit); CandidatesSpec proves subset/retention
+    // semantics, the pin holds the gate output.
+    "q_candidates_budget" -> QueryDef.rowsOnly { (s, d) =>
+      val clustered = clustered8(s, d)
+      Candidates.pairsWithBudget(clustered, CandidateConfig(
+        keyCol = "doc_id", groupCol = "lang",
+        blockCol = Some("prediction"),
+        lengthCol = Some("n_chars"), maxLengthRatio = 0.26),
+        "features", maxBlockSize = 40)
+        .orderBy("pk1", "pk2")
+    }.expectAtGate(9590L, "5549586423280872182474"),
+
     // ----- flagship: the reference's workflow-1 end to end (features →
     // k-means blocking → candidate join → cosine kernel → global top-K),
     // ExtractCandidates + BillAnalyzer + Postprocessor in one declarative plan
