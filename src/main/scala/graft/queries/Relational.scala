@@ -757,6 +757,37 @@ object Relational {
         .orderBy("event_type")
     }.expectAtGate(5L, "2744656859061854039"),
 
+    // ----- extension: sketch point frequency — Count-Min (Cormode &
+    // Muthukrishnan 2005), the frequency analogue of the HLL cardinality
+    // gate. ERROR-CERTIFIED like q_approx_distinct: DuckDB cannot replay the
+    // sketch, so Spark emits, for the top-20 users by exact event count, the
+    // CMS guarantee's two sides — over_ok (the estimate never undercounts)
+    // and band_ok (overcount ≤ (e/width)·N) — probed from ONE broadcast
+    // 64 KB sketch with pure builtin Columns (functions.CountMin.estimate:
+    // bit-mix / element_at / least, no UDF on the probe path); the oracle
+    // emits the exact counts with literal TRUEs. The top-20 pick is
+    // TakeOrderedAndProject (orderBy+limit), not a global-window
+    // row_number — no single-partition sort at scale.
+    "q_cms_topk" -> QueryDef.sql("""
+      SELECT user_id, n_exact, TRUE AS over_ok, TRUE AS band_ok FROM (
+        SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+        ORDER BY n_exact DESC, user_id LIMIT 20)
+      ORDER BY user_id""") { (s, d) =>
+      import graft.functions.CountMin
+      val e = Tables.events(s, d)
+      val sk = e.agg(CountMin.countMin()(col("user_id")).as("sk"),
+        count(lit(1)).as("n_total"))
+      val est = CountMin.estimate(col("sk"), col("user_id"))
+      e.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+        .crossJoin(broadcast(sk))
+        .select(col("user_id"), col("n_exact"),
+          (est >= col("n_exact")).as("over_ok"),
+          (est <= col("n_exact") + CountMin.errorBound(col("n_total")))
+            .as("band_ok"))
+        .orderBy("user_id")
+    },
+
     // ----- extension: SKEW — salted shuffle join (operators.SkewOps). Same
     // result as the plain lineitem⋈orders join; the salt spreads any hot
     // orderkey over 8 shuffle partitions. merge hint keeps it shuffle-based
