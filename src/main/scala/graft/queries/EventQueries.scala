@@ -406,6 +406,43 @@ object EventQueries {
         .orderBy("segment")
     }.serial,
 
+    // ----- §2.13 STREAMING: sketch maintenance on a stream — the Count-Min
+    // frequency sketch (functions.CountMin) maintained INCREMENTALLY as
+    // complete-mode streaming-aggregation state (the 64 KB buffer IS the
+    // state row; each micro-batch folds in via the Aggregator's elementwise
+    // merge, so the streamed sketch equals the batch sketch EXACTLY). The
+    // final sketch is probed the same way as q_cms_topk: top-20 exact users
+    // with the certified over/band flags, oracle = exact counts + TRUEs.
+    // The 100 TB shape: a standing frequency sketch that ingest updates
+    // per micro-batch without ever re-scanning the corpus.
+    "q_stream_cms" -> QueryDef.sql("""
+      SELECT user_id, n_exact, TRUE AS over_ok, TRUE AS band_ok,
+             TRUE AS stream_exact FROM (
+        SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+        ORDER BY n_exact DESC, user_id LIMIT 20)
+      ORDER BY user_id""") { (s, d) =>
+      import graft.functions.CountMin
+      import graft.streaming.Streaming
+      val sk = Streaming.replayToTable(
+        Streaming.eventStream(s, d)
+          .agg(CountMin.countMin()(col("user_id")).as("sk"),
+            count(lit(1)).as("n_total")),
+        s"stream_cms_${System.nanoTime()}")
+      val skBatch = Tables.events(s, d)
+        .agg(CountMin.countMin()(col("user_id")).as("sk_batch"))
+      val est = CountMin.estimate(col("sk"), col("user_id"))
+      Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+        .crossJoin(broadcast(sk))
+        .crossJoin(broadcast(skBatch))
+        .select(col("user_id"), col("n_exact"),
+          (est >= col("n_exact")).as("over_ok"),
+          (est <= col("n_exact") + CountMin.errorBound(col("n_total")))
+            .as("band_ok"),
+          (col("sk") === col("sk_batch")).as("stream_exact"))
+        .orderBy("user_id")
+    }.serial,
+
     // ----- §2.13 STREAMING: UNION of two independent streaming sources (the
     // click feed and the error feed read as separate readStreams) merged into
     // one complete-mode aggregation. Oracle: UNION ALL of the same slices.
