@@ -85,6 +85,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q_skyline plans a cartesian product")
   }
 
+  /** The CMS gate's scale contract: top-20 via per-partition heap (never a
+    * global-window sort), the sketch built with map-side partials (two
+    * ObjectHashAggregate levels — one 64 KB buffer per partition shuffles),
+    * and the probe against a broadcast sketch. */
+  test("q_cms_topk: TakeOrdered top-K, partial sketch agg, broadcast probe") {
+    val p = planOf("q_cms_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"q_cms_topk lost the top-K heap plan:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"q_cms_topk sketch lacks map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastExchange"), s"q_cms_topk sketch probe not broadcast:\n$p")
+  }
+
   /** Filter + projection must reach the parquet scan (pushdown/pruning). */
   test("filter pushdown and column pruning reach the scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, dir)
