@@ -1,9 +1,9 @@
 package graft.lsh
 
 import graft.similarity.Kernels
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH, MinHashLSHModel}
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-similarity self-joins on stock Spark ML LSH estimators
@@ -40,6 +40,15 @@ object LshJoins {
       .setInputCol(featuresCol).setOutputCol("__hashes")
       .setNumHashTables(numTables).setSeed(seed)
       .fit(nonEmpty)
+    selfJoinWithModel(model, nonEmpty, idCol, featuresCol, threshold)
+  }
+
+  /** The join body shared by the fit-inline path and the persisted-index
+    * path: stock approxSimilarityJoin for candidates, asymmetric distance
+    * recomputed post-join (see object doc). */
+  private def selfJoinWithModel(model: MinHashLSHModel, nonEmpty: DataFrame,
+                                idCol: String, featuresCol: String,
+                                threshold: Double): DataFrame = {
     val joined = model.approxSimilarityJoin(nonEmpty, nonEmpty, threshold, "jaccard_dist")
     val asym = udf { (x: Vector, y: Vector) =>
       1.0 - math.max(Kernels.leftJaccard(x, y), Kernels.rightJaccard(x, y)) / 100.0
@@ -52,6 +61,54 @@ object LshJoins {
         col("jaccard_dist"),
         asym(col(s"datasetA.$featuresCol"), col(s"datasetB.$featuresCol"))
           .as("asym_jaccard_dist"))
+  }
+
+  /** Persistable workflow-2 index: the fitted MinHashLSH model plus the join
+    * config. The reference serialized its forked model's hash coefficients
+    * and params through a custom writer (CustomizedMinHashLSH.scala:154-183);
+    * here the model is the STOCK estimator — Spark ML persistence covers the
+    * coefficients — and the engine-side config (the candidate threshold the
+    * asym recompute runs at) rides a sidecar JSON in the same directory, so
+    * one path round-trips the whole index between runs. */
+  final case class MinHashIndex(model: MinHashLSHModel, threshold: Double) {
+    /** Approx self-join using the PERSISTED hash functions — identical
+      * output to [[minHashSelfJoin]] fit with the same params. */
+    def selfJoin(df: DataFrame, idCol: String, featuresCol: String): DataFrame =
+      selfJoinWithModel(model, df.filter(nnz(col(featuresCol)) > 0),
+        idCol, featuresCol, threshold)
+  }
+
+  def fitMinHashIndex(df: DataFrame, featuresCol: String, threshold: Double,
+                      numTables: Int = 16, seed: Long = 12345L): MinHashIndex = {
+    val nonEmpty = df.filter(nnz(col(featuresCol)) > 0)
+    val model = new MinHashLSH()
+      .setInputCol(featuresCol).setOutputCol("__hashes")
+      .setNumHashTables(numTables).setSeed(seed)
+      .fit(nonEmpty)
+    MinHashIndex(model, threshold)
+  }
+
+  /** Hadoop-FS paths (local, HDFS, object stores) — same reach as Spark ML's
+    * own writers, so the sidecar lands next to the model on any cluster. */
+  def saveMinHashIndex(index: MinHashIndex, path: String): Unit = {
+    index.model.write.overwrite().save(s"$path/model")
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$path/config.json")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(s"""{"threshold":${index.threshold}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def loadMinHashIndex(spark: SparkSession, path: String): MinHashIndex = {
+    val model = MinHashLSHModel.load(s"$path/model")
+    val p = new org.apache.hadoop.fs.Path(s"$path/config.json")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val thr = """"threshold"\s*:\s*([0-9.Ee+\-]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble)
+      .getOrElse(sys.error(s"no threshold in $path/config.json"))
+    MinHashIndex(model, thr)
   }
 
   /** Bucketed random-projection (Euclidean) LSH self-join (reference
@@ -104,16 +161,29 @@ object LshJoins {
     * Either subset then gets exact-Jaccard top-k (true-distance sort+limit).
     * Scale note: phase 1 is a hash-pruned scan; phase 2 scans hash signatures
     * only (numTables ints/row, not the feature vectors) — the same full-scan
-    * degrade the reference accepts when buckets run dry. */
+    * degrade the reference accepts when buckets run dry.
+    *
+    * `exhaustive = true` is the EXACT limit: skip both pruning phases and
+    * score every row — the full-scan degrade made unconditional. Same
+    * distance kernel, sort and tie-break as the approximate path, so it is
+    * both the brute-force Jaccard-kNN baseline and the oracle-checkable twin
+    * of the two-phase search (the role q_dimsum_exact plays for DIMSUM). */
   def minHashKnn(df: DataFrame, idCol: String, featuresCol: String,
                  probe: Vector, k: Int, numTables: Int = 16,
-                 seed: Long = 12345L): DataFrame = {
+                 seed: Long = 12345L, exhaustive: Boolean = false): DataFrame = {
     val nonEmpty = df.filter(nnz(col(featuresCol)) > 0)
     // an empty-set probe has no neighbors under Jaccard — and would trip
     // MinHashLSH's nonzero requirement
     if (probe.numNonzeros == 0)
       return df.filter(lit(false))
         .select(col(idCol), lit(null).cast("double").as("jaccard_dist"))
+    if (exhaustive) {
+      val dist = udf((v: Vector) => jaccardDistance(v, probe))
+      return nonEmpty.withColumn("jaccard_dist", dist(col(featuresCol)))
+        .sort(col("jaccard_dist"), col(idCol))
+        .limit(k)
+        .select(col(idCol), col("jaccard_dist"))
+    }
     val model = new MinHashLSH()
       .setInputCol(featuresCol).setOutputCol("__hashes")
       .setNumHashTables(numTables).setSeed(seed)

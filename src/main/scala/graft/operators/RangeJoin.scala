@@ -29,12 +29,23 @@ object RangeJoin {
     *                   interval semantics are half-open `[start, end)`
     * @param binSeconds quantization width — choose ≈ the typical interval
     *                   length so each interval lands in O(1) bins
+    * @param keys       equi-columns present on BOTH sides (e.g. the entity
+    *                   id): they join the shuffle key, so candidates are
+    *                   (key, bin)-local instead of bin-local. This is the
+    *                   production form at scale — an unkeyed range join over
+    *                   N co-temporal intervals is pair-dense by construction
+    *                   (output itself is Ω(N²) per bin), while the keyed form
+    *                   scales like an as-of join: per-key interval counts are
+    *                   bounded, so candidates grow linearly and a hot BIN no
+    *                   longer concentrates on one task. Emitted once each
+    *                   (left copy), like a Seq-style equi-join.
     * @return inner-join result carrying all columns of both inputs (callers
     *         should pre-alias collisions)
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       ptCol: String, startCol: String, endCol: String,
-                      binSeconds: Long = 3600L): DataFrame = {
+                      binSeconds: Long = 3600L,
+                      keys: Seq[String] = Nil): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
     // bin arithmetic in MICROSECONDS (timestamp native precision): with
     // second-granularity floor, an end like ...:00.5 on a bin boundary would
@@ -48,9 +59,12 @@ object RangeJoin {
       explode(sequence(
         floor(unix_micros(col(startCol)) / bin),
         floor((unix_micros(col(endCol)) - 1) / bin))))
-    p.join(i, p("__bin") === i("__bin") &&
-        col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
-      .drop("__bin")
+    val cond = keys.foldLeft(
+      p("__bin") === i("__bin") &&
+        col(ptCol) >= col(startCol) && col(ptCol) < col(endCol)) {
+      (c, k) => c && p(k) === i(k)
+    }
+    keys.foldLeft(p.join(i, cond))((df, k) => df.drop(i(k))).drop("__bin")
   }
 
   /** Interval-overlap join: pair every left interval `[lStart, lEnd)` with
@@ -65,9 +79,12 @@ object RangeJoin {
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lStart: String, lEnd: String,
                       rStart: String, rEnd: String,
-                      binSeconds: Long = 3600L): DataFrame = {
+                      binSeconds: Long = 3600L,
+                      keys: Seq[String] = Nil): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
-    // microsecond bins, same reasoning as pointInInterval
+    // microsecond bins, same reasoning as pointInInterval; `keys` as there —
+    // equi-columns on both sides join the (key, bin) shuffle key and are
+    // emitted once (left copy)
     val bin = lit(binSeconds * 1000000L)
     def explodeBins(df: DataFrame, s: String, e: String) =
       df.withColumn("__bin", explode(sequence(
@@ -75,9 +92,12 @@ object RangeJoin {
         floor((unix_micros(col(e)) - 1) / bin))))
     val l = explodeBins(left, lStart, lEnd)
     val r = explodeBins(right, rStart, rEnd)
-    l.join(r, l("__bin") === r("__bin") &&
+    val cond = keys.foldLeft(
+      l("__bin") === r("__bin") &&
         col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
-        l("__bin") === floor(unix_micros(greatest(col(lStart), col(rStart))) / bin))
-      .drop("__bin")
+        l("__bin") === floor(unix_micros(greatest(col(lStart), col(rStart))) / bin)) {
+      (c, k) => c && l(k) === r(k)
+    }
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k))).drop("__bin")
   }
 }

@@ -226,6 +226,40 @@ object EventQueries {
         .orderBy("win_id")
     },
 
+    // ----- KEYED range join — the production form at scale: the entity key
+    // joins the (key, bin) shuffle key, so candidates are per-user instead of
+    // per-bin and a hot time bin no longer concentrates on one task (the
+    // unkeyed q_range_join is pair-dense by construction — its OUTPUT grows
+    // quadratically with co-temporal intervals; keyed, candidate growth is
+    // linear like q_asof_join). Same window shape as q_range_join but only
+    // the user's OWN clicks land in their purchase windows.
+    "q_range_join_keyed" -> QueryDef.sql("""
+      WITH w AS (SELECT user_id, event_id AS win_id, ts AS start_ts,
+                        ts + INTERVAL 1 HOUR AS end_ts
+                 FROM events WHERE event_type = 'purchase'),
+           p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+      SELECT w.win_id, COUNT(*) AS n_clicks,
+             CAST(SUM(CAST(p.value AS DECIMAL(30,2))) AS DOUBLE) AS click_value
+      FROM p JOIN w ON p.user_id = w.user_id
+                   AND p.ts >= w.start_ts AND p.ts < w.end_ts
+      GROUP BY w.win_id ORDER BY w.win_id""") { (s, d) =>
+      import graft.operators.RangeJoin
+      val ev = Tables.events(s, d)
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("win_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      RangeJoin.pointInInterval(clicks, windows, "ts", "start_ts", "end_ts",
+          keys = Seq("user_id"))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("value").cast("decimal(30,2)")).cast("double")
+            .as("click_value"))
+        .orderBy("win_id")
+    },
+
     // ----- extension: RANGE-frame window — per-user moving 1-hour sum/count
     // over event time (frame = value range, not row count; the two differ
     // whenever timestamps are irregular). Seconds-typed ordering keeps the

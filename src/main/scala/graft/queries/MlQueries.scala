@@ -222,6 +222,45 @@ object MlQueries {
         .orderBy("jaccard_dist", "doc_id")
     }.expectAtGate(25L, "16415262962297745791"),
 
+    // ----- J4 exact limit, ORACLE-CHECKED (the q_dimsum_exact pattern):
+    // minHashKnn's `exhaustive` mode — its full-scan degrade made
+    // unconditional — is brute-force Jaccard kNN through the SAME distance
+    // kernel, sort and tie-break as the two-phase search. CountVectorizer
+    // features map distinct (cleaned, stopword-filtered) tokens injectively
+    // to vector indices, so index-set Jaccard == token-set Jaccard and DuckDB
+    // replays it with list_intersect over the identical tokenization
+    // (q_count_vectorized's contract). Probe = doc 0's own feature vector
+    // (appears at distance 0 — in-corpus probe, deterministic). Divisions are
+    // exact-int ratios, so raw distances match bit-for-bit; ROUND(6) only
+    // normalizes presentation.
+    "q_knn_exact" -> QueryDef.sql(s"""
+      WITH tok AS (SELECT doc_id, list_filter(list_distinct(
+                     regexp_split_to_array(
+                       regexp_replace(regexp_replace(lower(text), '(\\d|,|:|;|\\?|!)', '', 'g'),
+                                      '\\b\\w{1,2}\\b', '', 'g'), '\\W')),
+                   x -> x <> '' AND x NOT IN (${MlQueries.stopwordSqlList})) AS ts
+                   FROM documents),
+      q AS (SELECT ts AS qs FROM tok WHERE doc_id = 0),
+      s AS (SELECT doc_id,
+                   CAST(len(list_intersect(ts, qs)) AS DOUBLE) AS inter,
+                   CAST(len(ts) + len(qs) - len(list_intersect(ts, qs)) AS DOUBLE) AS uni
+            FROM tok CROSS JOIN q WHERE len(ts) > 0),
+      d AS (SELECT doc_id, 1.0 - inter/uni AS raw FROM s
+            ORDER BY raw, doc_id LIMIT 25)
+      SELECT doc_id, ROUND(raw, 6) AS jaccard_dist FROM d
+      ORDER BY jaccard_dist, doc_id""") { (s, d) =>
+      val cfg = FeatureConfig(useCountVectorizer = true, vocabLimit = 1 << 18,
+        useIdf = false)
+      val feats = FeaturePipeline.features(spread(Tables.documents(s, d)), cfg)
+        .select("doc_id", "features")
+      val probe: Vector =
+        feats.filter(col("doc_id") === 0).head.getAs[Vector]("features")
+      LshJoins.minHashKnn(feats, "doc_id", "features", probe, k = 25,
+          exhaustive = true)
+        .select(col("doc_id"), round(col("jaccard_dist"), 6).as("jaccard_dist"))
+        .orderBy("jaccard_dist", "doc_id")
+    },
+
     // ----- M13/J10: DIMSUM sampled cosine all-pairs
     "q_dimsum" -> QueryDef.rowsOnly { (s, d) =>
       Dimsum.docSimilarities(featurized(s, d), "doc_id", "features", threshold = 0.3)

@@ -735,11 +735,21 @@ object Relational {
     // standing in for daily partitions) merged with hll_union_agg, vs the
     // single-pass sketch over the raw rows. HLL registers are per-bucket
     // maxima, and union takes the elementwise max, so merged ≡ direct
-    // EXACTLY — asserted per row in `merge_exact` — which is what makes
-    // sketches the 100 TB pattern: month = union of 30 daily sketches, no
-    // raw re-scan. Exact distinct included for error context. No SQL oracle
-    // (DuckDB's HLL is a different sketch); gate-pinned instead.
-    "q_hll_merge" -> QueryDef.rowsOnly { (s, d) =>
+    // EXACTLY — which is what makes sketches the 100 TB pattern: month =
+    // union of 30 daily sketches, no raw re-scan. ERROR-CERTIFIED like
+    // q_approx_distinct (DuckDB's HLL is a different sketch, so the estimate
+    // itself is not oracle-matchable): Spark emits `merge_exact`
+    // (merged == direct, the lossless-merge law) and `within_bound`
+    // (|direct − exact| ≤ 3·rsd·exact at lgK = 14, rsd ≈ 1.04/√2¹⁴ ≈ 0.81%)
+    // against the oracle's literal TRUEs plus exact distinct counts — a
+    // drifted merge or an out-of-band sketch flips a flag and the hash goes
+    // red. Estimate-value pins live on in SketchesSpec.
+    "q_hll_merge" -> QueryDef.sql("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS n_users_exact,
+             TRUE AS merge_exact,
+             TRUE AS within_bound
+      FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
       val e = Tables.events(s, d)
       val slices = e.withColumn("slice", col("event_id") % 8)
         .groupBy("event_type", "slice")
@@ -752,10 +762,12 @@ object Relational {
           .as("n_users_direct"),
           count_distinct(col("user_id")).as("n_users_exact"))
       merged.join(direct, "event_type")
-        .withColumn("merge_exact",
-          col("n_users_merged") === col("n_users_direct"))
+        .select(col("event_type"), col("n_users_exact"),
+          (col("n_users_merged") === col("n_users_direct")).as("merge_exact"),
+          (abs(col("n_users_direct") - col("n_users_exact")) <=
+            lit(3 * 0.0082) * col("n_users_exact")).as("within_bound"))
         .orderBy("event_type")
-    }.expectAtGate(5L, "2744656859061854039"),
+    },
 
     // ----- extension: sketch point frequency — Count-Min (Cormode &
     // Muthukrishnan 2005), the frequency analogue of the HLL cardinality

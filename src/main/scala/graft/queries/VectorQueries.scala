@@ -335,6 +335,104 @@ object VectorQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ----- ANN EXACT LIMITS, ORACLE-CHECKED (the q_dimsum_exact pattern):
+    // each approximate index run in the configuration where its own math
+    // guarantees exactness, hash-matched against DuckDB brute force — while
+    // the production (approximate) configurations stay gate-pinned
+    // (q_ann_ivf / q_ann_pq / q_ann_ivfpq). IVF with nProbe == k probes
+    // EVERY partition, so coarse routing prunes nothing and the search IS
+    // brute-force cosine: centroid placement — the only model-dependent
+    // input — cancels out of the result entirely.
+    "q_ann_ivf_exact" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 50 = 0),
+      s AS (SELECT q_id, t.vec_id AS cand_id,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> qv[i]*v[i]), (x,y)->x+y)
+                   / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> qv[i]*qv[i]), (x,y)->x+y))
+                      * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> v[i]*v[i]), (x,y)->x+y))) AS cos
+            FROM q JOIN t ON t.vec_id <> q.q_id),
+      r AS (SELECT q_id, cand_id, ROUND(cos, 6) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+            FROM s)
+      SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 3
+      ORDER BY q_id, rn""") { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+        .repartition(32)
+      val index = graft.ann.Ivf.build(t, "v", k = 16)
+      val probes = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.ann.Ivf.search(index, probes, "vec_id", "v", topK = 3, nProbe = 16)
+        .select(col("q_id"), col("cand_id"), round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
+    // PQ is LOSSLESS when every distinct subvector is a codebook centroid
+    // (Pq.scala:21-22): sign-quantizing the first 16 dims gives each 4-dim
+    // subspace a 16-pattern alphabet ({±1}⁴, all present in the fixture), and
+    // k = 20 k-means centroids cover them exactly — so ADC lookups equal
+    // exact squared L2, and every distance is an INTEGER (each coordinate
+    // contributes 0 or 4), immune to float summation order on both engines.
+    "q_ann_pq_exact" -> QueryDef.sql("""
+      WITH t AS (SELECT vec_id,
+                        list_transform(range(1, 17),
+                          i -> CASE WHEN CAST(embedding AS DOUBLE[])[i] >= 0 THEN 1.0 ELSE -1.0 END) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 50 = 0),
+      s AS (SELECT q_id, t.vec_id AS cand_id,
+                   list_reduce(list_transform(range(1, 17), i -> (qv[i]-v[i])*(qv[i]-v[i])), (x,y)->x+y) AS d2
+            FROM q JOIN t ON t.vec_id <> q.q_id),
+      r AS (SELECT q_id, cand_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand_id) AS rn
+            FROM s)
+      SELECT q_id, cand_id, d2 AS approx_d2, rn FROM r WHERE rn <= 5
+      ORDER BY q_id, rn""") { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(slice(ArrayOps.asDouble(col("embedding")), 1, 16),
+            x => when(x >= 0, 1.0).otherwise(-1.0)).as("v"))
+        .repartition(32)
+      val index = graft.ann.Pq.build(t, "vec_id", "v", m = 4, k = 20)
+      val probes = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.ann.Pq.search(index, probes, topK = 5)
+        .select(col("q_id"), col("cand_id"), col("approx_d2"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
+    // IVF-PQ exactness needs BOTH halves degenerate: nProbe == k (routing
+    // prunes nothing) AND lossless codes (sign alphabet as above) — then the
+    // composed index reproduces exact squared L2 end-to-end through routing,
+    // ADC tables and the code join, hash-matched against the same brute
+    // force as q_ann_pq_exact (larger topK distinguishes the two outputs).
+    "q_ann_ivfpq_exact" -> QueryDef.sql("""
+      WITH t AS (SELECT vec_id,
+                        list_transform(range(1, 17),
+                          i -> CASE WHEN CAST(embedding AS DOUBLE[])[i] >= 0 THEN 1.0 ELSE -1.0 END) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 50 = 0),
+      s AS (SELECT q_id, t.vec_id AS cand_id,
+                   list_reduce(list_transform(range(1, 17), i -> (qv[i]-v[i])*(qv[i]-v[i])), (x,y)->x+y) AS d2
+            FROM q JOIN t ON t.vec_id <> q.q_id),
+      r AS (SELECT q_id, cand_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand_id) AS rn
+            FROM s)
+      SELECT q_id, cand_id, d2 AS approx_d2, rn FROM r WHERE rn <= 7
+      ORDER BY q_id, rn""") { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(slice(ArrayOps.asDouble(col("embedding")), 1, 16),
+            x => when(x >= 0, 1.0).otherwise(-1.0)).as("v"))
+        .repartition(32)
+      val ivf = graft.ann.Ivf.build(t, "v", k = 8)
+      val pq = graft.ann.Pq.build(t, "vec_id", "v", m = 4, k = 20)
+      val probes = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.ann.IvfPq.search(ivf, pq, probes, "vec_id", topK = 7, nProbe = 8)
+        .select(col("q_id"), col("cand_id"), col("approx_d2"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     // ----- extension: HYBRID RETRIEVAL via Reciprocal Rank Fusion
     // (Cormack et al. 2009): fuse a lexical ranking (query-term tf) and an
     // embedding ranking (cosine to the query vector) by 1/(60+r) score sum —

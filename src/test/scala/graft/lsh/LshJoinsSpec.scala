@@ -61,6 +61,25 @@ class LshJoinsSpec extends SparkSpec {
     assert(got.forall(_._2 == 1.0))
   }
 
+  test("minHashKnn exhaustive mode is exact Jaccard kNN (no pruning, no fit)") {
+    val probe = Vectors.sparse(32, Array(0, 1, 2, 3, 4), Array.fill(5)(1.0))
+    val got = LshJoins.minHashKnn(sets, "id", "features", probe, k = 3,
+      exhaustive = true).as[(Long, Double)].collect().sortBy(_._1)
+    // hand-derived distances: id1 identical (0), id2 |∩|=4 |∪|=6 → 1/3,
+    // id3 disjoint → 1
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0)._2 == 0.0)
+    assert(math.abs(got(1)._2 - 1.0 / 3) < 1e-12)
+    assert(got(2)._2 == 1.0)
+    // exhaustive dominates the approximate path: for the same k, its k-th
+    // distance is a lower bound on any pruned subset's k-th distance
+    val approx = LshJoins.minHashKnn(sets, "id", "features", probe, k = 2)
+      .as[(Long, Double)].collect().map(_._2).max
+    val exact = LshJoins.minHashKnn(sets, "id", "features", probe, k = 2,
+      exhaustive = true).as[(Long, Double)].collect().map(_._2).max
+    assert(exact <= approx)
+  }
+
   test("jaccardDistance matches the MinHash keyDistance definition") {
     val a = Vectors.sparse(16, Array(0, 1, 2, 3), Array.fill(4)(1.0))
     val b = Vectors.sparse(16, Array(2, 3, 4, 5), Array.fill(4)(1.0))

@@ -102,6 +102,47 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("keyed variant: equi-key restricts pairs, key emitted once, and the " +
+      "key joins the hash-join condition") {
+    val iv = Seq(
+      (1L, "w1", ts(0), ts(60)),
+      (2L, "w2", ts(0), ts(60))
+    ).toDF("uid", "win", "start_ts", "end_ts")
+    val pts = Seq(
+      (1L, "p0", ts(30)), // in both windows' time range — only w1 shares uid
+      (2L, "p1", ts(30)),
+      (3L, "p2", ts(30))  // no window for uid 3
+    ).toDF("uid", "pt", "ts")
+    for (w <- Seq(60L, 3600L)) {
+      val df = RangeJoin.pointInInterval(pts, iv, "ts", "start_ts", "end_ts",
+        w, keys = Seq("uid"))
+      assert(df.columns.count(_ == "uid") == 1, "key must be emitted once")
+      val got = df.select("pt", "win").as[(String, String)].collect().toSet
+      assert(got == Set("p0" -> "w1", "p1" -> "w2"), s"bin=$w: $got")
+    }
+    // the key must be part of the equi-join (shuffle) key, not a post-filter:
+    // both sides' key columns appear in the join's `keys` clause
+    val df = RangeJoin.pointInInterval(pts, iv, "ts", "start_ts", "end_ts",
+      3600, keys = Seq("uid"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val joinLine = plan.linesIterator.find(_.contains("HashJoin"))
+      .orElse(plan.linesIterator.find(_.contains("SortMergeJoin")))
+    assert(joinLine.exists(_.contains("uid")), s"key not in join keys: $joinLine")
+
+    // keyed intervalOverlap: same uid-restriction + single key column
+    val l = Seq((1L, "a", ts(0), ts(60)), (2L, "b", ts(0), ts(60)))
+      .toDF("uid", "l", "ls", "le")
+    val r = Seq((1L, "x", ts(30), ts(90)), (2L, "y", ts(30), ts(90)))
+      .toDF("uid", "r", "rs", "re")
+    val ov = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", 3600,
+      keys = Seq("uid"))
+    assert(ov.columns.count(_ == "uid") == 1)
+    assert(ov.select("l", "r").as[(String, String)].collect().toSet ==
+      Set("a" -> "x", "b" -> "y"))
+  }
+
   test("plan is a hash equi-join on the bin, not a nested-loop join") {
     val df = RangeJoin.pointInInterval(points, intervals,
       "ts", "start_ts", "end_ts", 3600)

@@ -41,6 +41,29 @@ class SketchesSpec extends SparkSpec {
     assert(relErr < 0.08, s"approx=$approx exact=$exact relErr=$relErr")
   }
 
+  test("Datasketches HLL: slice-merged estimate equals direct, within band of exact") {
+    // the q_hll_merge gate certifies boolean flags against the DuckDB oracle;
+    // this spec keeps the ESTIMATE-level contract: register-max merging makes
+    // merged ≡ direct exactly, and at lgK=14 the direct estimate sits within
+    // 3·rsd (≈2.4%) of the exact distinct count on every event_type
+    val e = Tables.events(spark, sfDir)
+    val merged = e.withColumn("slice", $"event_id" % 8)
+      .groupBy("event_type", "slice")
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("m"))
+    val direct = e.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("dd"),
+        countDistinct($"user_id").as("ex"))
+    val rows = merged.join(direct, "event_type")
+      .as[(String, Double, Double, Long)].collect()
+    assert(rows.length >= 2)
+    rows.foreach { case (t, m, dd, ex) =>
+      assert(m == dd, s"$t: merged=$m direct=$dd — union must be lossless")
+      assert(math.abs(dd - ex) <= 3 * 0.0082 * ex, s"$t: direct=$dd exact=$ex")
+    }
+  }
+
   test("approx percentile is rank-accurate to the accuracy parameter") {
     val vals = Tables.lineitem(spark, sfDir)
       .select($"l_extendedprice").as[Double].collect().sorted

@@ -46,6 +46,36 @@ class ModelPersistenceSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("MinHash LSH index save/load reproduces the approx self-join exactly " +
+      "(reference CustomizedMinHashLSH.scala:154-183)") {
+    import graft.lsh.LshJoins
+    val docs = Tables.documents(spark, dir).limit(100)
+    val feats = FeaturePipeline.features(docs,
+        FeatureConfig(numTextFeatures = 256, useIdf = false))
+      .select("doc_id", "features").cache()
+    val index = LshJoins.fitMinHashIndex(feats, "features", threshold = 0.9)
+    val path = "/tmp/graft_test_minhash_index"
+    LshJoins.saveMinHashIndex(index, path)
+    val reloaded = LshJoins.loadMinHashIndex(spark, path)
+    assert(reloaded.threshold == 0.9)
+    def rows(ix: LshJoins.MinHashIndex) =
+      ix.selfJoin(feats, "doc_id", "features")
+        .select("pk1", "pk2", "jaccard_dist", "asym_jaccard_dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val a = rows(index)
+    val b = rows(reloaded)
+    assert(a.nonEmpty, "fixture produced no candidate pairs — vacuous")
+    assert(a == b, "persisted hash functions must reproduce the join bit-for-bit")
+    // and the inline-fit path with the same params agrees too
+    val inline = LshJoins.minHashSelfJoin(feats, "doc_id", "features",
+        threshold = 0.9)
+      .select("pk1", "pk2", "jaccard_dist", "asym_jaccard_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(a == inline)
+  }
+
   test("KMeans blocking model save/load predicts identically") {
     val docs = Tables.documents(spark, dir).limit(100)
     val feats = FeaturePipeline.features(docs, FeatureConfig(numTextFeatures = 256))
