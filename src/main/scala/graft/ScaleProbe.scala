@@ -38,8 +38,9 @@ object ScaleProbe {
     * the events table. */
   private val eventsOps = Seq(
     "q_window_tumbling", "q_window_sliding", "q_sessionize", "q_ewma",
-    "q_asof_join", "q_asof_forward", "q_range_join", "q_window_rank_fns",
-    "q_incremental_agg", "q_hll_merge", "q_cms_topk")
+    "q_ewma_running",
+    "q_asof_join", "q_asof_forward", "q_range_join", "q_range_join_keyed",
+    "q_window_rank_fns", "q_incremental_agg", "q_hll_merge", "q_cms_topk")
   private val eventsFactors = Seq(1, 10, 50, 100)
 
   def main(args: Array[String]): Unit = {

@@ -77,6 +77,7 @@ object Verify {
         s"(fp $currentFp != pinned $pinnedFixtureFp): gate pins recorded " +
         "as rows-only, not enforced — re-pin with SPARK_GRAFT_PRINT_CHECKS=1")
     val checkResults = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val repinResults = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def run(name: String, qd: QueryDef): Unit =
       try {
         val df = qd.fn(spark, sfDir)
@@ -98,11 +99,17 @@ object Verify {
                 sys.error(s"gate expectation: checksum=$got, pinned $pinned")
             }
             checkResults.put(name, s"""{"rows":$rows,"ok":true}""")
-          } else
+          } else {
             // stale-generation pins are reported, not enforced: the rows are
-            // real, the pin comparison would be meaningless
+            // real, the pin comparison would be meaningless. The fresh
+            // measurements go to repin.json so the pins can be re-applied
+            // (tools/repin.py) and RE-ENFORCED in the same session — one
+            // unenforced verify RUN, not one unenforced round.
             checkResults.put(name, s"""{"rows":$rows,"ok":true,""" +
               s""""note":"pin not enforced: fixture generation $currentFp <> pinned"}""")
+            val cs = checksum(df).map("\"" + _ + "\"").getOrElse("null")
+            repinResults.put(name, s"""{"rows":$rows,"checksum":$cs}""")
+          }
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
@@ -143,6 +150,19 @@ object Verify {
         }
       }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/gate_checks.json"), checks)
+    }
+    // fixture regenerated → machine-readable re-pin proposal: feed to
+    // tools/repin.py (rewrites the expectAtGate literals + pinnedFixtureFp),
+    // recompile, rerun — pins re-enforced in the SAME session
+    if (!repinResults.isEmpty) {
+      val pins = selected.toSeq.sortBy(_._1)
+        .flatMap { case (n, _) => Option(repinResults.get(n))
+          .map(v => s"${jsonStr(n)}: $v") }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/repin.json"),
+        s"""{"fixture_fp":${jsonStr(currentFp)},"pins":$pins}""")
+      System.err.println(s"[verify] wrote $outDir/repin.json — apply with " +
+        "python3 tools/repin.py, recompile, rerun to re-enforce pins")
     }
     spark.stop()
   }

@@ -109,7 +109,10 @@ object Candidates {
     *
     * The cap is a per-block PAIR budget in disguise (n² vs n·bucket): at
     * 100 TB this bounds the worst block's work without giving up the exact
-    * path where it is affordable. Both branches share one scan of `df`. */
+    * path where it is affordable. Note the two branches each re-evaluate the
+    * `base ⋈ sizes` lineage (Spark only shares the shuffle exchange, not the
+    * scan): callers running over an expensive upstream should persist `df` —
+    * the engine's own callers feed the already-cached feature frame. */
   def pairsWithBudget(df: DataFrame, cfg: CandidateConfig, featuresCol: String,
                       maxBlockSize: Long, numHashes: Int = 32,
                       bands: Int = 16): DataFrame = {
@@ -130,9 +133,16 @@ object Candidates {
       v.toSparse.indices.map(_.toLong))
     val cols = Seq(cfg.keyCol, cfg.groupCol, blockC) ++ cfg.lengthCol
     val sketched = big
+      .select((cols.distinct.map(col) :+ support(col(featuresCol)).as("__sup")): _*)
+      // EMPTY supports (all-zero feature rows) get the identical all-sentinel
+      // MinHash signature, so inside an oversized block they would collide in
+      // every band — re-creating exactly the n² the guard exists to kill —
+      // while a disjoint support can never score above similarity 0
+      // downstream: drop them, no candidate is lost
+      .filter(size(col("__sup")) > 0)
       .select((cols.distinct.map(col) :+
         graft.dedup.MinHashDedup.signature(
-          support(col(featuresCol)), numHashes).as("__sig")): _*)
+          col("__sup"), numHashes).as("__sig")): _*)
       .select((cols.distinct.map(col) :+
         explode(graft.dedup.MinHashDedup.bandHashes(
           col("__sig"), bands, numHashes)).as("__b")): _*)

@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   * image/audio/video travel as binary columns; decode runs inside
   * `mapPartitions` in fixed-size batches — the JVM analog of `mapInPandas`
   * batch processing: one codec init per partition, bounded batch memory, rows
-  * stream through. The decode itself is a clearly-marked STUB (no codec libs
-  * in this container): it derives deterministic fake dimensions from the first
-  * payload bytes, so the Spark-side plumbing — schema, batching, partition
-  * behavior — is real and testable end to end.
+  * stream through. Decode depth per modality:
+  *  - image: REAL — header dims for PNG/GIF/JPEG, and full PIXEL decode for
+  *    PNG ([[decodePng]]: zlib IDAT + all five spec filters — the JVM ships
+  *    the inflater, no codec lib needed);
+  *  - audio: REAL — WAV chunk walk + PCM SAMPLE decode ([[wavSamples]]);
+  *  - video: container metadata is REAL (MP4 box walk); frame decode is the
+  *    one remaining clearly-marked STUB — H.26x entropy decoding genuinely
+  *    needs a codec library this container does not ship.
   */
 object Multimodal {
 
@@ -182,6 +186,202 @@ object Multimodal {
     }
   }
 
+  // ---- REAL pixel/sample decode for the two formats the JVM can decode
+  // with zero codec dependencies: PNG's IDAT is zlib (java.util.zip.Inflater)
+  // plus the five spec filters, and WAV PCM samples are plain
+  // byte-addressable integers after the chunk walk above. These retire the
+  // decode stub for image/audio; only video FRAME decode (a true codec)
+  // remains stubbed.
+
+  /** Decoded PNG: 8-bit samples row-major, channel-interleaved, 0-255. */
+  final case class PngImage(width: Int, height: Int, channels: Int,
+                            pixels: Array[Int])
+
+  /** Full PNG decode (PNG spec, ISO/IEC 15948): chunk walk → concatenated
+    * IDAT zlib stream → Inflater → per-scanline unfilter (None/Sub/Up/
+    * Average/Paeth, §9.2). Supports the ubiquitous 8-bit-depth layouts:
+    * grayscale (type 0), RGB (2), gray+alpha (4), RGBA (6), non-interlaced.
+    * Returns None on anything else or on corrupt/truncated streams. */
+  def decodePng(p: Array[Byte]): Option[PngImage] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (p.length < 8 ||
+        u8(0) != 0x89 || u8(1) != 'P' || u8(2) != 'N' || u8(3) != 'G' ||
+        u8(4) != 0x0d || u8(5) != 0x0a || u8(6) != 0x1a || u8(7) != 0x0a)
+      return None
+    var i = 8L
+    var dims: Option[(Int, Int, Int)] = None // w, h, channels
+    val idat = new java.io.ByteArrayOutputStream()
+    while (i + 8 <= p.length) {
+      val at = i.toInt
+      val len = u32(at)
+      val typ = new String(p, at + 4, 4, "US-ASCII")
+      if (i + 12 + len > p.length) return None // truncated chunk
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          val (bitDepth, colorType) = (u8(at + 16), u8(at + 17))
+          val interlace = u8(at + 20)
+          val ch = colorType match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
+          }
+          if (bitDepth != 8 || ch == 0 || interlace != 0) return None
+          dims = Some((u32(at + 8).toInt, u32(at + 12).toInt, ch))
+        case "IDAT" => idat.write(p, at + 8, len.toInt)
+        case "IEND" => i = p.length.toLong // stop the walk
+        case _ => () // ancillary chunk: skip
+      }
+      i += 12 + len // len + type(4) + length(4) + crc(4)
+    }
+    dims.flatMap { case (w, h, ch) =>
+      val stride = w * ch
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val n = try inf.inflate(raw) catch {
+        case _: java.util.zip.DataFormatException => -1
+      } finally inf.end()
+      if (n != raw.length) None
+      else {
+        // unfilter in place into the output; a=left, b=up, c=upper-left
+        val out = new Array[Int](h * stride)
+        var y = 0
+        while (y < h) {
+          val rowIn = y * (1 + stride) + 1
+          val rowOut = y * stride
+          val filter = raw(rowIn - 1) & 0xff
+          var x = 0
+          while (x < stride) {
+            val cur = raw(rowIn + x) & 0xff
+            val a = if (x >= ch) out(rowOut + x - ch) else 0
+            val b = if (y > 0) out(rowOut - stride + x) else 0
+            val c = if (y > 0 && x >= ch) out(rowOut - stride + x - ch) else 0
+            val v = filter match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + b
+              case 3 => cur + (a + b) / 2
+              case 4 => // Paeth predictor (§9.4)
+                val pr = a + b - c
+                val (pa, pb, pc) =
+                  (math.abs(pr - a), math.abs(pr - b), math.abs(pr - c))
+                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+              case _ => return None
+            }
+            out(rowOut + x) = v & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(PngImage(w, h, ch, out))
+      }
+    }
+  }
+
+  /** Full PNG ENCODER twin of [[decodePng]] — real IHDR/IDAT/IEND with CRCs
+    * and zlib-deflated scanlines. Filter types deliberately CYCLE 0-4 by row
+    * so a round-trip exercises every unfilter path, not just None.
+    * `pixels` are 8-bit samples, row-major, channel-interleaved. */
+  def encodePng(width: Int, height: Int, channels: Int,
+                pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height * channels, "pixel count mismatch")
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case c => sys.error(s"unsupported channel count $c")
+    }
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val body = typ.getBytes("US-ASCII") ++ payload
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      be32(payload.length.toLong) ++ body ++ be32(crc.getValue)
+    }
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val filter = y % 5
+      raw(y * (1 + stride)) = filter.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(y * stride + x)
+        val a = if (x >= channels) pixels(y * stride + x - channels) else 0
+        val b = if (y > 0) pixels((y - 1) * stride + x) else 0
+        val c = if (y > 0 && x >= channels)
+          pixels((y - 1) * stride + x - channels) else 0
+        val enc = filter match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 =>
+            val pr = a + b - c
+            val (pa, pb, pc) =
+              (math.abs(pr - a), math.abs(pr - b), math.abs(pr - c))
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (1 + stride) + 1 + x) = enc.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    val ihdr = be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** PCM sample decode from a WAV container — the data chunk read through the
+    * SAME chunk walk as [[wavHeader]]: signed 16-bit little-endian or
+    * unsigned 8-bit (recentred to signed, per WAV convention), interleaved
+    * across channels in container order. None for float/24-bit/compressed
+    * formats (codec territory) or when no data chunk exists. */
+  def wavSamples(p: Array[Byte]): Option[Array[Int]] = {
+    def u8(i: Int) = p(i) & 0xff
+    def tag(i: Int, s: String) =
+      i + 4 <= p.length && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    wavHeader(p).filter(w => w.bitsPerSample == 16 || w.bitsPerSample == 8)
+      .flatMap { info =>
+        var i = 12L
+        while (i + 8 <= p.length) {
+          val at = i.toInt
+          val size = u32(at + 4)
+          if (tag(at, "data")) {
+            val end = math.min(at + 8 + size, p.length.toLong).toInt
+            val bytesPer = info.bitsPerSample / 8
+            val n = (end - (at + 8)) / bytesPer
+            val out = new Array[Int](n)
+            var k = 0
+            while (k < n) {
+              out(k) =
+                if (bytesPer == 2) // s16le
+                  (u8(at + 8 + 2 * k) | (u8(at + 9 + 2 * k) << 8)).toShort.toInt
+                else u8(at + 8 + k) - 128 // u8 recentred
+              k += 1
+            }
+            return Some(out)
+          }
+          i += 8L + size + (size & 1L)
+        }
+        None
+      }
+  }
+
   // ---- deterministic synthetic container builders: minimal, VALID headers
   // (the exact bytes the parsers above walk) so the binary-column round-trip
   // can be gate-checked against a SQL oracle without codec libraries or
@@ -193,6 +393,7 @@ object Multimodal {
       0, 0, 0, 13, 'I', 'H', 'D', 'R').map(_.toByte) ++ be32(w) ++ be32(h)
   }
 
+  /** Zero-filled payload at ANY bit depth (metadata round-trips only). */
   def synthWav(channels: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
     def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
@@ -203,6 +404,25 @@ object Multimodal {
       "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
       le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
       "data".getBytes("US-ASCII") ++ le32(dataSize) ++ Array.fill(dataSize)(0.toByte)
+  }
+
+  /** WAV with REAL PCM payload (s16le or u8 from recentred signed samples) —
+    * the encode twin of [[wavSamples]]. */
+  def synthWavPcm(channels: Int, rate: Int, bits: Int,
+                  samples: Array[Int]): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"PCM bits must be 8 or 16: $bits")
+    require(samples.length % channels == 0, "samples must fill whole frames")
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val blockAlign = channels * bits / 8
+    val data =
+      if (bits == 16) samples.flatMap(le16)
+      else samples.map(s => (s + 128).toByte)
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
   def synthMp4(timescale: Long, duration: Long): Array[Byte] = {

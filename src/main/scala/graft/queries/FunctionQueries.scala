@@ -147,6 +147,67 @@ object FunctionQueries {
         }
         .toDF("doc_id", "kind", "meta1", "meta2")
         .orderBy("doc_id")
+    },
+
+    // ----- multimodal REAL DECODE gate: synthesize true containers from a
+    // deterministic pixel/sample formula, push them through the FULL decode
+    // path — PNG: zlib-deflated IDAT with filter types cycling 0-4 by row,
+    // inflated + unfiltered by decodePng; WAV: s16le PCM read back by
+    // wavSamples — and emit integer stats of the DECODED values. The oracle
+    // recomputes the same stats from the formula arithmetically, so any
+    // defect in deflate/inflate framing, filter reconstruction (Sub/Up/
+    // Average/Paeth), or PCM byte order shifts a sum and reddens the hash.
+    // Only video frame decode remains stubbed (needs a real codec).
+    "q_media_decode" -> QueryDef.sql("""
+      WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60),
+      img AS (SELECT id, 8 + id % 17 AS w, 5 + id % 11 AS h FROM ids WHERE id % 2 = 0),
+      ipx AS (SELECT id, w, h, (x*7 + y*13 + id*3) % 256 AS v
+              FROM img CROSS JOIN range(0,25) rx(x) CROSS JOIN range(0,16) ry(y)
+              WHERE x < w AND y < h),
+      iagg AS (SELECT id AS doc_id, 'image' AS kind, w*h AS n_vals,
+                      SUM(v) AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v
+               FROM ipx GROUP BY id, w, h),
+      aud AS (SELECT id, 64 + id % 50 AS n FROM ids WHERE id % 2 = 1),
+      apx AS (SELECT id, n, ((i*31 + id*17) % 4001) - 2000 AS v
+              FROM aud CROSS JOIN range(0,114) ri(i) WHERE i < n),
+      aagg AS (SELECT id AS doc_id, 'audio' AS kind, n AS n_vals,
+                      SUM(v) AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v
+               FROM apx GROUP BY id, n)
+      SELECT doc_id, kind, CAST(n_vals AS BIGINT) AS n_vals,
+             CAST(sum_v AS BIGINT) AS sum_v, CAST(min_v AS BIGINT) AS min_v,
+             CAST(max_v AS BIGINT) AS max_v
+      FROM (SELECT * FROM iagg UNION ALL SELECT * FROM aagg)
+      ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select("doc_id").as[Long]
+        .map { id =>
+          if (id % 2 == 0) {
+            val w = (8 + id % 17).toInt
+            val h = (5 + id % 11).toInt
+            val px = Array.tabulate(w * h) { k =>
+              val x = k % w; val y = k / w
+              ((x * 7 + y * 13 + id * 3) % 256).toInt
+            }
+            val img = Multimodal.decodePng(Multimodal.encodePng(w, h, 1, px))
+              .getOrElse(sys.error(s"PNG round-trip failed for doc $id"))
+            require(img.width == w && img.height == h && img.channels == 1)
+            val v = img.pixels
+            (id, "image", v.length.toLong, v.map(_.toLong).sum,
+              v.min.toLong, v.max.toLong)
+          } else {
+            val n = (64 + id % 50).toInt
+            val smp = Array.tabulate(n)(i =>
+              ((i * 31 + id * 17) % 4001 - 2000).toInt)
+            val v = Multimodal.wavSamples(
+                Multimodal.synthWavPcm(1, 8000, 16, smp))
+              .getOrElse(sys.error(s"WAV round-trip failed for doc $id"))
+            (id, "audio", v.length.toLong, v.map(_.toLong).sum,
+              v.min.toLong, v.max.toLong)
+          }
+        }
+        .toDF("doc_id", "kind", "n_vals", "sum_v", "min_v", "max_v")
+        .orderBy("doc_id")
     }
   )
 }

@@ -780,6 +780,14 @@ object Relational {
     // emits the exact counts with literal TRUEs. The top-20 pick is
     // TakeOrderedAndProject (orderBy+limit), not a global-window
     // row_number — no single-partition sort at scale.
+    //
+    // Band slack note: (e/w)·N is a PROBABILISTIC bound (per-probe failure
+    // ≈ e⁻⁴ at Depth 4) — deterministic for a fixed fixture, but a
+    // regenerated fixture could legitimately land a key outside it with no
+    // code defect (a-priori ≈ 30% for at least one of 20 keys). The GATE
+    // therefore certifies 2·(e/w)·N (failure ≈ e⁻⁸ per probe, < 0.7% for
+    // all 20 — fixture-robust); the tight 1× band stays asserted in
+    // CountMinSpec where a local re-pin is cheap.
     "q_cms_topk" -> QueryDef.sql("""
       SELECT user_id, n_exact, TRUE AS over_ok, TRUE AS band_ok FROM (
         SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
@@ -795,7 +803,8 @@ object Relational {
         .crossJoin(broadcast(sk))
         .select(col("user_id"), col("n_exact"),
           (est >= col("n_exact")).as("over_ok"),
-          (est <= col("n_exact") + CountMin.errorBound(col("n_total")))
+          (est <= col("n_exact") +
+            lit(2L) * CountMin.errorBound(col("n_total")))
             .as("band_ok"))
         .orderBy("user_id")
     },

@@ -147,6 +147,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG encode/decode round-trips pixels exactly across all filter types") {
+    // encodePng cycles filters 0-4 by row, so any grid with height ≥ 5
+    // exercises None, Sub, Up, Average AND Paeth reconstruction
+    val rnd = new scala.util.Random(42)
+    for ((w, h, ch) <- Seq((1, 1, 1), (3, 7, 1), (16, 10, 3), (5, 6, 4), (24, 15, 2))) {
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256))
+      val bytes = Multimodal.encodePng(w, h, ch, px)
+      assert(Multimodal.headerDims(bytes).contains((w, h)), "IHDR dims")
+      val img = Multimodal.decodePng(bytes)
+        .getOrElse(fail(s"decode failed at ${(w, h, ch)}"))
+      assert(img.width == w && img.height == h && img.channels == ch)
+      assert(img.pixels.sameElements(px), s"pixels differ at ${(w, h, ch)}")
+    }
+  }
+
+  test("decodePng is total: corrupt, truncated and random streams return None") {
+    val good = Multimodal.encodePng(8, 6, 3, Array.fill(8 * 6 * 3)(7))
+    assert(Multimodal.decodePng(good).isDefined)
+    assert(Multimodal.decodePng(good.take(40)).isEmpty) // truncated in IDAT
+    assert(Multimodal.decodePng(Array[Byte](1, 2, 3)).isEmpty)
+    val corrupt = good.clone() // flip a byte in the deflate stream: no throw
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x55).toByte
+    Multimodal.decodePng(corrupt)
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      Multimodal.decodePng(Array.fill(rnd.nextInt(128))(rnd.nextInt().toByte))
+    }
+  }
+
+  test("wavSamples decodes s16le and u8 PCM exactly; declines codec depths") {
+    val s16 = Array(-32768, -1, 0, 1, 32767, 1234, -1234)
+    assert(Multimodal.wavSamples(
+      Multimodal.synthWavPcm(1, 8000, 16, s16)).get.sameElements(s16))
+    val s8 = Array(-128, -1, 0, 1, 127)
+    assert(Multimodal.wavSamples(
+      Multimodal.synthWavPcm(1, 8000, 8, s8)).get.sameElements(s8))
+    // stereo interleave preserved in container order
+    val st = Array(10, -10, 20, -20)
+    assert(Multimodal.wavSamples(
+      Multimodal.synthWavPcm(2, 44100, 16, st)).get.sameElements(st))
+    // 24-bit: header still parses, sample decode declines (codec territory)
+    val b24 = Multimodal.synthWav(1, 8000, 24, 4)
+    assert(Multimodal.wavHeader(b24).isDefined)
+    assert(Multimodal.wavSamples(b24).isEmpty)
+  }
+
   test("payloadFrom wraps text as binary with kind") {
     val ds = Multimodal.payloadFrom(docs, "doc_id", "text", kind = "image")
     val r = ds.collect().sortBy(_.id)

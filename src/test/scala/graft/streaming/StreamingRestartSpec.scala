@@ -61,11 +61,27 @@ class StreamingRestartSpec extends SparkSpec {
     val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
     val events = Tables.events(spark, sfDir)
     // time split (not id split): phase-2 rows must be NEWER than the
-    // recovered watermark, or they would be legitimately dropped as late
-    val cut = events.agg(
-      (unix_micros(min(col("ts"))) +
-        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) * 6 / 10))
-        .cast("long").as("c")).head.getLong(0)
+    // recovered watermark, or they would be legitimately dropped as late.
+    // The cut is derived from WINDOW BOUNDARIES, not a fixed fraction of the
+    // time range: pick the latest 1-hour window that (a) holds ≥2 distinct
+    // event times — so a cut between them splits the window's state across
+    // the restart — and (b) ends more than the 30-minute horizon before max
+    // ts — so the recovered watermark finalizes it in phase 2. A
+    // fixed-fraction cut could satisfy neither on a regenerated fixture
+    // with a short or skewed time spread.
+    val horizonUs = 1800L * 1000000L
+    val winUs = 3600L * 1000000L
+    val tsUs = events.select(unix_micros(col("ts")).as("us")).as[Long].collect()
+    val maxUs = tsUs.max
+    val byWin = tsUs.groupBy(us => us / winUs * winUs)
+    val wStart = byWin.collect {
+      case (w, ts) if ts.distinct.length >= 2 && w + winUs + horizonUs < maxUs => w
+    } match {
+      case ws if ws.nonEmpty => ws.max
+      case _ => fail("fixture time-spread too narrow: no 1-hour window has " +
+        "2+ distinct event times and ends a full horizon before max ts")
+    }
+    val cut = byWin(wStart).max // last event in the target window
 
     events.filter(unix_micros(col("ts")) < cut).coalesce(1).write.parquet(in)
     runOnce(in, out, ckpt,
@@ -97,5 +113,81 @@ class StreamingRestartSpec extends SparkSpec {
       (r._1 + 3600L) * 1000000L > cut)
     assert(straddlers.nonEmpty,
       "no window straddled the restart cut — state recovery not exercised")
+    // the cut was CONSTRUCTED inside this window, so it must have straddled
+    // and emitted — a guaranteed-positive form of the check above
+    assert(emitted.exists(_._1 == wStart / 1000000L),
+      s"target straddling window ${wStart / 1000000L} was not emitted")
+  }
+
+  test("transformWithState timer sessions: killed mid-session, the resumed " +
+      "checkpoint closes the straddling session once with full counts") {
+    val base = tmp()
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val events = Tables.events(spark, sfDir)
+    val gapUs = 1800L * 1000000L     // sessionizeTws default 30-minute gap
+    val horizonUs = 7200L * 1000000L // and 2-hour watermark horizon
+
+    // batch sessionization in plain Scala: per user, sorted, split on gap
+    val rows = events.select($"user_id", unix_micros($"ts").as("us"))
+      .as[(Long, Long)].collect()
+    val maxUs = rows.map(_._2).max
+    def sessionsOf(ts: Seq[Long]): List[List[Long]] =
+      ts.sorted.toList match {
+        case h :: t => t.foldLeft(List(List(h))) { (acc, u) =>
+          if (u - acc.head.head > gapUs) List(u) :: acc
+          else (u :: acc.head) :: acc.tail
+        }.map(_.reverse).reverse
+        case Nil => Nil
+      }
+    val batchSessions = rows.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      sessionsOf(rs.map(_._2).toSeq)
+        .map(s => (uid, s.head, s.length.toLong, s.last))
+    } // (user, start_us, n_events, last_us)
+
+    // straddle target: a session with ≥2 distinct event times (so a cut at
+    // its LAST event leaves real phase-1 state to recover) whose timer close
+    // is guaranteed before end of input (last + gap + horizon, with 2 s
+    // slack for the ms timer rounding, inside max ts)
+    val target = batchSessions.filter(s => s._3 >= 2 && s._2 != s._4 &&
+        s._4 + gapUs + horizonUs + 2000000L < maxUs)
+      .maxByOption(_._4)
+      .getOrElse(fail("fixture time-spread too narrow: no closable session " +
+        "with 2+ distinct event times exists"))
+    val cut = target._4
+
+    events.filter(unix_micros($"ts") < cut).coalesce(1).write.parquet(in)
+    def run(): Unit = Streaming.withRocksDb(spark) {
+      val q = Streaming.sessionizeTws(
+          spark.readStream.schema(spark.read.parquet(in).schema)
+            .option("maxFilesPerTrigger", 1).parquet(in))
+        .toDF()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // killed mid-session: the target session's last event is not yet in
+    events.filter(unix_micros($"ts") >= cut).coalesce(1)
+      .write.mode("append").parquet(in)
+    run() // a NEW query object resumes the same checkpoint (RocksDB state)
+
+    val log = spark.read.parquet(out)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // the straddling session closes exactly once, with the full batch count —
+    // its phase-1 state (open session + pending timer) survived the restart
+    val closes = log.filter(r => r._1 == target._1 && r._2 == target._2 && r._4)
+    assert(closes.length == 1,
+      s"straddling session closed ${closes.length} times (want exactly 1)")
+    assert(closes.head._3 == target._3,
+      s"straddler closed with ${closes.head._3} events, batch says ${target._3}")
+    // and the whole update-log rollup still equals batch sessionization
+    val rolled = log.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(_._3).max).toMap
+    val batchMap = batchSessions.map(s => (s._1, s._2) -> s._3).toMap
+    assert(rolled == batchMap,
+      "rolled-up session log diverges from batch sessionization after restart")
   }
 }
