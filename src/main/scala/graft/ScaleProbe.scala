@@ -213,8 +213,12 @@ object ScaleProbe {
       sb.append("clicks x 100x more windows per bin = 10 000x the pairs from 10x\n")
       sb.append("to 100x). An alpha near 2 would merely track output; the measured\n")
       sb.append("time growth is far below pair growth, i.e. the bin equi-join is\n")
-      sb.append("doing its work. A keyed production variant (user-scoped windows)\n")
-      sb.append("adds the key to the bin join and scales like q_asof_join.\n")
+      sb.append("doing its work. q_range_join_keyed IS the keyed production form\n")
+      sb.append("(user-scoped windows: the key joins the (key, bin) shuffle key,\n")
+      sb.append("replication adds KEYS, candidates grow linearly) — its ladder row\n")
+      sb.append("above should show asof-like alpha, far under the unkeyed case.\n")
+      sb.append("q_ewma_running is q_ewma's ring-buffer recurrence twin (same\n")
+      sb.append("bit-exact output, no per-row 32-element array) — compare rows.\n")
     }
     sb.append("\nDup-heavy dedup (output pairs grow quadratically in the\n")
     sb.append("duplication factor by construction — the operator's job):\n\n")

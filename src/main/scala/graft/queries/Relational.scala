@@ -23,6 +23,37 @@ object Relational {
   /** Exact, order-insensitive sum of a double column: per-row decimal cast →
     * decimal sum → double. Mirrored in oracle SQL as
     * CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE). */
+  /** DuckDB replay of BillsGen's splitmix64 state derivation
+    * (sources/BillsGen.scala `row`/`mix`): every generated row's state is
+    * mix(i ^ mix(seed)) mod 50, recomputed INDEPENDENTLY in SQL. Unsigned
+    * 64-bit arithmetic is emulated stage by stage — values live in HUGEINT
+    * mod 2⁶⁴, xor happens in the signed-BIGINT bit-pattern domain (DuckDB's
+    * xor is 64-bit), and each 64×64 multiply is split hi/lo so the 128-bit
+    * intermediate fits HUGEINT. mix(seed) is embedded as a literal from the
+    * SAME engine function the source runs — the q_minhash_sig
+    * constant-embedding pattern; the per-row mixing is all SQL. */
+  private lazy val billsStateOracleSql: String = {
+    val mix42 = graft.sources.BillsGen.mix(42L) // signed bit pattern literal
+    def tos(c: String) =
+      s"CAST(CASE WHEN $c >= 9223372036854775808 THEN $c - 18446744073709551616 ELSE $c END AS BIGINT)"
+    def tou(c: String) =
+      s"(CASE WHEN $c < 0 THEN CAST($c AS HUGEINT) + 18446744073709551616 ELSE CAST($c AS HUGEINT) END)"
+    def xoru(a: String, b: String) = tou(s"xor(${tos(a)}, ${tos(b)})")
+    def mulmod(a: String, c: String) =
+      s"((($a % 4294967296) * $c + ((($a // 4294967296) * $c) % 4294967296) * 4294967296) % 18446744073709551616)"
+    s"""
+    WITH t AS (SELECT i FROM range(0, 5000) r(i)),
+    u0 AS (SELECT i, ${tou(s"xor(CAST(i AS BIGINT), CAST($mix42 AS BIGINT))")} AS x FROM t),
+    a1 AS (SELECT i, (x + 11400714819323198485) % 18446744073709551616 AS z FROM u0),
+    b1 AS (SELECT i, ${xoru("z", "(z // 1073741824)")} AS z FROM a1),
+    c1 AS (SELECT i, ${mulmod("z", "13787848793156543929")} AS z FROM b1),
+    b2 AS (SELECT i, ${xoru("z", "(z // 134217728)")} AS z FROM c1),
+    c2 AS (SELECT i, ${mulmod("z", "10723151780598845931")} AS z FROM b2),
+    h AS (SELECT i, ${xoru("z", "(z // 2147483648)")} AS h FROM c2)
+    SELECT CAST(h % 50 AS BIGINT) AS state, COUNT(*) AS n FROM h
+    GROUP BY 1 ORDER BY state"""
+  }
+
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(30, scale))).cast("double")
 
@@ -469,18 +500,22 @@ object Relational {
     // readStream (MICRO_BATCH_READ) — 5 admission-controlled micro-batches of
     // 1000 rows drain under AvailableNow into a per-state count. Offsets are
     // row indices, every batch regenerates from (seed, index), so replay from
-    // any checkpoint is exact. rows-only: the splitmix generator has no DuckDB
-    // analogue; the streamed-equals-batch invariant is BillsGenSourceSpec's,
-    // and the gate pins rows + checksum. Ignores sfDir by design (the source
-    // IS the data); serial because replayToTable scopes session confs.
-    "q_stream_bills_source" -> QueryDef.rowsOnly { (s, _) =>
+    // any checkpoint is exact. ORACLE-CHECKED since round 6: DuckDB replays
+    // the splitmix64 state derivation itself (see [[billsStateOracleSql]]) —
+    // unsigned-64 arithmetic emulated in HUGEINT, xor in the signed-BIGINT
+    // bit-pattern domain — so a drifted generator, dropped micro-batch or
+    // double-counted offset now reddens the hash, not just a row count.
+    // The streamed-equals-batch invariant stays BillsGenSourceSpec's.
+    // Ignores sfDir by design (the source IS the data); serial because
+    // replayToTable scopes session confs.
+    "q_stream_bills_source" -> QueryDef.sql(billsStateOracleSql) { (s, _) =>
       graft.streaming.Streaming.replayToTable(
         s.readStream.format("graft.sources.BillsGen")
           .option("rows", "5000").option("rowsPerBatch", "1000").load()
           .groupBy("state").agg(count(lit(1)).as("n")),
         s"bills_source_${System.nanoTime()}")
         .orderBy("state")
-    }.serial.expectAtGate(50L, "30473775183252591459"),
+    }.serial,
 
     // ----- S7: Avro source+sink round-trip through the AvroLite DSv2
     // connector (the spark-avro jar is absent offline; sources.AvroLite

@@ -61,15 +61,19 @@ object BillsGen {
     "act", "section", "state", "law", "public", "amend", "provide", "county",
     "person", "tax", "school", "court", "fund", "board", "vehicle", "license")
 
+  /** The splitmix64 finalizer every generated value derives from. Public so
+    * the q_stream_bills_source oracle can embed mix(seed) as a literal and
+    * replay the per-row mixing independently in SQL. */
+  def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic row i under seed: a (state, year, docversion, content)
     * tuple derived from a splitmix-style hash — executor-side, retry-stable. */
   def row(i: Long, seed: Long): (String, Long, Long, String, String, Long, String) = {
-    def mix(x: Long): Long = {
-      var z = x + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
     val h = mix(i ^ mix(seed))
     val state = java.lang.Long.remainderUnsigned(h, 50L)
     val year = 2000L + java.lang.Long.remainderUnsigned(h >>> 8, 20L)
