@@ -2,6 +2,8 @@ package graft.multimodal
 
 import java.security.MessageDigest
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -17,9 +19,11 @@ import org.apache.spark.sql.functions._
   *    PNG ([[decodePng]]: zlib IDAT + all five spec filters — the JVM ships
   *    the inflater, no codec lib needed);
   *  - audio: REAL — WAV chunk walk + PCM SAMPLE decode ([[wavSamples]]);
-  *  - video: container metadata is REAL (MP4 box walk); frame decode is the
-  *    one remaining clearly-marked STUB — H.26x entropy decoding genuinely
-  *    needs a codec library this container does not ship.
+  *  - video: container metadata is REAL (MP4 box walk), and FRAME decode is
+  *    real for uncompressed AVI ([[aviFrames]]: RIFF chunk walk into the
+  *    movi list, raw '00db' frames) — only entropy-coded codecs (H.26x,
+  *    MJPEG) remain the clearly-marked STUB: they genuinely need a codec
+  *    library this container does not ship.
   */
 object Multimodal {
 
@@ -380,6 +384,109 @@ object Multimodal {
         }
         None
       }
+  }
+
+  /** Uncompressed-AVI video: header + raw frames. AVI is RIFF (the same
+    * container family as WAV): `RIFF('AVI ')` wraps a `LIST('hdrl')` whose
+    * `avih` main header carries total frames / width / height (OpenDML AVI
+    * spec), and a `LIST('movi')` whose `00db` chunks are uncompressed
+    * device-independent-bitmap frames — for 8-bit gray, one byte per pixel.
+    * This is REAL video frame decode with zero codec dependencies; compressed
+    * streams (`00dc` with a FourCC codec) are where the stub begins. */
+  final case class AviInfo(width: Int, height: Int, nFrames: Int)
+
+  def aviHeader(p: Array[Byte]): Option[AviInfo] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) =
+      i + 4 <= p.length && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    // top-level chunk walk for LIST('hdrl') → avih; overflow-safe cursor
+    var i = 12L
+    while (i + 8 <= p.length) {
+      val at = i.toInt
+      val size = u32(at + 4)
+      if (tag(at, "LIST") && tag(at + 8, "hdrl")) {
+        var j = i + 12
+        val end = math.min(i + 8 + size, p.length.toLong)
+        while (j + 8 <= end) {
+          val ja = j.toInt
+          val jsize = u32(ja + 4)
+          if (tag(ja, "avih") && jsize >= 40 && j + 8 + 40 <= end)
+            return Some(AviInfo(u32(ja + 8 + 32).toInt, u32(ja + 8 + 36).toInt,
+              u32(ja + 8 + 16).toInt))
+          j += 8L + jsize + (jsize & 1L)
+        }
+        return None // hdrl without avih: corrupt
+      }
+      i += 8L + size + (size & 1L)
+    }
+    None
+  }
+
+  /** Raw frames from the movi list: each `00db` chunk's bytes verbatim,
+    * in stream order. None when the container is not AVI or holds a
+    * compressed (`00dc`) stream — codec territory. */
+  def aviFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) =
+      i + 4 <= p.length && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    var i = 12L
+    while (i + 8 <= p.length) {
+      val at = i.toInt
+      val size = u32(at + 4)
+      if (tag(at, "LIST") && tag(at + 8, "movi")) {
+        val out = ArrayBuffer.empty[Array[Byte]]
+        var j = i + 12
+        val end = math.min(i + 8 + size, p.length.toLong)
+        while (j + 8 <= end) {
+          val ja = j.toInt
+          val jsize = u32(ja + 4)
+          if (j + 8 + jsize > end) return None // truncated frame chunk
+          if (tag(ja, "00dc")) return None     // compressed: needs a codec
+          if (tag(ja, "00db"))
+            out += java.util.Arrays.copyOfRange(p, ja + 8, ja + 8 + jsize.toInt)
+          j += 8L + jsize + (jsize & 1L)
+        }
+        return Some(out.toSeq)
+      }
+      i += 8L + size + (size & 1L)
+    }
+    None
+  }
+
+  /** Minimal VALID uncompressed AVI: RIFF('AVI ') { LIST('hdrl'){avih},
+    * LIST('movi'){00db × frames} }. 8-bit gray, one byte per pixel. */
+  def synthAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == w * h), "each frame must be w*h bytes")
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    def chunk(t: String, payload: Array[Byte]): Array[Byte] = {
+      val padded =
+        if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+      t.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ padded
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ le32(4L + body.length) ++
+        kind.getBytes("US-ASCII") ++ body
+    // avih: 56-byte main header; the parser reads totalframes(16),
+    // width(32), height(36) — the rest zeroed
+    val avih = new Array[Byte](56)
+    def put32(off: Int, v: Long): Unit =
+      le32(v).copyToArray(avih, off)
+    put32(16, frames.length.toLong)
+    put32(32, w.toLong)
+    put32(36, h.toLong)
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00db", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
 
   // ---- deterministic synthetic container builders: minimal, VALID headers

@@ -208,6 +208,55 @@ object FunctionQueries {
         }
         .toDF("doc_id", "kind", "n_vals", "sum_v", "min_v", "max_v")
         .orderBy("doc_id")
+    },
+
+    // ----- multimodal VIDEO FRAME decode gate: uncompressed AVI (RIFF —
+    // the WAV container family) synthesized with 8-bit gray frames from a
+    // deterministic pixel formula, walked back through aviHeader (hdrl/avih:
+    // frames, width, height) and aviFrames (movi list, raw 00db chunks).
+    // Integer stats of the DECODED frame bytes vs the arithmetic oracle: a
+    // mis-walked list, off-by-one chunk pad, or dropped frame shifts a sum
+    // and reddens the hash. Compressed streams (00dc) are where the one
+    // remaining codec stub begins.
+    "q_video_frames" -> QueryDef.sql("""
+      WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 40),
+      dims AS (SELECT id, 4 + id % 6 AS w, 3 + id % 5 AS h, 2 + id % 4 AS nf
+               FROM ids),
+      px AS (SELECT id, nf, (f*11 + x*5 + y*7 + id*3) % 256 AS v
+             FROM dims
+             CROSS JOIN range(0,5) rf(f) CROSS JOIN range(0,9) rx(x)
+             CROSS JOIN range(0,7) ry(y)
+             WHERE f < nf AND x < w AND y < h)
+      SELECT id AS doc_id, CAST(nf AS BIGINT) AS n_frames,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(v) AS BIGINT) AS sum_px,
+             CAST(MIN(v) AS BIGINT) AS min_px,
+             CAST(MAX(v) AS BIGINT) AS max_px
+      FROM px GROUP BY id, nf ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = (4 + id % 6).toInt
+          val h = (3 + id % 5).toInt
+          val nf = (2 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h) { k =>
+              val x = k % w; val y = k / w
+              ((f * 11 + x * 5 + y * 7 + id * 3) % 256).toByte
+            }
+          }
+          val bytes = Multimodal.synthAvi(w, h, frames)
+          val info = Multimodal.aviHeader(bytes)
+            .getOrElse(sys.error(s"AVI header walk failed for doc $id"))
+          require(info.width == w && info.height == h && info.nFrames == nf)
+          val got = Multimodal.aviFrames(bytes)
+            .getOrElse(sys.error(s"AVI frame walk failed for doc $id"))
+          val vals = got.flatMap(_.map(b => (b & 0xff).toLong))
+          (id, nf.toLong, vals.length.toLong, vals.sum, vals.min, vals.max)
+        }
+        .toDF("doc_id", "n_frames", "n_px", "sum_px", "min_px", "max_px")
+        .orderBy("doc_id")
     }
   )
 }

@@ -193,6 +193,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavSamples(b24).isEmpty)
   }
 
+  test("AVI: header + raw frames round-trip; compressed/odd-size/corrupt handled") {
+    // 5x3 gray, 3 frames with distinct content; 15 bytes per frame (ODD →
+    // exercises the RIFF pad-byte rule on every chunk)
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(15)(k => (f * 40 + k).toByte))
+    val avi = Multimodal.synthAvi(5, 3, frames)
+    assert(Multimodal.aviHeader(avi).contains(Multimodal.AviInfo(5, 3, 3)))
+    val got = Multimodal.aviFrames(avi).get
+    assert(got.length == 3)
+    got.zip(frames).foreach { case (g, f) => assert(g.sameElements(f)) }
+    // a compressed '00dc' stream declines (codec territory), no throw
+    val dc = avi.clone()
+    val idx = avi.indexOfSlice("00db".getBytes("US-ASCII"))
+    dc(idx + 3) = 'c'.toByte
+    assert(Multimodal.aviFrames(dc).isEmpty)
+    // truncation + garbage are total
+    assert(Multimodal.aviFrames(avi.take(30)).isEmpty)
+    assert(Multimodal.aviHeader("not an avi".getBytes).isEmpty)
+    val rnd = new scala.util.Random(11)
+    (0 until 2000).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
+      Multimodal.aviHeader(b); Multimodal.aviFrames(b)
+    }
+  }
+
   test("payloadFrom wraps text as binary with kind") {
     val ds = Multimodal.payloadFrom(docs, "doc_id", "text", kind = "image")
     val r = ds.collect().sortBy(_.id)
