@@ -30,6 +30,7 @@ object Bench {
     "q_minhash_dedup",   // MinHash banded LSH near-dup
     "q_simhash_dedup",   // SimHash near-dup
     "q_vector_sum",      // typed Aggregator
+    "q_kmv_distinct",    // mergeable sketch family representative (r6)
     "q_cosine_topk",     // brute-force ANN baseline
     "q_ann_lsh",         // bucketed ANN
     "q_tfidf_features",  // ML feature pipeline

@@ -40,7 +40,8 @@ object ScaleProbe {
     "q_window_tumbling", "q_window_sliding", "q_sessionize", "q_ewma",
     "q_ewma_running",
     "q_asof_join", "q_asof_forward", "q_range_join", "q_range_join_keyed",
-    "q_window_rank_fns", "q_incremental_agg", "q_hll_merge", "q_cms_topk")
+    "q_window_rank_fns", "q_incremental_agg", "q_hll_merge", "q_cms_topk",
+    "q_kmv_distinct", "q_quantile_sketch", "q_sample_bottomk")
   private val eventsFactors = Seq(1, 10, 50, 100)
 
   def main(args: Array[String]): Unit = {

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * stream through. Decode depth per modality:
   *  - image: REAL — header dims for PNG/GIF/JPEG, and full PIXEL decode for
   *    PNG ([[decodePng]]: zlib IDAT + all five spec filters — the JVM ships
-  *    the inflater, no codec lib needed);
+  *    the inflater, no codec lib needed) AND GIF ([[decodeGif]]: plain-JVM
+  *    LZW + interlace reorder — GIF's only compression is a dictionary
+  *    coder); JPEG entropy decode (Huffman+DCT) stays the stub;
   *  - audio: REAL — WAV chunk walk + PCM SAMPLE decode ([[wavSamples]]);
   *  - video: container metadata is REAL (MP4 box walk), and FRAME decode is
   *    real for uncompressed AVI ([[aviFrames]]: RIFF chunk walk into the
@@ -487,6 +489,243 @@ object Multimodal {
     val movi = list("movi", frames.toArray.flatMap(f => chunk("00db", f)))
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  // ---- GIF: full pixel decode. GIF's only compression is LZW (GIF89a spec
+  // appendix F) — a dictionary coder implementable in plain JVM code, no
+  // codec library. This retires the GIF slice of the image-decode stub the
+  // same way Inflater retired PNG's.
+
+  /** One decoded GIF frame: palette indices row-major (de-interlaced if the
+    * image descriptor set the interlace flag) + the active color table as
+    * 0xRRGGBB ints. */
+  final case class GifImage(width: Int, height: Int, interlaced: Boolean,
+                            indices: Array[Byte], palette: Array[Int])
+
+  /** Decode the FIRST image of a GIF87a/89a stream: logical screen
+    * descriptor, global/local color table, extension-block skip, then LZW
+    * decompression of the pixel indices (variable code width 3..12 bits
+    * LSB-first, CLEAR/END codes, KwKwK case) and interlace reordering
+    * (four-pass row schedule, spec §20). Returns None on any malformed
+    * structure — total, never throws. */
+  def decodeGif(p: Array[Byte]): Option[GifImage] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (p.length < 13) return None
+    val magic = new String(p, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val packed = u8(10)
+    var pos = 13
+    var palette: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (pos + 3 * n > p.length) return None
+      palette = Array.tabulate(n)(i =>
+        (u8(pos + 3 * i) << 16) | (u8(pos + 3 * i + 1) << 8) | u8(pos + 3 * i + 2))
+      pos += 3 * n
+    }
+    while (pos < p.length) {
+      u8(pos) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label + length-prefixed sub-blocks
+          pos += 2
+          while (pos < p.length && u8(pos) != 0) pos += 1 + u8(pos)
+          if (pos >= p.length) return None
+          pos += 1
+        case 0x2c => // image descriptor
+          if (pos + 10 > p.length) return None
+          val iw = u16(pos + 5); val ih = u16(pos + 7)
+          val ipacked = u8(pos + 9)
+          val interlaced = (ipacked & 0x40) != 0
+          pos += 10
+          var pal = palette
+          if ((ipacked & 0x80) != 0) {
+            val n = 1 << ((ipacked & 7) + 1)
+            if (pos + 3 * n > p.length) return None
+            pal = Array.tabulate(n)(i =>
+              (u8(pos + 3 * i) << 16) | (u8(pos + 3 * i + 1) << 8) | u8(pos + 3 * i + 2))
+            pos += 3 * n
+          }
+          if (pal == null || pos >= p.length) return None
+          val minCode = u8(pos); pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = ArrayBuffer.empty[Byte]
+          while (pos < p.length && u8(pos) != 0) {
+            val n = u8(pos)
+            if (pos + 1 + n > p.length) return None
+            data ++= p.slice(pos + 1, pos + 1 + n)
+            pos += 1 + n
+          }
+          if (pos >= p.length) return None
+          if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1 << 26)) return None
+          val raw = lzwDecode(minCode, data.toArray, iw * ih).getOrElse(return None)
+          val out = if (!interlaced) raw else deinterlace(raw, iw, ih)
+          return Some(GifImage(iw, ih, interlaced, out, pal))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW decode: codes start at minCode+1 bits, dictionary
+    * entries (prefix-chain, suffix byte) grow to 4096; CLEAR resets, END
+    * stops, code == next-free is the KwKwK case (string(prev) + its own
+    * first byte). Bits are packed LSB-first. */
+  private def lzwDecode(minCode: Int, data: Array[Byte],
+                        expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val endCode = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = clear + 2
+    var width = minCode + 1
+    var i = 0
+    while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+    val out = new ArrayBuffer[Byte](expected)
+    val stack = new Array[Byte](4096)
+    var bitPos = 0
+    val nBits = data.length * 8
+    def read(): Int = {
+      if (bitPos + width > nBits) -1
+      else {
+        var v = 0; var b = 0
+        while (b < width) {
+          val bit = (data((bitPos + b) >> 3) >> ((bitPos + b) & 7)) & 1
+          v |= bit << b
+          b += 1
+        }
+        bitPos += width
+        v
+      }
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (prefix(c) >= 0) c = prefix(c)
+      suffix(c)
+    }
+    def emit(code: Int): Unit = {
+      var c = code; var top = 0
+      while (c >= 0) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+      while (top > 0) { top -= 1; out += stack(top) }
+    }
+    var prev = -1
+    var done = false
+    while (!done && out.length < expected) {
+      val code = read()
+      if (code < 0 || code == endCode) done = true
+      else if (code == clear) { next = clear + 2; width = minCode + 1; prev = -1 }
+      else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        emit(code); prev = code
+      } else if (code < next) {
+        emit(code)
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = firstByte(code); next += 1
+          if (next < 4096 && next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      } else if (code == next && next < 4096) { // KwKwK: string(prev)+first
+        prefix(next) = prev; suffix(next) = firstByte(prev); next += 1
+        emit(code) // the entry just added
+        if (next < 4096 && next == (1 << width) && width < 12) width += 1
+        prev = code
+      } else return None
+    }
+    if (out.length != expected) None else Some(out.toArray)
+  }
+
+  /** Undo the four-pass interlace row schedule (GIF89a spec §20). */
+  private def deinterlace(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](raw.length)
+    var src = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+         row <- start until h by step) {
+      System.arraycopy(raw, src * w, out, row * w, w)
+      src += 1
+    }
+    out
+  }
+
+  /** Encoder twin: minimal VALID GIF89a with a global color table, one
+    * (optionally interlaced) image, REAL LZW compression (hash-chained
+    * dictionary, width growth, 4096-reset) — so the decoder round-trip
+    * exercises the same code paths a real-world GIF would. Palette length
+    * must be a power of two in [4, 256]. */
+  def synthGif(w: Int, h: Int, indices: Array[Byte], palette: Array[Int],
+               interlaced: Boolean = false): Array[Byte] = {
+    require(indices.length == w * h, "indices must be w*h bytes")
+    val n = palette.length
+    require(n >= 4 && n <= 256 && Integer.bitCount(n) == 1,
+      s"palette size must be a power of two in [4, 256], got $n")
+    val bits = Integer.numberOfTrailingZeros(n)
+    val minCode = math.max(2, bits)
+    require(indices.forall(b => (b & 0xff) < n), "index out of palette")
+
+    val rowOrder =
+      if (!interlaced) 0 until h
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap {
+        case (s0, st) => s0 until h by st
+      }
+    val px = new Array[Byte](indices.length)
+    var o = 0
+    rowOrder.foreach { r =>
+      System.arraycopy(indices, r * w, px, o * w, w); o += 1
+    }
+
+    // LZW encode
+    val clear = 1 << minCode
+    val endCode = clear + 1
+    val bitBuf = ArrayBuffer.empty[Byte]
+    var acc = 0L; var nAcc = 0; var width = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += width
+      while (nAcc >= 8) { bitBuf += (acc & 0xff).toByte; acc >>>= 8; nAcc -= 8 }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[Long, Int]
+    var next = clear + 2
+    put(clear)
+    var cur = px(0) & 0xff
+    var i = 1
+    while (i < px.length) {
+      val c = px(i) & 0xff
+      val key = (cur.toLong << 8) | c
+      dict.get(key) match {
+        case Some(code) => cur = code
+        case None =>
+          put(cur)
+          if (next < 4096) {
+            dict(key) = next; next += 1
+            if (next <= 4096 && next - 1 == (1 << width) && width < 12) width += 1
+          } else { // table full: reset, mirroring the decoder's CLEAR path
+            put(clear); dict = scala.collection.mutable.HashMap.empty
+            next = clear + 2; width = minCode + 1
+          }
+          cur = c
+      }
+      i += 1
+    }
+    put(cur); put(endCode)
+    if (nAcc > 0) bitBuf += (acc & 0xff).toByte
+
+    val out = ArrayBuffer.empty[Byte]
+    out ++= "GIF89a".getBytes("US-ASCII")
+    def le16(v: Int): Unit = { out += v.toByte; out += (v >> 8).toByte }
+    le16(w); le16(h)
+    out += (0x80 | (bits - 1)).toByte // GCT present, size 2^bits
+    out += 0.toByte; out += 0.toByte  // bg index, aspect
+    palette.foreach { rgb =>
+      out += (rgb >> 16).toByte; out += (rgb >> 8).toByte; out += rgb.toByte
+    }
+    out += 0x2c.toByte // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out += (if (interlaced) 0x40 else 0x00).toByte
+    out += minCode.toByte
+    bitBuf.grouped(255).foreach { blk =>
+      out += blk.length.toByte; out ++= blk
+    }
+    out += 0.toByte    // data terminator
+    out += 0x3b.toByte // trailer
+    out.toArray
   }
 
   // ---- deterministic synthetic container builders: minimal, VALID headers

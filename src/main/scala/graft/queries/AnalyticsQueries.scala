@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
 
 /** Corpus analytics & retrieval operators: staged conversion funnel, blocked
   * edit-distance join, exact TF-IDF top-terms, BM25-shaped keyword retrieval,
-  * robust statistics (MAD), ordered group-concat, and per-stratum
-  * deterministic sampling. All fully oracle-checked; transcendental-free
-  * formulations (rational idf instead of log-idf) keep doubles bit-identical
-  * across engines — the gate compares floats with `==`.
+  * robust statistics (MAD), ordered group-concat, per-stratum deterministic
+  * sampling, and (r6) the KMV sketch/sample family — SQL-replayable distinct
+  * and set-operation estimates, mergeable bottom-k uniform samples, sampled
+  * and GK-sketch quantiles, ES-weighted sampling. All fully oracle-checked;
+  * transcendental-free formulations (rational idf instead of log-idf,
+  * max-of-uniforms instead of u^(1/w)) keep doubles bit-identical across
+  * engines — the gate compares floats with `==`.
   */
 object AnalyticsQueries {
 
@@ -618,6 +621,271 @@ object AnalyticsQueries {
           'n_chars_consistent', len_mismatch) AS (check_name, violations)"""))
         .withColumn("passed", col("violations") === 0)
         .orderBy("check_name")
+    },
+
+    // ----- extension: KMV distinct-count sketch (functions.Kmv) — the
+    // order-statistics sibling of the HLL gate (q_approx_distinct). Unlike
+    // HLL, the KMV hash is the engine's SQL-replayable permutation, so the
+    // ESTIMATE ITSELF hash-matches: the oracle recomputes the k-th smallest
+    // hash with a window rank and applies the same (k−1)·P/h₍k₎ formula.
+    // A drifted sketch, a lost buffer merge, or a changed hash reddens the
+    // hash directly — no error-band indirection (the within_bound flag is
+    // the same deterministic arithmetic on both sides, reported for
+    // visibility, not slack). k = 64 < the ~150 distinct users per type, so
+    // the ESTIMATOR branch is exercised, not the exact-small-set branch.
+    "q_kmv_distinct" -> QueryDef.sql("""
+      SELECT event_type, n_exact, est,
+             (ABS(est - n_exact) * SQRT(62.0) <= 3.0 * n_exact) AS within_bound
+      FROM (
+        SELECT event_type, MAX(nd) AS n_exact,
+               CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+                    ELSE ROUND(63.0 * 2147483647 /
+                               MAX(CASE WHEN rn = 64 THEN h END), 4) END AS est
+        FROM (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM (SELECT DISTINCT event_type,
+                       (1103515245 * (user_id % 2147483647) + 12345)
+                         % 2147483647 AS h
+                FROM events) hs) r
+        GROUP BY event_type) e
+      ORDER BY event_type""") { (s, d) =>
+      import graft.functions.Kmv
+      val k = 64
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(Kmv.kmv(k)(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          Kmv.estimate(col("sk"), k).as("est"))
+        .withColumn("within_bound",
+          abs(col("est") - col("n_exact")) * sqrt(lit(62.0)) <=
+            lit(3.0) * col("n_exact"))
+        .orderBy("event_type")
+    },
+
+    // ----- extension: KMV set-operation estimates — union, intersection and
+    // Jaccard cardinalities of two key sets from their MERGED sketches (the
+    // k smallest of K(A) ∪ K(B) IS the union's sketch; Beyer et al. 2007
+    // §5), no re-scan of either side. The 100 TB shape: per-slice sketches
+    // answer "how many users did A and B share?" from 2 KB of state. Every
+    // estimate is replayed exactly in SQL → full hash match.
+    "q_kmv_setops" -> QueryDef.sql("""
+      WITH ha AS (SELECT DISTINCT (1103515245 * (user_id % 2147483647) + 12345)
+                         % 2147483647 AS h
+                  FROM events WHERE event_type = 'click'),
+      hb AS (SELECT DISTINCT (1103515245 * (user_id % 2147483647) + 12345)
+                    % 2147483647 AS h
+             FROM events WHERE event_type = 'purchase'),
+      ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+      kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+      ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+             ORDER BY h LIMIT 64),
+      st AS (SELECT (SELECT COUNT(*) FROM ku) AS m,
+                    (SELECT MAX(h) FROM ku) AS hk,
+                    (SELECT COUNT(*) FROM ku
+                     WHERE h IN (SELECT h FROM ka)
+                       AND h IN (SELECT h FROM kb)) AS common),
+      ex AS (SELECT
+               COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS n_a,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_b,
+               COUNT(DISTINCT user_id) AS n_union
+             FROM events WHERE event_type IN ('click', 'purchase'))
+      SELECT n_a, n_b, n_union, n_a + n_b - n_union AS n_inter,
+             CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                  ELSE ROUND(63.0 * 2147483647 / hk, 4) END AS union_est,
+             ROUND(CAST(common AS DOUBLE) / CAST(m AS DOUBLE), 6) AS jacc_est,
+             ROUND((CAST(common AS DOUBLE) / CAST(m AS DOUBLE)) *
+                   (CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                         ELSE 63.0 * 2147483647 / hk END), 4) AS inter_est
+      FROM st, ex""") { (s, d) =>
+      import graft.functions.Kmv
+      val k = 64
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click")
+        .agg(Kmv.kmv(k)(col("user_id")).as("ska"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .agg(Kmv.kmv(k)(col("user_id")).as("skb"))
+      val ex = ev.filter(col("event_type").isin("click", "purchase"))
+        .agg(
+          countDistinct(when(col("event_type") === "click", col("user_id")))
+            .as("n_a"),
+          countDistinct(when(col("event_type") === "purchase", col("user_id")))
+            .as("n_b"),
+          countDistinct(col("user_id")).as("n_union"))
+      a.crossJoin(b).crossJoin(ex)
+        .withColumn("u", Kmv.unionSketch(col("ska"), col("skb"), k))
+        .select(col("n_a"), col("n_b"), col("n_union"),
+          (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
+          Kmv.estimate(col("u"), k).as("union_est"),
+          round(Kmv.jaccardRaw(col("u"), col("ska"), col("skb")), 6)
+            .as("jacc_est"),
+          round(Kmv.jaccardRaw(col("u"), col("ska"), col("skb")) *
+            Kmv.estimateRaw(col("u"), k), 4).as("inter_est"))
+    },
+
+    // ----- extension: deterministic bottom-k uniform sample — the k rows
+    // with the smallest key hash are a uniform without-replacement sample
+    // (the hash is a fixed permutation of the key space), maintained by a
+    // MERGEABLE bounded aggregator (functions.Kmv.BottomK): the map side
+    // emits one ≤k-row partial per partition, no per-group sort, and daily
+    // samples merge into exactly the month's sample. The oracle replays the
+    // same sample as a window rank — full hash match, rank order included.
+    "q_sample_bottomk" -> QueryDef.sql("""
+      SELECT event_type, rn, event_id FROM (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY (1103515245 * (event_id % 2147483647) + 12345)
+                          % 2147483647) AS rn
+        FROM events) t
+      WHERE rn <= 16 ORDER BY event_type, rn""") { (s, d) =>
+      import graft.functions.Kmv
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(Kmv.bottomK(16)(col("event_id"), col("event_id").cast("double"))
+          .as("samp"))
+        .select(col("event_type"), posexplode(col("samp")).as(Seq("pos", "ev")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+          col("ev").cast("long").as("event_id"))
+        .orderBy("event_type", "rn")
+    },
+
+    // ----- extension: sampled quantiles — order statistics of a bottom-k
+    // uniform sample estimate population quantiles with DKW rank error
+    // ≤ √(ln(2/δ)/2k) (≈ 0.102 at k = 256, δ = 1%; the gate flags use 0.11).
+    // The 100 TB path when exact percentile buffers don't fit: one bounded
+    // mergeable sketch pass + one cheap rank-verification pass. The sample,
+    // the estimates AND the verified rank fractions are all replayed exactly
+    // in SQL → full hash match (the _ok flags are identical deterministic
+    // arithmetic on both sides).
+    "q_quantile_sketch" -> QueryDef.sql("""
+      WITH s AS (SELECT value,
+                   ROW_NUMBER() OVER (ORDER BY
+                     (1103515245 * (event_id % 2147483647) + 12345)
+                     % 2147483647) AS rn
+                 FROM events),
+      samp AS (SELECT value FROM s WHERE rn <= 256),
+      o AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS vr FROM samp),
+      mm AS (SELECT COUNT(*) AS m FROM samp),
+      est AS (SELECT
+        (SELECT value FROM o, mm
+         WHERE vr = CAST(FLOOR(0.5 * (m - 1)) AS BIGINT) + 1) AS p50_raw,
+        (SELECT value FROM o, mm
+         WHERE vr = CAST(FLOOR(0.9 * (m - 1)) AS BIGINT) + 1) AS p90_raw),
+      base AS (SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN value <= (SELECT p50_raw FROM est)
+                          THEN 1 ELSE 0 END) AS c50,
+                 SUM(CASE WHEN value <= (SELECT p90_raw FROM est)
+                          THEN 1 ELSE 0 END) AS c90
+               FROM events)
+      SELECT n, (SELECT m FROM mm) AS m,
+             ROUND((SELECT p50_raw FROM est), 6) AS p50_est,
+             ROUND((SELECT p90_raw FROM est), 6) AS p90_est,
+             ROUND(CAST(c50 AS DOUBLE) / n, 6) AS p50_rank,
+             ROUND(CAST(c90 AS DOUBLE) / n, 6) AS p90_rank,
+             (ABS(CAST(c50 AS DOUBLE) / n - 0.5) <= 0.11) AS p50_ok,
+             (ABS(CAST(c90 AS DOUBLE) / n - 0.9) <= 0.11) AS p90_ok
+      FROM base""") { (s, d) =>
+      import graft.functions.Kmv
+      val k = 256
+      val ev = Tables.events(s, d)
+      val est = ev
+        .agg(Kmv.bottomK(k)(col("event_id"), col("value")).as("samp"))
+        .select(array_sort(col("samp")).as("sv"))
+        .select(size(col("sv")).cast("long").as("m"),
+          Kmv.sampleQuantile(col("sv"), 0.5).as("p50_raw"),
+          Kmv.sampleQuantile(col("sv"), 0.9).as("p90_raw"))
+      ev.crossJoin(broadcast(est))
+        .agg(count(lit(1)).as("n"), first(col("m")).as("m"),
+          first(col("p50_raw")).as("p50_raw"),
+          first(col("p90_raw")).as("p90_raw"),
+          sum(when(col("value") <= col("p50_raw"), 1L).otherwise(0L)).as("c50"),
+          sum(when(col("value") <= col("p90_raw"), 1L).otherwise(0L)).as("c90"))
+        .select(col("n"), col("m"),
+          round(col("p50_raw"), 6).as("p50_est"),
+          round(col("p90_raw"), 6).as("p90_est"),
+          round(col("c50").cast("double") / col("n"), 6).as("p50_rank"),
+          round(col("c90").cast("double") / col("n"), 6).as("p90_rank"),
+          (abs(col("c50").cast("double") / col("n") - 0.5) <= 0.11).as("p50_ok"),
+          (abs(col("c90").cast("double") / col("n") - 0.9) <= 0.11).as("p90_ok"))
+    },
+
+    // ----- extension: stock approx-percentile sketch, error-certified — the
+    // Greenwald-Khanna sketch behind Spark's approx_percentile guarantees
+    // rank error ≤ 1/accuracy; like q_approx_distinct, the gate hashes the
+    // guarantee: Spark emits the VERIFIED rank fraction of each estimate
+    // (one cheap second pass) and a within_bound flag (|rank − q| ≤ 1/acc,
+    // deterministic — GK's bound is worst-case, not probabilistic), the
+    // oracle emits exact quantiles + literal TRUEs. Next to the KMV
+    // q_quantile_sketch this covers both quantile paths: the engine-native
+    // mergeable sample (full-hash replayable) and the stock codegen'd
+    // sketch (bound-certified).
+    "q_approx_percentile" -> QueryDef.sql("""
+      WITH r AS (SELECT event_type,
+                        quantile_disc(value, 0.5) AS p50_exact,
+                        quantile_disc(value, 0.9) AS p90_exact
+                 FROM events GROUP BY event_type)
+      SELECT event_type, ROUND(p50_exact, 6) AS p50_exact,
+             ROUND(p90_exact, 6) AS p90_exact,
+             TRUE AS p50_ok, TRUE AS p90_ok
+      FROM r ORDER BY event_type""") { (s, d) =>
+      val acc = 200 // rank error ≤ 1/200 = 0.5%
+      val ev = Tables.events(s, d)
+      val est = ev.groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(acc)).as("p50_est"),
+          percentile_approx(col("value"), lit(0.9), lit(acc)).as("p90_est"),
+          sort_array(collect_list(col("value"))).as("vs"),
+          count(lit(1)).as("n"))
+      // verified rank of each estimate within its group (exact, from the
+      // sorted group values — groups are event-type-sized here; at scale the
+      // second pass is the broadcast-join form q_quantile_sketch uses)
+      val rankOf = (est: org.apache.spark.sql.Column,
+                    vs: org.apache.spark.sql.Column) =>
+        size(filter(vs, v => v <= est)).cast("double")
+      est.select(col("event_type"),
+          round(element_at(col("vs"),
+            ceil(col("n") * 0.5).cast("int")), 6).as("p50_exact"),
+          round(element_at(col("vs"),
+            ceil(col("n") * 0.9).cast("int")), 6).as("p90_exact"),
+          (abs(rankOf(col("p50_est"), col("vs")) / col("n") - 0.5) <=
+            lit(1.0 / acc) + lit(1.0) / col("n")).as("p50_ok"),
+          (abs(rankOf(col("p90_est"), col("vs")) / col("n") - 0.9) <=
+            lit(1.0 / acc) + lit(1.0) / col("n")).as("p90_ok"))
+        .orderBy("event_type")
+    },
+
+    // ----- extension: deterministic WEIGHTED sample (training-data mixture
+    // weighting) — Efraimidis–Spirakis priorities for integer weights
+    // without transcendentals: an item of weight w takes the MAX of w
+    // double-hashed uniforms h₁+j·h₂ mod P (same law as ES keys u^(1/w);
+    // cross-engine exp/ln/pow are not bit-reproducible, max-of-uniforms is).
+    // Top-K by priority = weighted without-replacement sample; TakeOrdered,
+    // no global sort. The oracle unrolls the w ≤ 5 draws as GREATEST — full
+    // hash.
+    "q_sample_weighted" -> QueryDef.sql {
+      val terms = (1 to 5).map { j =>
+        val h = graft.functions.Kmv.weightedDrawSql("o_orderkey", j)
+        if (j == 1) h
+        else s"CASE WHEN 6 - CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) >= $j THEN $h ELSE -1 END"
+      }
+      s"""
+      SELECT o_orderkey, w, pri FROM (
+        SELECT o_orderkey,
+               6 - CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS w,
+               GREATEST(${terms.mkString(",\n                 ")}) AS pri
+        FROM orders) t
+      ORDER BY pri DESC, o_orderkey LIMIT 100"""
+    } { (s, d) =>
+      import graft.functions.Kmv
+      Tables.orders(s, d)
+        .withColumn("w",
+          lit(6L) - substring(col("o_orderpriority"), 1, 1).cast("long"))
+        .withColumn("pri", Kmv.weightedPriority(col("o_orderkey"), col("w")))
+        .orderBy(col("pri").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "w", "pri")
+        .orderBy(col("pri").desc, col("o_orderkey"))
     }
   )
 }

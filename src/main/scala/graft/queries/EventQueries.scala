@@ -533,6 +533,47 @@ object EventQueries {
         .orderBy("user_id")
     }.serial,
 
+    // ----- §2.13 STREAMING: KMV sketch maintained as streaming-aggregation
+    // state — the distinct-count / sample sibling of q_stream_cms. The
+    // bounded sorted-merge buffer (functions.Kmv.Sketch) folds each
+    // micro-batch in losslessly, so streamed ≡ batch EXACTLY (asserted via
+    // stream_exact), and because the KMV hash is SQL-replayable the oracle
+    // recomputes the per-type distinct ESTIMATE itself — the streamed
+    // sketch's estimate hash-matches, not just its error band.
+    "q_stream_kmv" -> QueryDef.sql("""
+      SELECT event_type, n_exact, est, TRUE AS stream_exact
+      FROM (
+        SELECT event_type, MAX(nd) AS n_exact,
+               CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+                    ELSE ROUND(63.0 * 2147483647 /
+                               MAX(CASE WHEN rn = 64 THEN h END), 4) END AS est
+        FROM (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM (SELECT DISTINCT event_type,
+                       (1103515245 * (user_id % 2147483647) + 12345)
+                         % 2147483647 AS h
+                FROM events) hs) r
+        GROUP BY event_type) e
+      ORDER BY event_type""") { (s, d) =>
+      import graft.functions.Kmv
+      import graft.streaming.Streaming
+      val k = 64
+      val sk = Streaming.replayToTable(
+        Streaming.eventStream(s, d).groupBy("event_type")
+          .agg(Kmv.kmv(k)(col("user_id")).as("sk")),
+        s"stream_kmv_${System.nanoTime()}")
+      val batch = Tables.events(s, d).groupBy("event_type")
+        .agg(Kmv.kmv(k)(col("user_id")).as("sk_batch"),
+          countDistinct(col("user_id")).as("n_exact"))
+      sk.join(batch, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          Kmv.estimate(col("sk"), k).as("est"),
+          (col("sk") === col("sk_batch")).as("stream_exact"))
+        .orderBy("event_type")
+    }.serial,
+
     // ----- §2.13 STREAMING: UNION of two independent streaming sources (the
     // click feed and the error feed read as separate readStreams) merged into
     // one complete-mode aggregation. Oracle: UNION ALL of the same slices.

@@ -257,6 +257,58 @@ object FunctionQueries {
         }
         .toDF("doc_id", "n_frames", "n_px", "sum_px", "min_px", "max_px")
         .orderBy("doc_id")
+    },
+
+    // ----- extension twin of q_video_frames for GIF: REAL LZW pixel decode
+    // (Multimodal.decodeGif — dictionary coder, variable code width,
+    // interlace reordering; no codec library) round-tripped through the REAL
+    // LZW encoder twin against an arithmetic oracle. Every even doc takes
+    // the interlaced path, so the four-pass row schedule is oracle-checked
+    // too (a wrong de-interlace permutes rows and flips sum_xy).
+    "q_gif_decode" -> QueryDef.sql("""
+      WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 40),
+      dims AS (SELECT id, 3 + id % 6 AS w, 2 + id % 5 AS h FROM ids),
+      px AS (SELECT id, w, h, x, y, (x*5 + y*7 + id*3) % 16 AS v
+             FROM dims
+             CROSS JOIN range(0,9) rx(x) CROSS JOIN range(0,7) ry(y)
+             WHERE x < w AND y < h)
+      SELECT id AS doc_id, CAST(MAX(w) AS BIGINT) AS width,
+             CAST(MAX(h) AS BIGINT) AS height,
+             (id % 2 = 0) AS interlaced,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(v) AS BIGINT) AS sum_idx,
+             CAST(SUM((v * 17) % 256) AS BIGINT) AS sum_red,
+             CAST(SUM(v * (x + y * 10)) AS BIGINT) AS sum_xy
+      FROM px GROUP BY id ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      val palette = Array.tabulate(16)(i =>
+        (((i * 17) % 256) << 16) | (((i * 29) % 256) << 8) | ((i * 43) % 256))
+      Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = (3 + id % 6).toInt
+          val h = (2 + id % 5).toInt
+          val idx = Array.tabulate(w * h) { k =>
+            val x = k % w; val y = k / w
+            ((x * 5 + y * 7 + id * 3) % 16).toByte
+          }
+          val inter = id % 2 == 0
+          val bytes = Multimodal.synthGif(w, h, idx, palette, inter)
+          val img = Multimodal.decodeGif(bytes)
+            .getOrElse(sys.error(s"GIF decode failed for doc $id"))
+          require(img.width == w && img.height == h &&
+            img.interlaced == inter, s"GIF dims/interlace wrong for doc $id")
+          val vs = img.indices.map(_ & 0xff)
+          val sumRed = vs.map(v => (img.palette(v) >> 16) & 0xff).map(_.toLong).sum
+          val sumXy = vs.zipWithIndex.map { case (v, k) =>
+            v.toLong * (k % w + (k / w) * 10)
+          }.sum
+          (id, w.toLong, h.toLong, inter, vs.length.toLong,
+            vs.map(_.toLong).sum, sumRed, sumXy)
+        }
+        .toDF("doc_id", "width", "height", "interlaced", "n_px",
+          "sum_idx", "sum_red", "sum_xy")
+        .orderBy("doc_id")
     }
   )
 }

@@ -24,17 +24,13 @@ object PipelineQueries {
 
   private val Z_BITS = 8
 
-  /** Bit-interleave SQL for the DuckDB side: z = Σ ((x>>b)&1)<<2b | ((y>>b)&1)<<2b+1. */
+  /** Morton key, both sides delegated to [[graft.operators.ZOrder]] (the
+    * write-layout operator, r6) so the engine has ONE interleave. */
   private def zOrderSql(x: String, y: String): String =
-    (0 until Z_BITS).flatMap { b =>
-      Seq(s"((($x >> $b) & 1) << ${2 * b})", s"((($y >> $b) & 1) << ${2 * b + 1})")
-    }.mkString(" + ")
+    graft.operators.ZOrder.interleaveSql(x, y, Z_BITS)
 
   private def zOrderCol(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-    (0 until Z_BITS).map { b =>
-      shiftleft(shiftright(x, b).bitwiseAND(1), 2 * b) +
-        shiftleft(shiftright(y, b).bitwiseAND(1), 2 * b + 1)
-    }.reduce(_ + _)
+    graft.operators.ZOrder.interleave(x, y, Z_BITS)
 
   val defs: Map[String, QueryDef] = Map(
 

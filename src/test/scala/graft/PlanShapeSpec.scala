@@ -97,6 +97,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"q_cms_topk sketch probe not broadcast:\n$p")
   }
 
+  /** The KMV family's scale contract: the sketch/sample is built by a
+    * MERGEABLE bounded aggregator — partial ObjectHashAggregate on the map
+    * side (one ≤k-entry buffer per partition crosses the shuffle, never the
+    * key stream) and NO per-group sort anywhere (the window-rank form the
+    * DuckDB oracle uses would plan a Sort; the engine must not). */
+  test("q_kmv_distinct / q_sample_bottomk: partial sketch agg, no sort") {
+    for (q <- Seq("q_kmv_distinct", "q_sample_bottomk")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q sketch lacks map-side partial aggregation:\n$p")
+      // the only Sort allowed is the final presentation orderBy — never one
+      // feeding the aggregate (a window-rank regression would add it below)
+      val agg = df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(agg.nonEmpty, s"$q lost its aggregate")
+      agg.foreach { a =>
+        val sortsBelow = a.collect {
+          case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+        }
+        assert(sortsBelow.isEmpty, s"$q sorts below the sketch aggregate:\n$p")
+      }
+    }
+  }
+
   /** Filter + projection must reach the parquet scan (pushdown/pruning). */
   test("filter pushdown and column pruning reach the scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, dir)

@@ -253,6 +253,64 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(1L).sameElements(again(1L))) // deterministic
   }
 
+  test("GIF: LZW encode/decode round-trips indices exactly, both interlace modes") {
+    val palette = Array.tabulate(16)(i => (i * 17 << 16) | (i * 7 << 8) | i)
+    for (w <- Seq(1, 3, 7, 16); h <- Seq(1, 2, 5, 9); inter <- Seq(false, true)) {
+      val idx = Array.tabulate(w * h)(k => ((k * 31 + 7) % 16).toByte)
+      val bytes = Multimodal.synthGif(w, h, idx, palette, inter)
+      val img = Multimodal.decodeGif(bytes)
+        .getOrElse(fail(s"decode failed w=$w h=$h inter=$inter"))
+      assert(img.width == w && img.height == h && img.interlaced == inter)
+      assert(img.indices.toSeq == idx.toSeq, s"pixels differ w=$w h=$h inter=$inter")
+      assert(img.palette.toSeq == palette.toSeq)
+    }
+  }
+
+  test("GIF: large 256-color random image exercises code-width growth + KwKwK") {
+    val rnd = new scala.util.Random(42)
+    val palette = Array.tabulate(256)(i => i << 16 | i << 8 | i)
+    // random bytes: dictionary grows past 512/1024 entries → width 9,10,11;
+    // runs of repeats trigger the KwKwK case
+    val idx = Array.tabulate(64 * 64) { k =>
+      if (k % 17 < 5) 7.toByte else rnd.nextInt(256).toByte
+    }
+    val bytes = Multimodal.synthGif(64, 64, idx, palette)
+    val img = Multimodal.decodeGif(bytes).getOrElse(fail("decode failed"))
+    assert(img.indices.toSeq == idx.toSeq)
+    // a REPETITIVE image must genuinely compress (real LZW, not literal
+    // passthrough): 4096 px of period-8 stripes → long dictionary matches
+    val stripes = Array.tabulate(64 * 64)(k => ((k / 8) % 4).toByte)
+    val packed = Multimodal.synthGif(64, 64, stripes, palette)
+    assert(packed.length < 64 * 64 / 2,
+      s"stripes didn't compress: ${packed.length} bytes for 4096 px")
+    assert(Multimodal.decodeGif(packed).get.indices.toSeq == stripes.toSeq)
+  }
+
+  test("GIF: table-full reset path survives a >4096-entry stream") {
+    val palette = Array.tabulate(256)(i => i)
+    // 160×160 high-entropy image: dictionary hits 4096 and resets mid-stream
+    val rnd = new scala.util.Random(7)
+    val idx = Array.fill(160 * 160)(rnd.nextInt(256).toByte)
+    val img = Multimodal.decodeGif(Multimodal.synthGif(160, 160, idx, palette))
+      .getOrElse(fail("decode failed after table reset"))
+    assert(img.indices.toSeq == idx.toSeq)
+  }
+
+  test("decodeGif is total: corrupt, truncated and foreign streams return None") {
+    val palette = Array.tabulate(4)(i => i * 60)
+    val good = Multimodal.synthGif(5, 4, Array.fill(20)(2.toByte), palette)
+    assert(Multimodal.decodeGif(good).isDefined)
+    for (cut <- Seq(0, 5, 12, good.length / 2, good.length - 2))
+      assert(Multimodal.decodeGif(good.take(cut)).isEmpty, s"cut=$cut")
+    assert(Multimodal.decodeGif("notagif".getBytes).isEmpty)
+    assert(Multimodal.decodeGif(Multimodal.synthPng(3, 3)).isEmpty)
+    val rnd = new scala.util.Random(3)
+    (0 until 50).foreach { _ =>
+      val junk = "GIF89a".getBytes ++ Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Multimodal.decodeGif(junk) // must not throw
+    }
+  }
+
   test("sampleFrames: stride chunks with stable hashes") {
     val ds = Multimodal.payloadFrom(
       Seq((7L, "a" * 600)).toDF("doc_id", "text"), "doc_id", "text", "video")
