@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   * stream through. Decode depth per modality:
   *  - image: REAL — header dims for PNG/GIF/JPEG, and full PIXEL decode for
   *    PNG ([[decodePng]]: zlib IDAT + all five spec filters — the JVM ships
-  *    the inflater, no codec lib needed) AND GIF ([[decodeGif]]: plain-JVM
+  *    the inflater, no codec lib needed), GIF ([[decodeGif]]: plain-JVM
   *    LZW + interlace reorder — GIF's only compression is a dictionary
-  *    coder); JPEG entropy decode (Huffman+DCT) stays the stub;
+  *    coder) AND baseline JPEG ([[Jpeg.decodeJpeg]]: clean-room canonical
+  *    Huffman entropy decode + dequant + float IDCT, T.81);
   *  - audio: REAL — WAV chunk walk + PCM SAMPLE decode ([[wavSamples]]);
   *  - video: container metadata is REAL (MP4 box walk), and FRAME decode is
   *    real for uncompressed AVI ([[aviFrames]]: RIFF chunk walk into the
-  *    movi list, raw '00db' frames) — only entropy-coded codecs (H.26x,
-  *    MJPEG) remain the clearly-marked STUB: they genuinely need a codec
-  *    library this container does not ship.
+  *    movi list, raw '00db' frames) AND MJPEG AVI ([[aviMjpegFrames]]:
+  *    '00dc' chunks, one baseline JPEG per frame) — only inter-frame
+  *    predicted codecs (H.26x, VPx) remain the clearly-marked STUB: they
+  *    genuinely need a codec library this container does not ship.
   */
 object Multimodal {
 
@@ -463,10 +465,63 @@ object Multimodal {
     None
   }
 
+  /** MJPEG-in-AVI frame decode: walks the SAME movi list as [[aviFrames]]
+    * but expects compressed `00dc` chunks, each a complete baseline JPEG
+    * stream (MJPEG is exactly that — one independent JPEG per frame), and
+    * decodes them through [[Jpeg.decodeJpeg]]. This retires the MJPEG slice
+    * of the video stub; inter-frame-predicted codecs (H.26x) remain the one
+    * genuine codec-library dependency. None when the container is not AVI
+    * or any frame fails the JPEG decode. */
+  def aviMjpegFrames(p: Array[Byte]): Option[Seq[Jpeg.JpegImage]] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) =
+      i + 4 <= p.length && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    var i = 12L
+    while (i + 8 <= p.length) {
+      val at = i.toInt
+      val size = u32(at + 4)
+      if (tag(at, "LIST") && tag(at + 8, "movi")) {
+        val out = ArrayBuffer.empty[Jpeg.JpegImage]
+        var j = i + 12
+        val end = math.min(i + 8 + size, p.length.toLong)
+        while (j + 8 <= end) {
+          val ja = j.toInt
+          val jsize = u32(ja + 4)
+          if (j + 8 + jsize > end) return None // truncated frame chunk
+          if (tag(ja, "00dc")) {
+            val frame = java.util.Arrays.copyOfRange(p, ja + 8, ja + 8 + jsize.toInt)
+            Jpeg.decodeJpeg(frame) match {
+              case Some(img) => out += img
+              case None      => return None // not MJPEG / corrupt frame
+            }
+          }
+          j += 8L + jsize + (jsize & 1L)
+        }
+        return Some(out.toSeq)
+      }
+      i += 8L + size + (size & 1L)
+    }
+    None
+  }
+
+  /** MJPEG twin of [[synthAvi]]: the same RIFF skeleton, but each frame is a
+    * complete JPEG stream carried in a `00dc` (compressed) chunk. */
+  def synthAviMjpeg(w: Int, h: Int, jpegFrames: Seq[Array[Byte]]): Array[Byte] =
+    synthAviWith(w, h, jpegFrames, "00dc")
+
   /** Minimal VALID uncompressed AVI: RIFF('AVI ') { LIST('hdrl'){avih},
     * LIST('movi'){00db × frames} }. 8-bit gray, one byte per pixel. */
   def synthAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
     require(frames.forall(_.length == w * h), "each frame must be w*h bytes")
+    synthAviWith(w, h, frames, "00db")
+  }
+
+  private def synthAviWith(w: Int, h: Int, frames: Seq[Array[Byte]],
+                           frameTag: String): Array[Byte] = {
     def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
       (v >> 24).toByte)
     def chunk(t: String, payload: Array[Byte]): Array[Byte] = {
@@ -486,7 +541,7 @@ object Multimodal {
     put32(32, w.toLong)
     put32(36, h.toLong)
     val hdrl = list("hdrl", chunk("avih", avih))
-    val movi = list("movi", frames.toArray.flatMap(f => chunk("00db", f)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk(frameTag, f)))
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.functions.Aggregators
 import graft.io.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Jpeg, Multimodal}
 import graft.similarity.ArrayOps
 import org.apache.spark.sql.functions._
 
@@ -308,6 +308,198 @@ object FunctionQueries {
         }
         .toDF("doc_id", "width", "height", "interlaced", "n_px",
           "sum_idx", "sum_red", "sum_xy")
+        .orderBy("doc_id")
+    },
+
+    // ----- baseline JPEG PIXEL decode gate (retires the image slice of the
+    // entropy-coded stub): DC-only blocks make the whole pipeline exactly
+    // integral — with q0 = 8 the IDCT of a DC-only block is dc*q0/8 = dc in
+    // every pixel, so decoded value = clamp(dc + 128, 0, 255) with zero
+    // float ambiguity. What the gate still exercises for real: marker walk,
+    // canonical Huffman DC decode, DC-diff prediction, EOB, restart-marker
+    // resync + predictor reset (every id%3==0 doc uses DRI=2), dequant,
+    // IDCT, level shift, clamp, multi-block raster placement and edge-block
+    // cropping. The position-weighted sum_xy reddens on any misplaced or
+    // mis-cropped block; min/max redden on a broken clamp.
+    "q_jpeg_decode" -> QueryDef.sql("""
+      WITH ids AS (SELECT doc_id AS id, 6 + doc_id % 19 AS w, 5 + doc_id % 13 AS h
+                   FROM documents WHERE doc_id < 40),
+      blocks AS (
+        SELECT id, w, h,
+               by * ((w + 7) // 8) + bx AS b,
+               8*bx AS x0, LEAST(8*bx+8, w) AS x1,
+               8*by AS y0, LEAST(8*by+8, h) AS y1
+        FROM ids CROSS JOIN range(0,3) rx(bx) CROSS JOIN range(0,3) ry(by)
+        WHERE 8*bx < w AND 8*by < h),
+      vals AS (
+        SELECT id, w, h, x1-x0 AS nx, y1-y0 AS ny, x0, x1, y0, y1,
+               LEAST(255, GREATEST(0, ((id*7 + b*13) % 381) - 190 + 128)) AS v
+        FROM blocks)
+      SELECT id AS doc_id,
+             CAST(MAX(w) AS BIGINT) AS width,
+             CAST(MAX(h) AS BIGINT) AS height,
+             CAST(SUM(nx*ny) AS BIGINT) AS n_px,
+             CAST(SUM(v*nx*ny) AS BIGINT) AS sum_px,
+             CAST(MIN(v) AS BIGINT) AS min_px,
+             CAST(MAX(v) AS BIGINT) AS max_px,
+             CAST(SUM(v * (((x0+x1-1)*nx//2) * ny + ((y0+y1-1)*ny//2) * 31 * nx)) AS BIGINT) AS sum_xy
+      FROM vals GROUP BY id ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = (6 + id % 19).toInt
+          val h = (5 + id % 13).toInt
+          val bw = (w + 7) / 8; val bh = (h + 7) / 8
+          val quant = Array.fill(64)(16); quant(0) = 8
+          val blocks = Array.tabulate(bw * bh) { b =>
+            val blk = new Array[Int](64)
+            blk(0) = ((id * 7 + b * 13) % 381).toInt - 190
+            blk
+          }
+          val ri = if (id % 3 == 0) 2 else 0
+          val bytes = Jpeg.encodeJpegFromCoeffs(w, h, quant, blocks, ri)
+          val img = Jpeg.decodeJpeg(bytes)
+            .getOrElse(sys.error(s"JPEG decode failed for doc $id"))
+          require(img.width == w && img.height == h && img.components == 1)
+          val px = img.planes(0)
+          val sumXy = px.indices.map { i =>
+            px(i).toLong * (i % w + (i / w) * 31)
+          }.sum
+          (id, w.toLong, h.toLong, px.length.toLong, px.map(_.toLong).sum,
+            px.min.toLong, px.max.toLong, sumXy)
+        }
+        .toDF("doc_id", "width", "height", "n_px", "sum_px", "min_px",
+          "max_px", "sum_xy")
+        .orderBy("doc_id")
+    },
+
+    // ----- JPEG ENTROPY-LAYER gate: the coefficient path is LOSSLESS, so a
+    // full-AC encode→decode round trip must reproduce every quantized
+    // coefficient bit-for-bit — this gates what the DC-only pixel gate
+    // cannot: AC run/size Huffman decode, ZRL (the sparse formula leaves
+    // >16-zero gaps), EOB, byte stuffing, and the de-zigzag permutation
+    // (the SQL replays zigzag→natural through the engine's own table,
+    // embedded as a literal — a wrong decoder table mismatches sum_cpos).
+    "q_jpeg_coeffs" -> QueryDef.sql(s"""
+      WITH zz AS (SELECT k, zn FROM (SELECT UNNEST(${Jpeg.ZigZag.mkString("[", ",", "]")}) AS zn,
+                                            UNNEST(range(0,64)) AS k)),
+      ids AS (SELECT doc_id AS id, 6 + doc_id % 19 AS w, 5 + doc_id % 13 AS h
+              FROM documents WHERE doc_id < 40),
+      dims AS (SELECT id, ((w + 7) // 8) * ((h + 7) // 8) AS nb, w, h FROM ids),
+      coefs AS (
+        SELECT id, nb, b, k, zn,
+               CASE WHEN k = 0 THEN ((id*5 + b*11) % 201) - 100
+                    WHEN (k + b*3 + id) % 17 = 0
+                      THEN ((id*13 + b*7 + k*19) % 1001) - 500
+                    ELSE 0 END AS c
+        FROM dims CROSS JOIN range(0,9) rb(b) CROSS JOIN zz
+        WHERE b < nb),
+      qt AS (SELECT id, k, zn, 1 + (k*3 + id) % 50 AS q
+             FROM ids CROSS JOIN zz)
+      SELECT c.id AS doc_id,
+             CAST(MAX(c.nb) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN c.c <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nz,
+             CAST(SUM(c.c) AS BIGINT) AS sum_c,
+             CAST(SUM(c.c * c.zn) AS BIGINT) AS sum_cpos,
+             CAST(SUM(c.c * c.b) AS BIGINT) AS sum_cb,
+             CAST(MAX(q.sq) AS BIGINT) AS sum_q
+      FROM coefs c
+      JOIN (SELECT id, SUM(q * zn) AS sq FROM qt GROUP BY id) q ON q.id = c.id
+      GROUP BY c.id ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = (6 + id % 19).toInt
+          val h = (5 + id % 13).toInt
+          val nb = ((w + 7) / 8) * ((h + 7) / 8)
+          val quant = Array.tabulate(64)(k => 1 + (k * 3 + id).toInt % 50)
+          val blocks = Array.tabulate(nb) { b =>
+            Array.tabulate(64) { k =>
+              if (k == 0) ((id * 5 + b * 11) % 201).toInt - 100
+              else if ((k + b * 3 + id) % 17 == 0)
+                ((id * 13 + b * 7 + k * 19) % 1001).toInt - 500
+              else 0
+            }
+          }
+          val ri = if (id % 4 == 0) 3 else 0
+          val bytes = Jpeg.encodeJpegFromCoeffs(w, h, quant, blocks, ri)
+          val got = Jpeg.jpegQuantizedCoeffs(bytes)
+            .getOrElse(sys.error(s"JPEG coeff decode failed for doc $id"))
+          require(got.width == w && got.height == h)
+          // decoder output is NATURAL order: weight by the natural position
+          val flat = for (b <- 0 until nb; p <- 0 until 64)
+            yield (b, p, got.blocks(0)(b)(p))
+          val sumQ = got.quant(0).zipWithIndex.map { case (q, p) => q.toLong * p }.sum
+          (id, nb.toLong,
+            flat.count(_._3 != 0).toLong,
+            flat.map(_._3.toLong).sum,
+            flat.map { case (_, p, c) => c.toLong * p }.sum,
+            flat.map { case (b, _, c) => c.toLong * b }.sum,
+            sumQ)
+        }
+        .toDF("doc_id", "n_blocks", "n_nz", "sum_c", "sum_cpos", "sum_cb", "sum_q")
+        .orderBy("doc_id")
+    },
+
+    // ----- MJPEG VIDEO gate: AVI '00dc' chunks each carrying a baseline
+    // JPEG (DC-only frames → exact pixel arithmetic, as q_jpeg_decode), so
+    // compressed-video frame decode is now gated end to end: RIFF movi walk
+    // → per-frame JPEG decode → pixel stats. The frame-weighted sum_f pins
+    // frame ORDER (a swapped or dropped frame reddens it).
+    "q_mjpeg_frames" -> QueryDef.sql("""
+      WITH ids AS (SELECT doc_id AS id, 6 + doc_id % 11 AS w, 5 + doc_id % 7 AS h,
+                          2 + doc_id % 3 AS nf
+                   FROM documents WHERE doc_id < 30),
+      blocks AS (
+        SELECT id, w, h, nf, f,
+               by * ((w + 7) // 8) + bx AS b,
+               (LEAST(8*bx+8, w) - 8*bx) * (LEAST(8*by+8, h) - 8*by) AS npx
+        FROM ids CROSS JOIN range(0,4) rf(f)
+                 CROSS JOIN range(0,2) rx(bx) CROSS JOIN range(0,2) ry(by)
+        WHERE f < nf AND 8*bx < w AND 8*by < h),
+      vals AS (
+        SELECT id, nf, f, npx,
+               LEAST(255, GREATEST(0, ((id*3 + f*17 + b*29) % 361) - 180 + 128)) AS v
+        FROM blocks)
+      SELECT id AS doc_id,
+             CAST(MAX(nf) AS BIGINT) AS n_frames,
+             CAST(SUM(npx) AS BIGINT) AS n_px,
+             CAST(SUM(v*npx) AS BIGINT) AS sum_px,
+             CAST(MIN(v) AS BIGINT) AS min_px,
+             CAST(MAX(v) AS BIGINT) AS max_px,
+             CAST(SUM(v*npx*f) AS BIGINT) AS sum_f
+      FROM vals GROUP BY id ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 30)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = (6 + id % 11).toInt
+          val h = (5 + id % 7).toInt
+          val nf = (2 + id % 3).toInt
+          val bw = (w + 7) / 8; val bh = (h + 7) / 8
+          val quant = Array.fill(64)(16); quant(0) = 8
+          val frames = (0 until nf).map { f =>
+            val blocks = Array.tabulate(bw * bh) { b =>
+              val blk = new Array[Int](64)
+              blk(0) = ((id * 3 + f * 17 + b * 29) % 361).toInt - 180
+              blk
+            }
+            Jpeg.encodeJpegFromCoeffs(w, h, quant, blocks)
+          }
+          val avi = Multimodal.synthAviMjpeg(w, h, frames)
+          val imgs = Multimodal.aviMjpegFrames(avi)
+            .getOrElse(sys.error(s"MJPEG walk failed for doc $id"))
+          require(imgs.length == nf && imgs.forall(i => i.width == w && i.height == h))
+          val perPx = imgs.zipWithIndex.flatMap { case (img, f) =>
+            img.planes(0).map(v => (v.toLong, f.toLong))
+          }
+          (id, nf.toLong, perPx.length.toLong, perPx.map(_._1).sum,
+            perPx.map(_._1).min, perPx.map(_._1).max,
+            perPx.map { case (v, f) => v * f }.sum)
+        }
+        .toDF("doc_id", "n_frames", "n_px", "sum_px", "min_px", "max_px", "sum_f")
         .orderBy("doc_id")
     }
   )

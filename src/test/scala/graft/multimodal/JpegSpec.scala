@@ -1,0 +1,200 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Clean-room baseline JPEG codec: entropy-layer losslessness, IDCT
+  * cross-checks (separable vs naive direct sum, and closed-form DC), an
+  * INDEPENDENT decoder oracle (the JDK's ImageIO baseline JPEG reader,
+  * which ships offline), restart-marker resync, and the MJPEG AVI walk. */
+class JpegSpec extends AnyFunSuite {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  /** Random quantized coefficient block in zigzag order: sparse AC with
+    * occasional long zero runs (forces ZRL), categories up to 10. */
+  private def randomBlockZig(r: scala.util.Random): Array[Int] = {
+    val blk = new Array[Int](64)
+    blk(0) = r.nextInt(2001) - 1000 // DC well inside category 11 as a DIFF too
+    var k = 1
+    while (k < 64) {
+      if (r.nextInt(5) == 0) blk(k) = r.nextInt(1023) - 511 // cat <= 10
+      k += 1 + r.nextInt(8) // gaps up to 7; multiple gaps compose ZRL runs
+    }
+    blk
+  }
+
+  test("zigzag table is the spec permutation (spot anchors + bijection)") {
+    val z = Jpeg.ZigZag
+    assert(z.toSet == (0 until 64).toSet, "must be a permutation")
+    // anchors from T.81 Figure 5
+    assert(z.take(10).toSeq == Seq(0, 1, 8, 16, 9, 2, 3, 10, 17, 24))
+    assert(z(63) == 63)
+  }
+
+  test("entropy layer is lossless: coeffs round-trip bit-for-bit") {
+    val r = rng(42)
+    for (trial <- 0 until 20) {
+      val w = 1 + r.nextInt(40)
+      val h = 1 + r.nextInt(30)
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val quant = Array.tabulate(64)(k => 1 + (k * 7 + trial) % 40)
+      val blocks = Array.fill(bw * bh)(randomBlockZig(r))
+      val ri = if (trial % 3 == 0) 1 + r.nextInt(4) else 0
+      val bytes = Jpeg.encodeJpegFromCoeffs(w, h, quant, blocks, ri)
+      val got = Jpeg.jpegQuantizedCoeffs(bytes)
+        .getOrElse(fail(s"decode failed, trial $trial"))
+      assert(got.width == w && got.height == h && got.components == 1)
+      assert(got.blocksWide == bw && got.blocksHigh == bh)
+      // quant table de-zigzagged to natural order
+      for (k <- 0 until 64)
+        assert(got.quant(0)(Jpeg.ZigZag(k)) == quant(k))
+      // every block, every coefficient, through the natural-order mapping
+      for (b <- blocks.indices; k <- 0 until 64)
+        assert(got.blocks(0)(b)(Jpeg.ZigZag(k)) == blocks(b)(k),
+          s"trial $trial block $b zigzag-k $k")
+    }
+  }
+
+  test("separable IDCT agrees with the naive direct-sum reference") {
+    val r = rng(7)
+    for (_ <- 0 until 50) {
+      val in = Array.fill(64)((r.nextInt(2047) - 1023).toDouble)
+      val fast = {
+        // decode a single-block image whose quant table is all ones and
+        // whose coefficients are `in` — exercises the production path
+        val zig = Array.tabulate(64)(k => math.round(in(Jpeg.ZigZag(k))).toInt)
+        val capped = zig.map(v => math.max(-511, math.min(511, v)))
+        val bytes = Jpeg.encodeJpegFromCoeffs(8, 8, Array.fill(64)(1), Array(capped))
+        Jpeg.decodeJpeg(bytes).get.planes(0)
+      }
+      val direct = {
+        val nat = new Array[Double](64)
+        val zig = Array.tabulate(64)(k => math.round(in(Jpeg.ZigZag(k))).toInt)
+        val capped = zig.map(v => math.max(-511, math.min(511, v)))
+        for (k <- 0 until 64) nat(Jpeg.ZigZag(k)) = capped(k).toDouble
+        Jpeg.idctDirect(nat).map(v =>
+          math.max(0, math.min(255, math.round(v).toInt + 128)))
+      }
+      for (i <- 0 until 64)
+        assert(math.abs(fast(i) - direct(i)) <= 1,
+          s"pixel $i: separable ${fast(i)} vs direct ${direct(i)}")
+    }
+  }
+
+  test("DC-only blocks decode to the exact closed form clamp(dc*q/8 + 128)") {
+    // q0 = 8 makes dc*q0/8 integral — zero float ambiguity, the same
+    // arithmetic the q_jpeg_decode DuckDB oracle replays
+    val quant = Array.fill(64)(16); quant(0) = 8
+    val dcs = Seq(-300, -190, -64, -1, 0, 1, 63, 127, 200)
+    val blocks = dcs.map { dc =>
+      val b = new Array[Int](64); b(0) = dc; b
+    }.toArray
+    val w = 8 * blocks.length; val h = 8
+    val img = Jpeg.decodeJpeg(
+      Jpeg.encodeJpegFromCoeffs(w, h, quant, blocks)).get
+    for ((dc, bi) <- dcs.zipWithIndex; yy <- 0 until 8; xx <- 0 until 8) {
+      val expect = math.max(0, math.min(255, dc + 128))
+      val got = img.planes(0)(yy * w + bi * 8 + xx)
+      assert(got == expect, s"dc=$dc pixel ($xx,$yy)")
+    }
+  }
+
+  test("ImageIO (independent JDK decoder) agrees on our encoder's output") {
+    val r = rng(99)
+    for (trial <- 0 until 5) {
+      val w = 13 + r.nextInt(30)
+      val h = 9 + r.nextInt(20)
+      val px = Array.tabulate(w * h)(i => (i * 37 + trial * 101) % 256)
+      val quant = Array.tabulate(64)(k => 1 + k % 11)
+      val ri = if (trial % 2 == 0) 3 else 0
+      val bytes = Jpeg.encodeJpegGray(w, h, px, quant, ri)
+      val ours = Jpeg.decodeJpeg(bytes).getOrElse(fail("own decode failed"))
+      val theirs = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(theirs != null, "ImageIO rejected the stream")
+      assert(theirs.getWidth == w && theirs.getHeight == h)
+      val raster = theirs.getRaster
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(raster.getSample(x, y, 0) - ours.planes(0)(y * w + x))
+        maxDiff = math.max(maxDiff, d)
+      }
+      // float IDCT vs libjpeg-style integer IDCT: ±1 in practice
+      assert(maxDiff <= 2, s"trial $trial: max pixel diff $maxDiff")
+    }
+  }
+
+  test("encodeJpegGray round-trips pixels within quantization error") {
+    val r = rng(5)
+    val w = 23; val h = 17
+    // smooth-ish field keeps high-frequency quant error small
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      128 + (40 * math.sin(x / 4.0) + 30 * math.cos(y / 3.0)).toInt
+    }
+    val img = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(w, h, px, Array.fill(64)(1))).get
+    val maxErr = px.indices.map(i => math.abs(img.planes(0)(i) - px(i))).max
+    assert(maxErr <= 3, s"max pixel error $maxErr with unit quant")
+  }
+
+  test("restart markers resync and reset the DC predictor") {
+    val quant = Array.fill(64)(16); quant(0) = 8
+    // 10 blocks, restart every 2 — predictor chain broken 4 times; values
+    // chosen so a missed reset shifts every post-restart pixel
+    val dcs = Array.tabulate(10)(b => 100 - 23 * b)
+    val blocks = dcs.map { dc => val b = new Array[Int](64); b(0) = dc; b }
+    val bytes = Jpeg.encodeJpegFromCoeffs(80, 8, quant, blocks, restartInterval = 2)
+    // the stream really contains RST markers
+    val hasRst = bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(hasRst, "no RST marker emitted")
+    val img = Jpeg.decodeJpeg(bytes).get
+    for ((dc, bi) <- dcs.zipWithIndex)
+      assert(img.planes(0)(bi * 8) == math.max(0, math.min(255, dc + 128)),
+        s"block $bi dc=$dc")
+  }
+
+  test("decoder is total on malformed input") {
+    assert(Jpeg.decodeJpeg(Array.empty[Byte]).isEmpty)
+    assert(Jpeg.decodeJpeg("not a jpeg".getBytes).isEmpty)
+    assert(Jpeg.decodeJpeg(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    val good = Jpeg.encodeJpegFromCoeffs(8, 8, Array.fill(64)(1),
+      Array(Array.fill(64)(0)))
+    // every truncation inside the entropy data must fail cleanly, never
+    // throw; dropping only the trailing EOI may still decode (the scan is
+    // complete) — the spec-legal leniency every mainstream decoder shares
+    for (cut <- 0 until good.length - 2)
+      assert(Jpeg.decodeJpeg(good.take(cut)).isEmpty, s"cut at $cut")
+    // bit flips must either decode or fail cleanly (no throw)
+    val r = rng(3)
+    for (_ <- 0 until 200) {
+      val mutated = good.clone()
+      val at = r.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << r.nextInt(8))).toByte
+      Jpeg.decodeJpeg(mutated) // must not throw
+    }
+  }
+
+  test("MJPEG AVI: 00dc chunks decode through the JPEG path") {
+    val quant = Array.fill(64)(16); quant(0) = 8
+    val w = 16; val h = 8
+    val frames = (0 until 3).map { f =>
+      val blocks = Array.tabulate(2) { b =>
+        val blk = new Array[Int](64); blk(0) = 10 * f + b; blk
+      }
+      Jpeg.encodeJpegFromCoeffs(w, h, quant, blocks)
+    }
+    val avi = Multimodal.synthAviMjpeg(w, h, frames)
+    // container-level metadata still parses
+    assert(Multimodal.aviHeader(avi).contains(Multimodal.AviInfo(w, h, 3)))
+    // the uncompressed walk correctly refuses the compressed stream
+    assert(Multimodal.aviFrames(avi).isEmpty)
+    val imgs = Multimodal.aviMjpegFrames(avi).getOrElse(fail("MJPEG walk failed"))
+    assert(imgs.length == 3)
+    for ((img, f) <- imgs.zipWithIndex) {
+      assert(img.width == w && img.height == h)
+      assert(img.planes(0)(0) == 128 + 10 * f)      // block 0 dc
+      assert(img.planes(0)(8) == 128 + 10 * f + 1)  // block 1 dc
+    }
+  }
+}
