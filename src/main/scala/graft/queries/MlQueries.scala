@@ -95,13 +95,39 @@ object MlQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
-    // ----- M1/M2/M5/M7: clean→tokenize→stopwords→HashingTF→IDF
-    "q_tfidf_features" -> QueryDef.rowsOnly { (s, d) =>
+    // ----- M1/M2/M5/M7: clean→tokenize→stopwords→HashingTF→IDF.
+    // FULL [sql] gate: the oracle replays the whole path — the q_count_
+    // vectorized token pipeline, then HashingTF's murmur3_x86_32 bucketing
+    // re-derived in DuckDB integer arithmetic (graft.text.Murmur3
+    // .oracleSqlCtes — the splitmix64-replay pattern; Murmur3Spec proves the
+    // arithmetic ≡ HashingTF.indexOf bit-for-bit), then IDF's one observable
+    // effect on nnz: a bucket present in EVERY doc gets idf = ln(1) = 0 and
+    // drops out of numNonzeros. Bucket collisions at 1024 features are real
+    // on this corpus, so nnz ≠ distinct-term count — the hash itself is
+    // what's gated.
+    "q_tfidf_features" -> QueryDef.sql(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(list_filter(
+          regexp_split_to_array(
+            regexp_replace(regexp_replace(lower(text), '(\\d|,|:|;|\\?|!)', '', 'g'),
+                           '\\b\\w{1,2}\\b', '', 'g'), '\\W'),
+          x -> x <> '' AND x NOT IN (${MlQueries.stopwordSqlList})))) AS term
+        FROM documents),
+      terms AS (SELECT DISTINCT term FROM toks),
+      ${graft.text.Murmur3.oracleSqlCtes("terms", 1024, words = 8)},
+      db AS (SELECT DISTINCT t.doc_id, h.bucket FROM toks t JOIN mm_hash h USING (term)),
+      dfreq AS (SELECT bucket, COUNT(*) AS df FROM db GROUP BY bucket),
+      m AS (SELECT COUNT(*) AS m FROM documents),
+      nz AS (SELECT db.doc_id, COUNT(*) AS nnz
+             FROM db JOIN dfreq USING (bucket), m WHERE dfreq.df < m.m
+             GROUP BY db.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(nz.nnz, 0) AS INTEGER) AS nnz
+      FROM documents d LEFT JOIN nz USING (doc_id) ORDER BY doc_id""") { (s, d) =>
       val numNonzeros = udf((v: Vector) => v.numNonzeros)
       featurized(s, d)
         .select(col("doc_id"), numNonzeros(col("features")).as("nnz"))
         .orderBy("doc_id")
-    }.expectAtGate(500L, "293893713572166724927"),
+    },
 
     // ----- M6: CountVectorizer path. Gate variant uses an unbounded vocab so
     // nnz == per-doc distinct post-pipeline terms, which the oracle mirrors
