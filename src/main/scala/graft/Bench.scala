@@ -37,7 +37,20 @@ object Bench {
     "q_kmeans_blocks",   // k-means blocking fit (shared with q_billmatch)
     "q_billmatch",       // flagship end-to-end pipeline
     "q_pagerank",        // iterative graph
-    "q_triangles")       // GraphX triangle count
+    "q_triangles",       // GraphX triangle count
+    // r7 widening (VERDICT r6 #4): the heaviest ladder entries join the
+    // per-round gate so extension-surface regressions are caught by BENCH,
+    // not only by ad-hoc ScaleProbe runs. r6 ladder times are the floor.
+    "q_substring_dedup", // suffix-hash exact-substring dedup (heaviest dedup)
+    "q_boilerplate",     // cross-doc repeated-line removal
+    "q_winnow_neardup",  // winnowing fingerprint near-dup
+    "q_range_join_keyed",// keyed point-in-interval join (production form)
+    "q_corpus_build",    // composed end-to-end corpus pipeline
+    "q_stream_upsert",   // streaming dedup/upsert replay
+    "q_hll_merge",       // HLL register-merge rollup
+    "q_quantile_sketch", // mergeable bottom-k quantile sketch
+    "q_ewma",            // canonical ring-buffer EWMA (promoted r7)
+    "q_jpeg_decode")     // baseline-JPEG pixel decode (batched codec path)
 
   /** Queries whose first execution fits and memoizes an ML model per
     * (session, dir) — the TF-IDF featurization and the k-means blocking fit.

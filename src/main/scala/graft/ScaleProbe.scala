@@ -38,7 +38,7 @@ object ScaleProbe {
     * the events table. */
   private val eventsOps = Seq(
     "q_window_tumbling", "q_window_sliding", "q_sessionize", "q_ewma",
-    "q_ewma_running",
+    "q_ewma_array",
     "q_asof_join", "q_asof_forward", "q_range_join", "q_range_join_keyed",
     "q_window_rank_fns", "q_incremental_agg", "q_hll_merge", "q_cms_topk",
     "q_kmv_distinct", "q_quantile_sketch", "q_sample_bottomk")
@@ -153,8 +153,8 @@ object ScaleProbe {
       },
       // q_ewma's only non-per-user stage is the trailing presentation sort;
       // the no-sort variant is the production operator (per-user window only)
-      "q_ewma(full)" -> (dir => SparkEntry.queries("q_ewma")(spark, dir)),
-      "q_ewma(no-sort)" -> { dir =>
+      "q_ewma_array(full)" -> (dir => SparkEntry.queries("q_ewma_array")(spark, dir)),
+      "q_ewma_array(no-sort)" -> { dir =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(-31, org.apache.spark.sql.expressions.Window.currentRow)
@@ -218,8 +218,8 @@ object ScaleProbe {
       sb.append("(user-scoped windows: the key joins the (key, bin) shuffle key,\n")
       sb.append("replication adds KEYS, candidates grow linearly) — its ladder row\n")
       sb.append("above should show asof-like alpha, far under the unkeyed case.\n")
-      sb.append("q_ewma_running is q_ewma's ring-buffer recurrence twin (same\n")
-      sb.append("bit-exact output, no per-row 32-element array) — compare rows.\n")
+      sb.append("q_ewma (canonical since r7) is the ring-buffer recurrence form;\n")
+      sb.append("q_ewma_array is the collect_list window twin (same bit-exact\noutput) kept as the oracle cross-check — compare rows.\n")
     }
     sb.append("\nDup-heavy dedup (output pairs grow quadratically in the\n")
     sb.append("duplication factor by construction — the operator's job):\n\n")
@@ -229,7 +229,7 @@ object ScaleProbe {
       sb.append(f"| $q | ${t(1)}%.2f | ${t(2)}%.2f | ${t(5)}%.2f | ${t(10)}%.2f |\n")
     }
     if (tailRows.nonEmpty) {
-      sb.append("\n## Tail diagnosis: q_winnow / q_ngram_count / q_ewma presentation sorts\n\n")
+      sb.append("\n## Tail diagnosis: q_winnow / q_ngram_count / q_ewma_array presentation sorts\n\n")
       sb.append("`(full)` = the registry query; `(no-sort)` = the same plan minus the\n")
       sb.append("final presentation orderBy (oracle-determinism only, not part of the\n")
       sb.append("production operator). rows = output rows; spill/shuffle/GC from the\n")

@@ -63,6 +63,16 @@ object Verify {
     // enforcing — how the pinned expectAtGate values are (re)generated
     val printChecks = sys.env.get("SPARK_GRAFT_PRINT_CHECKS").contains("1")
     val spark = GraftSession.local()
+    run(spark, sfDir, outDir, only, printChecks)
+    spark.stop()
+  }
+
+  /** The dump+gate body, callable with an injected session (main owns the
+    * session lifecycle; RepinDryRunSpec drives this against a perturbed
+    * fixture copy to exercise the regen→repin.json→repin.py loop end to
+    * end without stopping the shared test session). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Option[Set[String]], printChecks: Boolean): Unit = {
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.defs
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -164,7 +174,6 @@ object Verify {
       System.err.println(s"[verify] wrote $outDir/repin.json — apply with " +
         "python3 tools/repin.py, recompile, rerun to re-enforce pins")
     }
-    spark.stop()
   }
 
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -37,7 +37,12 @@ import org.apache.spark.sql.functions._
   *
   * Domain: keys must be non-negative (the fixture ids are); the hash reduces
   * mod p first so any long key is accepted, but SQL replays use plain `%`
-  * which differs for negative inputs.
+  * which differs for negative inputs. Because hashing is mod p = 2³¹−1,
+  * distinct keys that differ by a multiple of p COLLIDE and are silently
+  * deduplicated by the sketch, while a raw-row SQL oracle would rank them
+  * separately — the "exact bottom-k of distinct keys" law therefore needs
+  * |key| < p (or keys unique mod p). The gate fixtures satisfy it; key
+  * domains beyond 2³¹ that must be gated need a 64-bit-domain hash first.
   */
 object Kmv {
 
@@ -223,12 +228,18 @@ object Kmv {
     * h₁ + j·h₂ < 6·2³¹ — overflow-free. Pure builtin Columns
     * (sequence/transform/array_max), replayable in SQL as GREATEST over the
     * unrolled j. */
+  /** PRECONDITION: weight ≥ 1 (integer). `sequence(1, w)` DESCENDS for
+    * w < 1, so weight 0 would silently draw [1, 0] — two uniforms, i.e. a
+    * weight-0 item sampled like weight ~2, diverging from the SQL GREATEST
+    * unroll which gates on w ≥ j. Guarded here: w < 1 → null priority
+    * (dropped by any top-K), matching "no draws" on the SQL side. */
   def weightedPriority(key: Column, weight: Column): Column = {
     val h1 = (lit(HashA) * pmod(key, lit(P)) + lit(HashB)) % lit(P)
     val h2 = (lit(HashA2) * pmod(key, lit(P)) + lit(HashB2)) % lit(P)
-    array_max(transform(
-      sequence(lit(1L), weight.cast("long")),
-      j => (h1 + j * h2) % lit(P)))
+    when(weight.cast("long") >= 1L,
+      array_max(transform(
+        sequence(lit(1L), greatest(weight.cast("long"), lit(1L))),
+        j => (h1 + j * h2) % lit(P))))
   }
 
   /** The j-th weighted-priority draw in DuckDB SQL (unroll + GREATEST). */

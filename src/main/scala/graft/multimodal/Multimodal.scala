@@ -562,7 +562,13 @@ object Multimodal {
     * decompression of the pixel indices (variable code width 3..12 bits
     * LSB-first, CLEAR/END codes, KwKwK case) and interlace reordering
     * (four-pass row schedule, spec §20). Returns None on any malformed
-    * structure — total, never throws. */
+    * structure — total, never throws.
+    *
+    * Scope note: the image descriptor's left/top offsets are IGNORED — the
+    * returned raster is the first image's OWN pixels at its own dims,
+    * without placement into (or cross-checking against) the logical screen.
+    * Real-world GIFs whose first frame sits inside a larger logical screen
+    * decode to the sub-image only. */
   def decodeGif(p: Array[Byte]): Option[GifImage] = {
     def u8(i: Int) = p(i) & 0xff
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)

