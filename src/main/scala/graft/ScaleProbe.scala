@@ -44,6 +44,15 @@ object ScaleProbe {
     "q_kmv_distinct", "q_quantile_sketch", "q_sample_bottomk")
   private val eventsFactors = Seq(1, 10, 50, 100)
 
+  /** Graph ladder (r7, VERDICT r6 #3): replicated customers carry DISTINCT
+    * custkey AND nationkey ranges per replica, so each replica is a disjoint
+    * braided-chain component — vertices and edges grow linearly in the
+    * factor and the iterative-join paths (rank propagation, triangle
+    * enumeration, SCC label convergence) are measured where their 100×
+    * surprises would live. Registry queries, unmodified. */
+  private val graphOps = Seq("q_pagerank", "q_triangles", "q_graph_degree")
+  private val graphFactors = Seq(1, 10, 50, 100)
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outMd = args.lift(1).getOrElse("SCALEPROBE.md")
@@ -79,6 +88,18 @@ object ScaleProbe {
       evs.repartition(32).write.mode("overwrite")
         .parquet(s"${dirFor(f)}/events.parquet")
     }
+    graphFactors.filter(_ > 1).foreach { f =>
+      val cs = (0 until f).map { r =>
+        // distinct custkey AND nationkey ranges → disjoint braided chains;
+        // types preserved so Tables.customer's declared schema still reads
+        graft.io.Tables.customer(spark, base)
+          .withColumn("c_custkey", col("c_custkey") + lit(r * 10000000L))
+          .withColumn("c_nationkey",
+            (col("c_nationkey") + lit(r * 1000)).cast("int"))
+      }.reduce(_.unionByName(_))
+      cs.repartition(32).write.mode("overwrite")
+        .parquet(s"${dirFor(f)}/customer.parquet")
+    }
 
     // Task-metric listener: per-run sums of spill/shuffle/GC, to attribute a
     // superlinear segment to spill (memory pressure) vs output volume. The
@@ -105,9 +126,21 @@ object ScaleProbe {
       }.minBy(_._1)
     def time(name: String, dir: String): Double =
       timeDf(SparkEntry.queries(name)(spark, _), dir)._1
+    // ML fits memoize per (session, dir): without the cache drop a repeat
+    // rep would measure the post-fit cache hit, not the fit (the Bench
+    // fitsOnce discipline). reps=2 for the fit ladder: each rep is a full
+    // featurize+fit, the second rep suffices to shed first-touch noise.
+    def timeFit(name: String, dir: String, reps: Int = 2): Double =
+      (1 to reps).map { _ =>
+        graft.queries.MlQueries.clearFitCaches()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
 
     // warm the io/codegen paths so factor-1 isn't charged first-touch cost
-    (linearOps ++ eventsOps ++ Seq("q_minhash_dedup", "q_dedup_incremental"))
+    (linearOps ++ eventsOps ++ graphOps ++
+        Seq("q_minhash_dedup", "q_dedup_incremental"))
       .filter(q => only.forall(_.contains(q)))
       .foreach(q =>
         SparkEntry.queries(q)(spark, base).queryExecution.toRdd.count())
@@ -126,6 +159,50 @@ object ScaleProbe {
     val evRows = eventsOps.filter(q => only.forall(_.contains(q))).map { q =>
       q -> eventsFactors.map(f => f -> time(q, dirFor(f))).toMap
     }
+
+    // ---- graph/ML ladders (r7, VERDICT r6 #3): the iterative-join and fit
+    // paths. Registry graph queries run unmodified on the replicated
+    // customer table (disjoint components, linear growth). q_scc's registry
+    // form bounds its subgraph to keys < 200 (a fixed gate subgraph — a
+    // ladder over it would measure a constant), so the ladder probes the
+    // SAME SCC operator over the replicas' full braided chains directly.
+    val graphRows = graphOps.filter(q => only.forall(_.contains(q))).map { q =>
+      q -> graphFactors.map(f => f -> time(q, dirFor(f))).toMap
+    }
+    val sccProbe: String => org.apache.spark.sql.DataFrame = { dir =>
+      val c = graft.io.Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey")
+      val e = c.alias("a").join(c.alias("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("b.c_custkey") > col("a.c_custkey") &&
+          col("b.c_custkey") <= col("a.c_custkey") + 2)
+        .select(col("a.c_custkey").as("src"), col("b.c_custkey").as("dst"))
+      // the q_scc gate's directionality rule, applied to the whole graph
+      val dir2 = e.unionByName(
+        e.filter((col("src") + col("dst")) % 3 === 0)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.GraphOps.stronglyConnectedComponents(dir2)
+    }
+    val sccRows =
+      if (only.forall(_.contains("q_scc")))
+        Seq("q_scc(whole-graph)" ->
+          graphFactors.map(f => f -> timeDf(sccProbe, dirFor(f))._1).toMap)
+      else Nil
+    // k-means blocking fit on the linear document replicas: the reference's
+    // own scale cliff lived in this fit (docs/tuning_kmeans.md:130).
+    val fitRows =
+      if (only.forall(_.contains("q_kmeans_blocks")))
+        Seq("q_kmeans_blocks(fit)" ->
+          graphFactors.map(f => f -> timeFit("q_kmeans_blocks", dirFor(f))).toMap)
+      else Nil
+    // q_minhash_lsh and q_corpus_build (LSH dedup inside) see every replica
+    // as a near-duplicate of its original — candidate-pair OUTPUT grows
+    // quadratically in the factor by construction, so they ladder on the
+    // dup-heavy factors like q_minhash_dedup, not the linear ones.
+    val dupMlRows = Seq("q_minhash_lsh", "q_corpus_build")
+      .filter(q => only.forall(_.contains(q))).map { q =>
+        q -> dupHeavyFactors.map(f => f -> timeFit(q, dirFor(f))).toMap
+      }
 
     // ---- tail diagnosis (round-3 watch items): q_winnow and q_ngram_count
     // are the two operators whose 50×→100× segment trends superlinear. For
@@ -221,11 +298,40 @@ object ScaleProbe {
       sb.append("q_ewma (canonical since r7) is the ring-buffer recurrence form;\n")
       sb.append("q_ewma_array is the collect_list window twin (same bit-exact\noutput) kept as the oracle cross-check — compare rows.\n")
     }
+    val iterRows = graphRows ++ sccRows ++ fitRows
+    if (iterRows.nonEmpty) {
+      sb.append("\nGraph/ML iterative paths (r7 ladder: replicated customers are\n")
+      sb.append("DISJOINT braided-chain components — custkey AND nationkey ranges\n")
+      sb.append("shift per replica — so vertices/edges grow linearly; the k-means\n")
+      sb.append("fit runs on the linear document replicas with the fit cache\n")
+      sb.append("dropped per rep, so every rep is a full featurize+fit — the\n")
+      sb.append("reference's own scale cliff lived here, tuning_kmeans.md:130):\n\n")
+      sb.append("| query | 1× s | 10× s | 50× s | 100× s | α(10×→100×) |\n")
+      sb.append("|---|---|---|---|---|---|\n")
+      iterRows.foreach { case (q, t) =>
+        val alpha = math.log(t(100) / t(10)) / math.log(10.0)
+        sb.append(f"| $q | ${t(1)}%.2f | ${t(10)}%.2f | ${t(50)}%.2f | ${t(100)}%.2f | $alpha%.2f |\n")
+      }
+      sb.append("\nq_scc(whole-graph) is the registry SCC operator over the full\n")
+      sb.append("replicated graph — the registry q_scc gate pins a FIXED keys<200\n")
+      sb.append("subgraph (a constant under replication), so the ladder probes the\n")
+      sb.append("operator, not the gate fixture. Its profile is ITERATION-LATENCY\n")
+      sb.append("FLOORED: label propagation runs until convergence, rounds scale\n")
+      sb.append("with component diameter (identical across replicas — replication\n")
+      sb.append("adds components, not diameter), so past 10× the time is rounds ×\n")
+      sb.append("fixed per-round scheduling latency and the 10×→100× segment is\n")
+      sb.append("FLAT — per-round work hasn't reached the latency floor even at\n")
+      sb.append("1.5M vertices. q_kmeans_blocks(fit) includes the full\n")
+      sb.append("clean→tokenize→TF→IDF featurization plus the k=8 fit.\n")
+    }
     sb.append("\nDup-heavy dedup (output pairs grow quadratically in the\n")
-    sb.append("duplication factor by construction — the operator's job):\n\n")
+    sb.append("duplication factor by construction — the operator's job;\n")
+    sb.append("q_minhash_lsh and q_corpus_build join this ladder in r7: every\n")
+    sb.append("replica is a near-dup of its original, so their LSH candidate\n")
+    sb.append("output grows quadratically too — fit caches dropped per rep):\n\n")
     sb.append("| query | 1× s | 2× s | 5× s | 10× s |\n")
     sb.append("|---|---|---|---|---|\n")
-    dupRows.foreach { case (q, t) =>
+    (dupRows ++ dupMlRows).foreach { case (q, t) =>
       sb.append(f"| $q | ${t(1)}%.2f | ${t(2)}%.2f | ${t(5)}%.2f | ${t(10)}%.2f |\n")
     }
     if (tailRows.nonEmpty) {

@@ -428,10 +428,12 @@ object FunctionQueries {
           val got = Jpeg.jpegQuantizedCoeffs(bytes)
             .getOrElse(sys.error(s"JPEG coeff decode failed for doc $id"))
           require(got.width == w && got.height == h)
+          val c0 = got.comps(0)
+          require(c0.blocksWide * c0.blocksHigh == nb)
           // decoder output is NATURAL order: weight by the natural position
           val flat = for (b <- 0 until nb; p <- 0 until 64)
-            yield (b, p, got.blocks(0)(b)(p))
-          val sumQ = got.quant(0).zipWithIndex.map { case (q, p) => q.toLong * p }.sum
+            yield (b, p, c0.blocks(b)(p))
+          val sumQ = c0.quant.zipWithIndex.map { case (q, p) => q.toLong * p }.sum
           (id, nb.toLong,
             flat.count(_._3 != 0).toLong,
             flat.map(_._3.toLong).sum,
@@ -500,6 +502,78 @@ object FunctionQueries {
             perPx.map { case (v, f) => v * f }.sum)
         }
         .toDF("doc_id", "n_frames", "n_px", "sum_px", "min_px", "max_px", "sum_f")
+        .orderBy("doc_id")
+    },
+
+    // ----- 4:2:0 CHROMA-SUBSAMPLED JPEG gate (the dominant real-world
+    // layout): three components, luma sampled 2x2, MCU-interleaved scan,
+    // restart every MCU on id%3==0 docs. DC-only blocks keep every stage
+    // exactly integral (q0 = 8), so the oracle replays the FULL pipeline
+    // arithmetically: per-pixel luma = clamp(dc of luma block
+    // (y/8, x/8) in the 2·mcuW-wide grid), per-pixel chroma = clamp(dc of
+    // the chroma block covering (x/2, y/2)) — i.e. the MCU data-unit
+    // order, the per-component DC predictor chains, the component grids,
+    // AND the replication upsample are all pinned by the position-weighted
+    // sums (a swapped data unit, a mcuW-vs-ceil(w/8) grid confusion, or a
+    // misaligned upsample shifts sum_xy_* and reddens the hash).
+    "q_jpeg420_decode" -> QueryDef.sql("""
+      WITH ids AS (SELECT doc_id AS id, 10 + doc_id % 23 AS w, 9 + doc_id % 17 AS h,
+                          (10 + doc_id % 23 + 15) // 16 AS mcw
+                   FROM documents WHERE doc_id < 30),
+      px AS (SELECT id, w, h, mcw, x, y,
+                    LEAST(255, GREATEST(0,
+                      ((id*7 + ((y//8)*(2*mcw) + (x//8))*19) % 381) - 190 + 128)) AS yv,
+                    LEAST(255, GREATEST(0,
+                      ((id*11 + (((y//2)//8)*mcw + (x//2)//8)*23) % 301) - 150 + 128)) AS cbv,
+                    LEAST(255, GREATEST(0,
+                      ((id*13 + (((y//2)//8)*mcw + (x//2)//8)*29) % 321) - 160 + 128)) AS crv
+             FROM ids CROSS JOIN range(0,32) rx(x) CROSS JOIN range(0,25) ry(y)
+             WHERE x < w AND y < h)
+      SELECT id AS doc_id,
+             CAST(MAX(w) AS BIGINT) AS width,
+             CAST(MAX(h) AS BIGINT) AS height,
+             CAST(3 * COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(yv) AS BIGINT) AS sum_y,
+             CAST(SUM(cbv) AS BIGINT) AS sum_cb,
+             CAST(SUM(crv) AS BIGINT) AS sum_cr,
+             CAST(SUM(yv * (x + y*37)) AS BIGINT) AS sum_xy_y,
+             CAST(SUM(cbv * (x + y*37)) AS BIGINT) AS sum_xy_cb,
+             CAST(LEAST(MIN(yv), MIN(cbv), MIN(crv)) AS BIGINT) AS min_px,
+             CAST(GREATEST(MAX(yv), MAX(cbv), MAX(crv)) AS BIGINT) AS max_px
+      FROM px GROUP BY id ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 30)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = (10 + id % 23).toInt
+          val h = (9 + id % 17).toInt
+          val mcw = (w + 15) / 16; val mch = (h + 15) / 16
+          val quant = Array.fill(64)(16); quant(0) = 8
+          def dcBlocks(n: Int, f: Int => Int) = Array.tabulate(n) { b =>
+            val blk = new Array[Int](64); blk(0) = f(b); blk
+          }
+          val bytes = Jpeg.encodeJpegMulti(w, h, Seq(
+            Jpeg.EncComp(2, 2, quant, dcBlocks(4 * mcw * mch,
+              b => ((id * 7 + b * 19) % 381).toInt - 190)),
+            Jpeg.EncComp(1, 1, quant, dcBlocks(mcw * mch,
+              b => ((id * 11 + b * 23) % 301).toInt - 150)),
+            Jpeg.EncComp(1, 1, quant, dcBlocks(mcw * mch,
+              b => ((id * 13 + b * 29) % 321).toInt - 160))),
+            restartInterval = if (id % 3 == 0) 1 else 0)
+          val img = Jpeg.decodeJpeg(bytes)
+            .getOrElse(sys.error(s"4:2:0 decode failed for doc $id"))
+          require(img.components == 3 && img.width == w && img.height == h)
+          val Vector(yp, cb, cr) = img.planes
+          def wsum(p: Array[Int]) =
+            p.indices.map(i => p(i).toLong * (i % w + (i / w) * 37)).sum
+          (id, w.toLong, h.toLong, 3L * w * h,
+            yp.map(_.toLong).sum, cb.map(_.toLong).sum, cr.map(_.toLong).sum,
+            wsum(yp), wsum(cb),
+            math.min(yp.min, math.min(cb.min, cr.min)).toLong,
+            math.max(yp.max, math.max(cb.max, cr.max)).toLong)
+        }
+        .toDF("doc_id", "width", "height", "n_px", "sum_y", "sum_cb",
+          "sum_cr", "sum_xy_y", "sum_xy_cb", "min_px", "max_px")
         .orderBy("doc_id")
     }
   )

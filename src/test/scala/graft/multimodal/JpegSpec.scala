@@ -44,13 +44,14 @@ class JpegSpec extends AnyFunSuite {
       val got = Jpeg.jpegQuantizedCoeffs(bytes)
         .getOrElse(fail(s"decode failed, trial $trial"))
       assert(got.width == w && got.height == h && got.components == 1)
-      assert(got.blocksWide == bw && got.blocksHigh == bh)
+      val c0 = got.comps(0)
+      assert(c0.blocksWide == bw && c0.blocksHigh == bh)
       // quant table de-zigzagged to natural order
       for (k <- 0 until 64)
-        assert(got.quant(0)(Jpeg.ZigZag(k)) == quant(k))
+        assert(c0.quant(Jpeg.ZigZag(k)) == quant(k))
       // every block, every coefficient, through the natural-order mapping
       for (b <- blocks.indices; k <- 0 until 64)
-        assert(got.blocks(0)(b)(Jpeg.ZigZag(k)) == blocks(b)(k),
+        assert(c0.blocks(b)(Jpeg.ZigZag(k)) == blocks(b)(k),
           s"trial $trial block $b zigzag-k $k")
     }
   }
@@ -173,6 +174,93 @@ class JpegSpec extends AnyFunSuite {
       mutated(at) = (mutated(at) ^ (1 << r.nextInt(8))).toByte
       Jpeg.decodeJpeg(mutated) // must not throw
     }
+  }
+
+  test("4:2:0 entropy layer is lossless across the MCU interleave") {
+    val r = rng(11)
+    for (trial <- 0 until 10) {
+      val w = 1 + r.nextInt(40)
+      val h = 1 + r.nextInt(30)
+      val mcuW = (w + 15) / 16; val mcuH = (h + 15) / 16
+      val qY = Array.tabulate(64)(k => 1 + (k + trial) % 30)
+      val qC = Array.tabulate(64)(k => 1 + (k * 5 + trial) % 30)
+      val y = Array.fill(mcuW * 2 * mcuH * 2)(randomBlockZig(r))
+      val cb = Array.fill(mcuW * mcuH)(randomBlockZig(r))
+      val cr = Array.fill(mcuW * mcuH)(randomBlockZig(r))
+      val ri = if (trial % 2 == 0) 1 + r.nextInt(3) else 0
+      val bytes = Jpeg.encodeJpegMulti(w, h, Seq(
+        Jpeg.EncComp(2, 2, qY, y), Jpeg.EncComp(1, 1, qC, cb),
+        Jpeg.EncComp(1, 1, qC, cr)), ri)
+      val got = Jpeg.jpegQuantizedCoeffs(bytes)
+        .getOrElse(fail(s"420 decode failed, trial $trial"))
+      assert(got.components == 3)
+      assert((got.comps(0).h, got.comps(0).v) == (2, 2))
+      assert((got.comps(1).h, got.comps(1).v) == (1, 1))
+      assert(got.comps(0).blocksWide == mcuW * 2 &&
+        got.comps(0).blocksHigh == mcuH * 2)
+      assert(got.comps(1).blocksWide == mcuW && got.comps(1).blocksHigh == mcuH)
+      for ((enc, ci) <- Seq(y, cb, cr).zipWithIndex;
+           b <- enc.indices; k <- 0 until 64)
+        assert(got.comps(ci).blocks(b)(Jpeg.ZigZag(k)) == enc(b)(k),
+          s"trial $trial comp $ci block $b zigzag-k $k")
+    }
+  }
+
+  test("4:2:0 DC-only decode: exact closed form incl. chroma upsampling") {
+    // w=20, h=12 → 2x1 MCUs; luma grid 4x2 blocks, chroma 2x1
+    val w = 20; val h = 12
+    val quant = Array.fill(64)(16); quant(0) = 8
+    def dcBlock(dc: Int) = { val b = new Array[Int](64); b(0) = dc; b }
+    val yDc = Array.tabulate(8)(b => 10 * b - 30)     // luma 4x2 raster
+    val cbDc = Array(40, -60)                          // chroma 2x1 raster
+    val crDc = Array(-100, 90)
+    val bytes = Jpeg.encodeJpegMulti(w, h, Seq(
+      Jpeg.EncComp(2, 2, quant, yDc.map(dcBlock)),
+      Jpeg.EncComp(1, 1, quant, cbDc.map(dcBlock)),
+      Jpeg.EncComp(1, 1, quant, crDc.map(dcBlock))), restartInterval = 1)
+    val img = Jpeg.decodeJpeg(bytes).getOrElse(fail("420 decode failed"))
+    assert(img.components == 3 && img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      // luma: block (x/8, y/8) in the 4-wide grid
+      val yb = (y / 8) * 4 + (x / 8)
+      assert(img.planes(0)(y * w + x) == yDc(yb) + 128, s"luma ($x,$y)")
+      // chroma: comp res 10x6 (one block row), block = (x/2)/8; pixel
+      // replication upsample means full-res (x,y) → comp (x/2, y/2)
+      val cbBlk = (x / 2) / 8
+      assert(img.planes(1)(y * w + x) == cbDc(cbBlk) + 128, s"cb ($x,$y)")
+      assert(img.planes(2)(y * w + x) == crDc(cbBlk) + 128, s"cr ($x,$y)")
+    }
+  }
+
+  test("ImageIO agrees on 4:2:0 color output (smooth chroma)") {
+    val w = 36; val h = 24
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    // smooth luma, CONSTANT chroma per half-plane so ImageIO's fancy
+    // (triangular) chroma upsampling and our replication agree exactly
+    val y = Array.tabulate(w * h) { i =>
+      val x = i % w; val yy = i / w
+      128 + (60 * math.sin(x / 5.0) * math.cos(yy / 4.0)).toInt
+    }
+    val cb = Array.fill(cw * ch)(90)
+    val cr = Array.fill(cw * ch)(170)
+    val bytes = Jpeg.encodeJpegYcbcr420(w, h, y, cb, cr,
+      Array.fill(64)(1), Array.fill(64)(1))
+    val ours = Jpeg.decodeJpeg(bytes).getOrElse(fail("own decode failed"))
+    val rgb = Jpeg.ycbcrToRgb(ours)
+    val theirs = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(theirs != null, "ImageIO rejected the 4:2:0 stream")
+    assert(theirs.getWidth == w && theirs.getHeight == h)
+    var maxDiff = 0
+    for (py <- 0 until h; px <- 0 until w) {
+      val t = theirs.getRGB(px, py)
+      val o = rgb(py * w + px)
+      for (shift <- Seq(16, 8, 0))
+        maxDiff = math.max(maxDiff,
+          math.abs(((t >> shift) & 0xff) - ((o >> shift) & 0xff)))
+    }
+    // float vs libjpeg integer IDCT + integer color convert: small slack
+    assert(maxDiff <= 3, s"max RGB channel diff $maxDiff")
   }
 
   test("MJPEG AVI: 00dc chunks decode through the JPEG path") {
