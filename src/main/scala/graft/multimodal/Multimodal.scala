@@ -363,12 +363,17 @@ object Multimodal {
     def u32(i: Int): Long =
       u8(i).toLong | (u8(i + 1).toLong << 8) |
         (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
     wavHeader(p).filter(w => w.bitsPerSample == 16 || w.bitsPerSample == 8)
       .flatMap { info =>
         var i = 12L
         while (i + 8 <= p.length) {
           val at = i.toInt
           val size = u32(at + 4)
+          // a non-PCM format tag (G.711 = 6/7, true codecs beyond) must not
+          // be mis-read as raw PCM bytes — [[wavSamplesG711]] owns 6/7
+          if (tag(at, "fmt ") && size >= 16 && i + 8 + 16 <= p.length &&
+              u16(at + 8) != 1) return None
           if (tag(at, "data")) {
             val end = math.min(at + 8 + size, p.length.toLong).toInt
             val bytesPer = info.bitsPerSample / 8
@@ -388,6 +393,63 @@ object Multimodal {
         }
         None
       }
+  }
+
+  /** G.711 companded-audio expansion (ITU-T G.711; formulas per the classic
+    * public-domain Sun Microsystems g711.c): one encoded byte → one linear
+    * 16-bit sample. μ-law (WAV format tag 7): complement, then
+    * `(((mant<<3)+0x84)<<exp) - 0x84` with the sign from bit 7 of the
+    * complemented code. A-law (tag 6): XOR 0x55, then a segment-folded
+    * expansion (`seg==0 → (mant<<4)+8; seg==1 → (mant<<4)+0x108; else
+    * ((mant<<4)+0x108)<<(seg-1)`). Pure 16-bit integer arithmetic — no
+    * tables — so a DuckDB CASE expression replays it bit-for-bit.
+    * Reference values: μ-law 0x00 → −32124, 0xFF → 0; A-law 0x55 → −8,
+    * 0x2A → −32256 (asserted in G711Spec). */
+  def g711ToLinear(code: Int, aLaw: Boolean): Int =
+    if (aLaw) {
+      val a = (code ^ 0x55) & 0xff
+      val seg = (a >> 4) & 7
+      val mant = a & 0x0f
+      val t =
+        if (seg == 0) (mant << 4) + 8
+        else if (seg == 1) (mant << 4) + 0x108
+        else ((mant << 4) + 0x108) << (seg - 1)
+      if ((a & 0x80) != 0) t else -t
+    } else {
+      val u = (~code) & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+  /** G.711 WAV decode: the SAME RIFF chunk walk as [[wavSamples]], but for
+    * format tag 6 (A-law) / 7 (μ-law) at 8 bits per sample — each data byte
+    * expands through [[g711ToLinear]]. None for any other format tag (PCM
+    * goes through [[wavSamples]]; true codecs stay stubbed). */
+  def wavSamplesG711(p: Array[Byte]): Option[Array[Int]] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int, s: String) =
+      i + 4 <= p.length && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12L
+    var fmtTag = -1
+    while (i + 8 <= p.length) {
+      val at = i.toInt
+      val size = u32(at + 4)
+      if (tag(at, "fmt ") && size >= 16 && i + 8 + 16 <= p.length) {
+        fmtTag = u16(at + 8)
+        if ((fmtTag != 6 && fmtTag != 7) || u16(at + 22) != 8) return None
+      } else if (tag(at, "data") && fmtTag >= 0) {
+        val end = math.min(at + 8 + size, p.length.toLong).toInt
+        return Some(Array.tabulate(end - (at + 8))(k =>
+          g711ToLinear(u8(at + 8 + k), aLaw = fmtTag == 6)))
+      }
+      i += 8L + size + (size & 1L)
+    }
+    None
   }
 
   /** Uncompressed-AVI video: header + raw frames. AVI is RIFF (the same
@@ -829,6 +891,24 @@ object Multimodal {
       "WAVE".getBytes("US-ASCII") ++
       "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
       le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  /** WAV carrying a G.711 payload (format tag 6 = A-law, 7 = μ-law, 8 bits
+    * per sample, one code byte per sample) — the encode-side container twin
+    * of [[wavSamplesG711]]. `codes` are the raw encoded bytes 0..255. */
+  def synthWavG711(channels: Int, rate: Int, codes: Array[Int],
+                   aLaw: Boolean): Array[Byte] = {
+    require(codes.length % channels == 0, "codes must fill whole frames")
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val blockAlign = channels
+    val data = codes.map(_.toByte)
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(if (aLaw) 6 else 7) ++
+      le16(channels) ++ le32(rate) ++ le32(rate * blockAlign) ++
+      le16(blockAlign) ++ le16(8) ++
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 

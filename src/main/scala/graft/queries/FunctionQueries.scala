@@ -575,6 +575,130 @@ object FunctionQueries {
         .toDF("doc_id", "width", "height", "n_px", "sum_y", "sum_cb",
           "sum_cr", "sum_xy_y", "sum_xy_cb", "min_px", "max_px")
         .orderBy("doc_id")
+    },
+
+    // ----- PROGRESSIVE (SOF2) JPEG gate: the libjpeg-default layout —
+    // spectral selection (DC scan, AC bands 1-31 / 32-63) PLUS successive
+    // approximation (point transform 1 → 0: first scans carry the high
+    // bits, refinement scans place ±1 newly-nonzero values after
+    // zero-history runs and append per-position correction bits, with
+    // end-of-band runs carried ACROSS blocks and their correction bits
+    // buffered after the EOBn code). The entropy layer is still lossless,
+    // so a full-AC encode→decode round trip must reproduce every quantized
+    // coefficient bit-for-bit — same oracle style as q_jpeg_coeffs, fresh
+    // formulas. Any mis-ordered correction bit, wrong zero-history count,
+    // dropped EOBn extension bit, or broken DC bit-append shifts a sum.
+    "q_jpeg_progressive" -> QueryDef.sql(s"""
+      WITH zz AS (SELECT k, zn FROM (SELECT UNNEST(${Jpeg.ZigZag.mkString("[", ",", "]")}) AS zn,
+                                            UNNEST(range(0,64)) AS k)),
+      ids AS (SELECT doc_id AS id, 5 + doc_id % 21 AS w, 4 + doc_id % 15 AS h
+              FROM documents WHERE doc_id < 40),
+      dims AS (SELECT id, ((w + 7) // 8) * ((h + 7) // 8) AS nb, w, h FROM ids),
+      coefs AS (
+        SELECT id, nb, b, k, zn,
+               CASE WHEN k = 0 THEN ((id*7 + b*13) % 241) - 120
+                    WHEN (k*3 + b*5 + id) % 13 = 0
+                      THEN ((id*17 + b*11 + k*23) % 801) - 400
+                    ELSE 0 END AS c
+        FROM dims CROSS JOIN range(0,12) rb(b) CROSS JOIN zz
+        WHERE b < nb)
+      SELECT id AS doc_id,
+             CAST(MAX(nb) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN c <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nz,
+             CAST(SUM(CASE WHEN c % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd,
+             CAST(SUM(c) AS BIGINT) AS sum_c,
+             CAST(SUM(c * zn) AS BIGINT) AS sum_cpos,
+             CAST(SUM(c * b) AS BIGINT) AS sum_cb
+      FROM coefs GROUP BY id ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = (5 + id % 21).toInt
+          val h = (4 + id % 15).toInt
+          val nb = ((w + 7) / 8) * ((h + 7) / 8)
+          val quant = Array.tabulate(64)(k => 1 + (k * 7 + id).toInt % 60)
+          val blocks = Array.tabulate(nb) { b =>
+            Array.tabulate(64) { k =>
+              if (k == 0) ((id * 7 + b * 13) % 241).toInt - 120
+              else if ((k * 3 + b * 5 + id) % 13 == 0)
+                ((id * 17 + b * 11 + k * 23) % 801).toInt - 400
+              else 0
+            }
+          }
+          val bytes = Jpeg.encodeJpegProgressive(w, h,
+            Seq(Jpeg.EncComp(1, 1, quant, blocks)))
+          val got = Jpeg.jpegQuantizedCoeffs(bytes)
+            .getOrElse(sys.error(s"progressive decode failed for doc $id"))
+          require(got.width == w && got.height == h)
+          val c0 = got.comps(0)
+          // n_odd pins the LOW bit of every coefficient — exactly the bit
+          // the successive-approximation refinement scans deliver
+          val flat = for (b <- 0 until nb; p <- 0 until 64)
+            yield (b, p, c0.blocks(b)(p))
+          (id, nb.toLong,
+            flat.count(_._3 != 0).toLong,
+            flat.count(t => t._3 % 2 != 0).toLong,
+            flat.map(_._3.toLong).sum,
+            flat.map { case (_, p, c) => c.toLong * p }.sum,
+            flat.map { case (b, _, c) => c.toLong * b }.sum)
+        }
+        .toDF("doc_id", "n_blocks", "n_nz", "n_odd", "sum_c", "sum_cpos", "sum_cb")
+        .orderBy("doc_id")
+    },
+
+    // ----- G.711 companded-audio decode gate (ITU-T μ-law / A-law — the
+    // telephony WAV formats, tags 7/6): synthesize real RIFF containers
+    // whose data bytes follow a deterministic formula, expand them through
+    // the FULL wavSamplesG711 path (fmt-tag dispatch + chunk walk +
+    // per-byte expansion), and emit integer stats of the DECODED linear
+    // samples. The oracle replays the g711.c expansion arithmetic in pure
+    // SQL (complement/XOR 0x55, segment shift, bias) — a wrong sign fold,
+    // mis-read format tag, or off-by-one segment shift flips a sum.
+    // sum_xi pins sample ORDER through the chunk walk.
+    "q_g711_decode" -> QueryDef.sql("""
+      WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60),
+      aud AS (SELECT id, 48 + id % 40 AS n, id % 2 = 1 AS alaw FROM ids),
+      cod AS (SELECT id, n, alaw, i, (i*37 + id*11) % 256 AS c
+              FROM aud CROSS JOIN range(0,88) ri(i) WHERE i < n),
+      lin AS (
+        SELECT id, n, i,
+               CASE WHEN alaw THEN
+                 CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+                 CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                        THEN (xor(c, 85) % 16) * 16 + 8
+                      WHEN (xor(c, 85) // 16) % 8 = 1
+                        THEN (xor(c, 85) % 16) * 16 + 264
+                      ELSE ((xor(c, 85) % 16) * 16 + 264)
+                             * (1 << ((xor(c, 85) // 16) % 8 - 1)) END
+               ELSE
+                 CASE WHEN 255 - c >= 128 THEN -1 ELSE 1 END *
+                 ((((255 - c) % 16) * 8 + 132)
+                    * (1 << (((255 - c) // 16) % 8)) - 132)
+               END AS v
+        FROM cod)
+      SELECT id AS doc_id, CAST(n AS BIGINT) AS n_vals,
+             CAST(SUM(v) AS BIGINT) AS sum_v,
+             CAST(MIN(v) AS BIGINT) AS min_v,
+             CAST(MAX(v) AS BIGINT) AS max_v,
+             CAST(SUM(v * i) AS BIGINT) AS sum_xi
+      FROM lin GROUP BY id, n ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val n = (48 + id % 40).toInt
+          val aLaw = id % 2 == 1
+          val codes = Array.tabulate(n)(i => ((i * 37 + id * 11) % 256).toInt)
+          val v = Multimodal.wavSamplesG711(
+              Multimodal.synthWavG711(1, 8000, codes, aLaw))
+            .getOrElse(sys.error(s"G.711 decode failed for doc $id"))
+          require(v.length == n)
+          (id, n.toLong, v.map(_.toLong).sum, v.min.toLong, v.max.toLong,
+            v.zipWithIndex.map { case (s0, i) => s0.toLong * i }.sum)
+        }
+        .toDF("doc_id", "n_vals", "sum_v", "min_v", "max_v", "sum_xi")
+        .orderBy("doc_id")
     }
   )
 }

@@ -263,6 +263,88 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 3, s"max RGB channel diff $maxDiff")
   }
 
+  test("progressive entropy layer is lossless (spectral + successive approx)") {
+    val r = rng(21)
+    for (trial <- 0 until 15) {
+      val w = 1 + r.nextInt(40)
+      val h = 1 + r.nextInt(30)
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val nc = 1 + (trial % 3) // 1, 2, 3 components
+      val comps = (0 until nc).map { ci =>
+        Jpeg.EncComp(1, 1,
+          Array.tabulate(64)(k => 1 + (k * 3 + ci + trial) % 40),
+          Array.fill(bw * bh)(randomBlockZig(r)))
+      }
+      val bytes = Jpeg.encodeJpegProgressive(w, h, comps)
+      // stream really is SOF2
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "no SOF2 marker")
+      val got = Jpeg.jpegQuantizedCoeffs(bytes)
+        .getOrElse(fail(s"progressive decode failed, trial $trial"))
+      assert(got.components == nc)
+      for (ci <- 0 until nc; b <- 0 until bw * bh; k <- 0 until 64)
+        assert(got.comps(ci).blocks(b)(Jpeg.ZigZag(k)) == comps(ci).blocksZig(b)(k),
+          s"trial $trial comp $ci block $b zigzag-k $k")
+    }
+  }
+
+  test("progressive and baseline decode identical pixels from the same coeffs") {
+    val r = rng(33)
+    val w = 37; val h = 21
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val quant = Array.tabulate(64)(k => 1 + k % 17)
+    val blocks = Array.fill(bw * bh)(randomBlockZig(r))
+    val base = Jpeg.decodeJpeg(
+      Jpeg.encodeJpegFromCoeffs(w, h, quant, blocks)).get
+    val prog = Jpeg.decodeJpeg(
+      Jpeg.encodeJpegProgressive(w, h,
+        Seq(Jpeg.EncComp(1, 1, quant, blocks)))).get
+    assert(base.planes(0).sameElements(prog.planes(0)),
+      "progressive pixels must equal baseline pixels bit-for-bit")
+  }
+
+  test("ImageIO agrees on progressive output") {
+    val r = rng(55)
+    val w = 29; val h = 19
+    val px = Array.tabulate(w * h)(i => (i * 41 + 7) % 256)
+    // route pixels through the baseline encoder's fDCT+quant, then re-emit
+    // the same quantized coefficients progressively
+    val quant = Array.tabulate(64)(k => 1 + k % 7)
+    val baseBytes = Jpeg.encodeJpegGray(w, h, px, quant)
+    val coeffs = Jpeg.jpegQuantizedCoeffs(baseBytes).get
+    val blocksZig = coeffs.comps(0).blocks.map { nat =>
+      Array.tabulate(64)(k => nat(Jpeg.ZigZag(k)))
+    }
+    val progBytes = Jpeg.encodeJpegProgressive(w, h,
+      Seq(Jpeg.EncComp(1, 1, quant, blocksZig)))
+    val ours = Jpeg.decodeJpeg(progBytes).getOrElse(fail("own decode failed"))
+    val theirs = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(progBytes))
+    assert(theirs != null, "ImageIO rejected the progressive stream")
+    assert(theirs.getWidth == w && theirs.getHeight == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff, math.abs(
+        theirs.getRaster.getSample(x, y, 0) - ours.planes(0)(y * w + x)))
+    assert(maxDiff <= 2, s"max pixel diff $maxDiff")
+  }
+
+  test("progressive decoder is total on malformed input") {
+    val good = Jpeg.encodeJpegProgressive(16, 16, Seq(
+      Jpeg.EncComp(1, 1, Array.fill(64)(1), Array.fill(4)({
+        val b = new Array[Int](64); b(0) = 37; b(9) = -4; b
+      }))))
+    val r = rng(13)
+    for (_ <- 0 until 300) {
+      val mutated = good.clone()
+      val at = r.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << r.nextInt(8))).toByte
+      Jpeg.decodeJpeg(mutated) // must not throw
+    }
+    for (cut <- 0 until good.length)
+      Jpeg.decodeJpeg(good.take(cut)) // must not throw
+  }
+
   test("MJPEG AVI: 00dc chunks decode through the JPEG path") {
     val quant = Array.fill(64)(16); quant(0) = 8
     val w = 16; val h = 8
