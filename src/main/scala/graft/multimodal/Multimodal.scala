@@ -452,6 +452,90 @@ object Multimodal {
     None
   }
 
+  /** IMA ADPCM step-size table (89 entries) and index-adjust table — the
+    * published constants from the IMA Digital Audio Focus Group algorithm
+    * (as shipped in every public implementation since the 1992 spec). */
+  val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble step: given (predictor, stepIndex) state and a
+    * 4-bit code, returns the next (predictor, stepIndex). Pure integer
+    * arithmetic (shifts, adds, clamps) — the oracle replays it as a DuckDB
+    * recursive CTE carrying the same two-register state. */
+  def imaStep(pred: Int, stepIndex: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStepTable(stepIndex)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val clamped = math.max(-32768, math.min(32767, p))
+    val si = math.max(0, math.min(88, stepIndex + ImaIndexTable(nibble)))
+    (clamped, si)
+  }
+
+  /** IMA ADPCM WAV decode (format tag 0x11, mono, 4 bits/sample): the SAME
+    * RIFF chunk walk, then per-block decode — each `blockAlign`-sized block
+    * opens with a 4-byte header (initial predictor s16le, step index u8,
+    * reserved u8) that IS sample 0, followed by nibble pairs (low nibble
+    * first, per the IMA WAV convention). None for other tags/layouts. */
+  def wavSamplesAdpcm(p: Array[Byte]): Option[Array[Int]] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int, s: String) =
+      i + 4 <= p.length && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12L
+    var blockAlign = -1
+    while (i + 8 <= p.length) {
+      val at = i.toInt
+      val size = u32(at + 4)
+      if (tag(at, "fmt ") && size >= 16 && i + 8 + 16 <= p.length) {
+        if (u16(at + 8) != 0x11 || u16(at + 10) != 1 || u16(at + 22) != 4)
+          return None
+        blockAlign = u16(at + 20)
+        if (blockAlign < 4) return None
+      } else if (tag(at, "data") && blockAlign > 0) {
+        val end = math.min(at + 8 + size, p.length.toLong).toInt
+        val out = Array.newBuilder[Int]
+        var b = at + 8
+        while (b + 4 <= end) {
+          val blockEnd = math.min(b + blockAlign, end)
+          var pred = (u8(b) | (u8(b + 1) << 8)).toShort.toInt
+          var si = math.min(88, u8(b + 2))
+          out += pred
+          var j = b + 4
+          while (j < blockEnd) {
+            val byte = u8(j)
+            val s1 = imaStep(pred, si, byte & 0x0f)
+            pred = s1._1; si = s1._2; out += pred
+            val s2 = imaStep(pred, si, byte >> 4)
+            pred = s2._1; si = s2._2; out += pred
+            j += 1
+          }
+          b += blockAlign
+        }
+        return Some(out.result())
+      }
+      i += 8L + size + (size & 1L)
+    }
+    None
+  }
+
   /** Uncompressed-AVI video: header + raw frames. AVI is RIFF (the same
     * container family as WAV): `RIFF('AVI ')` wraps a `LIST('hdrl')` whose
     * `avih` main header carries total frames / width / height (OpenDML AVI
@@ -910,6 +994,30 @@ object Multimodal {
       le16(channels) ++ le32(rate) ++ le32(rate * blockAlign) ++
       le16(blockAlign) ++ le16(8) ++
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  /** WAV carrying one IMA ADPCM block (format tag 0x11, mono, 4-bit): the
+    * encode-side container twin of [[wavSamplesAdpcm]]. The fmt chunk uses
+    * the spec's extended form (cbSize=2 + samplesPerBlock u16). `nibbles`
+    * must have even length; the block header carries (predictor0, stepIdx0)
+    * and yields samples = nibbles.length + 1. */
+  def synthWavAdpcm(rate: Int, predictor0: Int, stepIdx0: Int,
+                    nibbles: Array[Int]): Array[Byte] = {
+    require(nibbles.length % 2 == 0, "nibble count must be even")
+    require(stepIdx0 >= 0 && stepIdx0 <= 88, s"step index 0..88: $stepIdx0")
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val blockAlign = 4 + nibbles.length / 2
+    val samplesPerBlock = nibbles.length + 1
+    val data = le16(predictor0) ++ Array(stepIdx0.toByte, 0.toByte) ++
+      nibbles.grouped(2).map(p => ((p(0) & 0xf) | ((p(1) & 0xf) << 4)).toByte).toArray
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    "RIFF".getBytes("US-ASCII") ++ le32(40 + data.length + pad.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(20) ++ le16(0x11) ++ le16(1) ++
+      le32(rate) ++ le32(rate * blockAlign / samplesPerBlock) ++
+      le16(blockAlign) ++ le16(4) ++ le16(2) ++ le16(samplesPerBlock) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
   }
 
   def synthMp4(timescale: Long, duration: Long): Array[Byte] = {

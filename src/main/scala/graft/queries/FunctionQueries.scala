@@ -699,6 +699,63 @@ object FunctionQueries {
         }
         .toDF("doc_id", "n_vals", "sum_v", "min_v", "max_v", "sum_xi")
         .orderBy("doc_id")
+    },
+
+    // ----- IMA ADPCM decode gate (WAV format tag 0x11 — the classic 4-bit
+    // differential codec): synthesize real one-block containers whose
+    // nibble codes follow a deterministic formula, decode through the FULL
+    // wavSamplesAdpcm path (fmt-tag dispatch, block header, low-nibble-
+    // first unpacking, the two-register predictor/step-index automaton),
+    // and emit integer stats of the DECODED samples. The oracle replays
+    // the IMA automaton as a DuckDB RECURSIVE CTE carrying the same
+    // (pred, si) state with the published 89-entry step table inlined —
+    // a wrong clamp, index adjust, nibble order, or sign fold diverges the
+    // recurrence from sample k onward and reddens the hash. sum_xi pins
+    // sample ORDER.
+    "q_adpcm_decode" -> QueryDef.sql(s"""
+      WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60),
+      cfg AS (SELECT id, 40 + 2*(id % 16) AS n,
+                     ((id*29) % 4001) - 2000 AS p0, id % 89 AS s0 FROM ids),
+      r AS (
+        SELECT id, n, 0 AS i, p0 AS pred, s0 AS si FROM cfg
+        UNION ALL
+        SELECT id, n, i + 1,
+          GREATEST(-32768, LEAST(32767, pred +
+            CASE WHEN ((i*7 + id*13) % 16) >= 8 THEN -1 ELSE 1 END *
+            ( ${Multimodal.ImaStepTable.mkString("[", ",", "]")}[si + 1] // 8
+              + CASE WHEN ((i*7 + id*13) % 16) % 2 = 1
+                  THEN ${Multimodal.ImaStepTable.mkString("[", ",", "]")}[si + 1] // 4 ELSE 0 END
+              + CASE WHEN (((i*7 + id*13) % 16) // 2) % 2 = 1
+                  THEN ${Multimodal.ImaStepTable.mkString("[", ",", "]")}[si + 1] // 2 ELSE 0 END
+              + CASE WHEN (((i*7 + id*13) % 16) // 4) % 2 = 1
+                  THEN ${Multimodal.ImaStepTable.mkString("[", ",", "]")}[si + 1] ELSE 0 END ))),
+          GREATEST(0, LEAST(88, si +
+            ${Multimodal.ImaIndexTable.mkString("[", ",", "]")}[((i*7 + id*13) % 16) + 1]))
+        FROM r WHERE i < n)
+      SELECT id AS doc_id, CAST(n + 1 AS BIGINT) AS n_vals,
+             CAST(SUM(pred) AS BIGINT) AS sum_v,
+             CAST(MIN(pred) AS BIGINT) AS min_v,
+             CAST(MAX(pred) AS BIGINT) AS max_v,
+             CAST(SUM(pred * i) AS BIGINT) AS sum_xi
+      FROM r GROUP BY id, n ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val n = (40 + 2 * (id % 16)).toInt
+          val p0 = ((id * 29) % 4001).toInt - 2000
+          val s0 = (id % 89).toInt
+          val nibbles = Array.tabulate(n)(i => ((i * 7 + id * 13) % 16).toInt)
+          val v = Multimodal.wavSamplesAdpcm(
+              Multimodal.synthWavAdpcm(8000, p0, s0, nibbles))
+            .getOrElse(sys.error(s"ADPCM decode failed for doc $id"))
+          require(v.length == n + 1)
+          (id, v.length.toLong, v.map(_.toLong).sum, v.min.toLong,
+            v.max.toLong,
+            v.zipWithIndex.map { case (s0v, i) => s0v.toLong * i }.sum)
+        }
+        .toDF("doc_id", "n_vals", "sum_v", "min_v", "max_v", "sum_xi")
+        .orderBy("doc_id")
     }
   )
 }
