@@ -68,6 +68,13 @@ object Bench {
                        fn: (SparkSession, String) => DataFrame,
                        prepare: () => Unit): Double = {
     prepare()
+    // Untimed GC between measured queries: the r7-widened set interleaves
+    // multi-GB-churn queries (winnowing, stream upsert, k-means fits), and
+    // carried GC debt was observed inflating UNCHANGED queries 2-4x vs
+    // their isolated times (q_billmatch 0.53 s isolated vs 1.66 s mid-set).
+    // Collecting outside the timed region measures each operator against a
+    // quiesced heap without changing what the engine executes.
+    System.gc()
     val t0 = System.nanoTime()
     try { fn(spark, sfDir).count() }
     catch { case e: Throwable =>
