@@ -489,7 +489,10 @@ object Multimodal {
     * RIFF chunk walk, then per-block decode — each `blockAlign`-sized block
     * opens with a 4-byte header (initial predictor s16le, step index u8,
     * reserved u8) that IS sample 0, followed by nibble pairs (low nibble
-    * first, per the IMA WAV convention). None for other tags/layouts. */
+    * first, per the IMA WAV convention). When the extended fmt chunk carries
+    * samplesPerBlock, per-block emission is capped at it (the last block of
+    * a conforming file may pad with nibbles that are not samples). None for
+    * other tags/layouts. */
   def wavSamplesAdpcm(p: Array[Byte]): Option[Array[Int]] = {
     def u8(i: Int) = p(i) & 0xff
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -501,6 +504,7 @@ object Multimodal {
     if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
     var i = 12L
     var blockAlign = -1
+    var samplesPerBlock = -1
     while (i + 8 <= p.length) {
       val at = i.toInt
       val size = u32(at + 4)
@@ -509,8 +513,15 @@ object Multimodal {
           return None
         blockAlign = u16(at + 20)
         if (blockAlign < 4) return None
+        // extended fmt (cbSize >= 2): samplesPerBlock caps how many samples
+        // each block REALLY carries — a conforming file's LAST block may
+        // imply more nibbles than it has samples, and decoding them all
+        // would emit garbage trailing samples
+        if (size >= 20 && i + 8 + 20 <= p.length && u16(at + 24) >= 2)
+          samplesPerBlock = u16(at + 26)
       } else if (tag(at, "data") && blockAlign > 0) {
         val end = math.min(at + 8 + size, p.length.toLong).toInt
+        val cap = if (samplesPerBlock > 0) samplesPerBlock else Int.MaxValue
         val out = Array.newBuilder[Int]
         var b = at + 8
         while (b + 4 <= end) {
@@ -518,13 +529,16 @@ object Multimodal {
           var pred = (u8(b) | (u8(b + 1) << 8)).toShort.toInt
           var si = math.min(88, u8(b + 2))
           out += pred
+          var emitted = 1
           var j = b + 4
-          while (j < blockEnd) {
+          while (j < blockEnd && emitted < cap) {
             val byte = u8(j)
             val s1 = imaStep(pred, si, byte & 0x0f)
-            pred = s1._1; si = s1._2; out += pred
+            pred = s1._1; si = s1._2
+            if (emitted < cap) { out += pred; emitted += 1 }
             val s2 = imaStep(pred, si, byte >> 4)
-            pred = s2._1; si = s2._2; out += pred
+            pred = s2._1; si = s2._2
+            if (emitted < cap) { out += pred; emitted += 1 }
             j += 1
           }
           b += blockAlign

@@ -59,8 +59,11 @@ object Murmur3 {
 
   /** DuckDB CTE chain computing `bucket(term, numFeatures)` for every row of
     * an input CTE `inRel` that has a column `term` (ASCII-only — the token
-    * pipeline guarantees it — and at most 4*words+3 bytes; longer terms
-    * would hash wrong, so size `words` to the corpus). The chain ends in a
+    * pipeline guarantees it — and at most 4*words+3 bytes; a longer term
+    * raises a loud `error()` in the oracle rather than hashing wrong, so a
+    * corpus regen that introduces one long token surfaces as an explicit
+    * oracle-domain failure, not a confusing hash mismatch — size `words` to
+    * the corpus). The chain ends in a
     * CTE named `mm_hash(term, bucket)`. All 32-bit unsigned arithmetic is
     * emulated: values live in BIGINT mod 2^32, multiplies go through HUGEINT,
     * rotl splits into disjoint low/high bit ranges so no extra mod is
@@ -111,9 +114,17 @@ object Murmur3 {
          CAST((((CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END)
                 % $numFeatures) + $numFeatures) % $numFeatures AS BIGINT) AS bucket
        FROM mm_f5)"""
-    s"""mm_sb AS (SELECT term, strlen(term) AS nb, ${byteCols.mkString(", ")},
-         CAST($seed AS BIGINT) AS h
+    // the byte cap fails LOUDLY: DuckDB forbids lateral references to a
+    // side-effecting alias, so the guarded nb lives in its own CTE stage
+    val cap = words * 4 + 3
+    s"""mm_cap AS (SELECT term,
+         CASE WHEN strlen(term) > $cap
+              THEN error('murmur3 oracle byte cap exceeded (words=$words, cap=$cap): ' || term)
+              ELSE strlen(term) END AS nb
        FROM $inRel),
+       mm_sb AS (SELECT term, nb, ${byteCols.mkString(", ")},
+         CAST($seed AS BIGINT) AS h
+       FROM mm_cap),
        ${wordStages.mkString(",\n")},
        ${tailStages.mkString(",\n")},
        $fmix"""

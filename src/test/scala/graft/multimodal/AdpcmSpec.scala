@@ -85,6 +85,20 @@ class AdpcmSpec extends AnyFunSuite {
       s"max reconstruction error ${errs.max}")
   }
 
+  test("extended-fmt samplesPerBlock caps per-block emission") {
+    // a conforming file whose block carries fewer samples than its nibble
+    // capacity implies: the trailing nibbles are padding, not samples
+    val nibbles = Array(3, 12, 0, 15, 8, 7)
+    val wav = synthWavAdpcm(8000, -1234, 42, nibbles) // samplesPerBlock = 7
+    val full = wavSamplesAdpcm(wav).get
+    assert(full.length === 7)
+    val patched = wav.clone()
+    patched(38) = 5 // samplesPerBlock u16le at fmt data offset 18
+    patched(39) = 0
+    val capped = wavSamplesAdpcm(patched).get
+    assert(capped.toSeq === full.take(5).toSeq)
+  }
+
   test("rejects PCM and G.711 tags; those decoders reject ADPCM") {
     val pcm = Multimodal.synthWavPcm(1, 8000, 16, Array(1, -2, 3))
     assert(wavSamplesAdpcm(pcm).isEmpty)

@@ -329,6 +329,23 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"max pixel diff $maxDiff")
   }
 
+  test("progressive stream with its DQT corrupted away returns None, not NPE") {
+    // one flipped marker byte turns 0xFFDB into a skippable APPn segment,
+    // leaving quant(tq) null at EOI — must hit the 'missing quant table'
+    // bail, not a NullPointerException past the ParseBail handler
+    val good = Jpeg.encodeJpegProgressive(16, 16, Seq(
+      Jpeg.EncComp(1, 1, Array.fill(64)(2), Array.fill(4)({
+        val b = new Array[Int](64); b(0) = 19; b(3) = 5; b
+      }))))
+    val dqtAt = good.indices.dropRight(1).find(k =>
+      (good(k) & 0xff) == 0xff && (good(k + 1) & 0xff) == 0xdb)
+      .getOrElse(fail("no DQT marker in fixture"))
+    val noDqt = good.clone()
+    noDqt(dqtAt + 1) = 0xe9.toByte // APP9: skipped by length like DQT
+    assert(Jpeg.decodeJpeg(noDqt).isEmpty)
+    assert(Jpeg.jpegQuantizedCoeffs(noDqt).isEmpty)
+  }
+
   test("progressive decoder is total on malformed input") {
     val good = Jpeg.encodeJpegProgressive(16, 16, Seq(
       Jpeg.EncComp(1, 1, Array.fill(64)(1), Array.fill(4)({

@@ -43,4 +43,13 @@ class Murmur3Spec extends AnyFunSuite {
     for (n <- Seq("mm_s0", "mm_s5", "mm_t0", "mm_t1", "mm_f0", "mm_f5"))
       assert(sql.contains(n), s"missing stage $n")
   }
+
+  test("SQL replay raises a loud error past the byte cap, not a wrong hash") {
+    // a term longer than words*4+3 bytes is outside the replay's domain;
+    // the oracle must fail with error() so a corpus regen that introduces a
+    // long token reads as an oracle-domain failure, not a hash mismatch
+    val sql = Murmur3.oracleSqlCtes("terms", 1024, words = 6)
+    assert(sql.contains("error('murmur3 oracle byte cap exceeded"))
+    assert(sql.contains("cap=27"), "cap must reflect words*4+3")
+  }
 }
