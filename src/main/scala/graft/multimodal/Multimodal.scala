@@ -59,7 +59,8 @@ object Multimodal {
     *    (ITU-T T.81 §B.2.2). Fill bytes (repeated FF) are legal between
     *    segments; standalone markers (RST/SOI/EOI) carry no length field;
     *    the walk stops at SOS — a SOF always precedes the scan data.
-    * Full pixel decode stays behind the codec stub. */
+    * This is the cheap metadata-only path; full pixel decode is real for
+    * PNG/GIF ([[decodePng]]/[[decodeGif]]) and JPEG ([[Jpeg.decodeJpeg]]). */
   def headerDims(p: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int) = p(i) & 0xff
     if (p.length >= 24 &&
@@ -111,7 +112,9 @@ object Multimodal {
     * sample rate u32le, bits u16le, block align u16le) and the "data" chunk
     * (frame count = data size / block align). Returns
     * (channels, sampleRate, bitsPerSample, nFrames); nFrames −1 when no data
-    * chunk precedes truncation. Sample DECODE stays behind the codec stub. */
+    * chunk precedes truncation. Sample decode is real for PCM
+    * ([[wavSamples]]), G.711 ([[wavSamplesG711]]) and IMA-ADPCM
+    * ([[wavSamplesAdpcm]]); perceptual codecs (MP3/AAC) are out of scope. */
   final case class WavInfo(channels: Int, sampleRate: Int,
                            bitsPerSample: Int, nFrames: Long)
 
@@ -151,8 +154,9 @@ object Multimodal {
     * its `mvhd` movie header (version 0: u32 timescale + u32 duration at
     * offsets 12/16 of the box payload; version 1: u64 times, timescale at 20,
     * duration u64 at 24). Returns (timescale ticks/sec, duration ticks);
-    * seconds = duration / timescale. Frame DECODE stays behind the codec
-    * stub. Overflow-safe Long cursors, like [[wavHeader]]. */
+    * seconds = duration / timescale. Frame decode for MP4 payloads needs an
+    * inter-frame codec (H.26x/VPx) — the one declared stub boundary.
+    * Overflow-safe Long cursors, like [[wavHeader]]. */
   final case class Mp4Info(timescale: Long, duration: Long)
 
   def mp4Header(p: Array[Byte]): Option[Mp4Info] = {
@@ -197,9 +201,10 @@ object Multimodal {
   // ---- REAL pixel/sample decode for the two formats the JVM can decode
   // with zero codec dependencies: PNG's IDAT is zlib (java.util.zip.Inflater)
   // plus the five spec filters, and WAV PCM samples are plain
-  // byte-addressable integers after the chunk walk above. These retire the
-  // decode stub for image/audio; only video FRAME decode (a true codec)
-  // remains stubbed.
+  // byte-addressable integers after the chunk walk above. Together with the
+  // JPEG codec ([[Jpeg]]), GIF/LZW below, and the G.711/ADPCM expanders,
+  // these retire the image/audio decode stub; only inter-frame video codecs
+  // (H.26x/VPx) remain stubbed.
 
   /** Decoded PNG: 8-bit samples row-major, channel-interleaved, 0-255. */
   final case class PngImage(width: Int, height: Int, channels: Int,
@@ -424,7 +429,8 @@ object Multimodal {
   /** G.711 WAV decode: the SAME RIFF chunk walk as [[wavSamples]], but for
     * format tag 6 (A-law) / 7 (μ-law) at 8 bits per sample — each data byte
     * expands through [[g711ToLinear]]. None for any other format tag (PCM
-    * goes through [[wavSamples]]; true codecs stay stubbed). */
+    * goes through [[wavSamples]], IMA-ADPCM through [[wavSamplesAdpcm]];
+    * perceptual codecs MP3/AAC are out of scope). */
   def wavSamplesG711(p: Array[Byte]): Option[Array[Int]] = {
     def u8(i: Int) = p(i) & 0xff
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -556,7 +562,8 @@ object Multimodal {
     * spec), and a `LIST('movi')` whose `00db` chunks are uncompressed
     * device-independent-bitmap frames — for 8-bit gray, one byte per pixel.
     * This is REAL video frame decode with zero codec dependencies; compressed
-    * streams (`00dc` with a FourCC codec) are where the stub begins. */
+    * `00dc` streams decode through [[Jpeg.aviMjpegFrames]] when the codec is
+    * MJPG — inter-frame codecs (H.26x/VPx) remain the stub boundary. */
   final case class AviInfo(width: Int, height: Int, nFrames: Int)
 
   def aviHeader(p: Array[Byte]): Option[AviInfo] = {

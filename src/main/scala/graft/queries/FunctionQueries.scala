@@ -87,8 +87,11 @@ object FunctionQueries {
         .orderBy("pk_smaller", "pk_larger")
     },
 
-    // ----- multimodal extension: binary payload + batched stub decode via
-    // mapPartitions (the Spark-side plumbing is real; the codec is a stub)
+    // ----- multimodal extension: binary payload + batched feature extract
+    // via mapPartitions. This demo keeps a deliberately-minimal header-only
+    // extractor to gate the PLUMBING (schema, partitioning, batch shape);
+    // the REAL codec family — JPEG/PNG/GIF/WAV/ADPCM — is exercised by
+    // q_media_decode, q_jpeg_*, q_gif_decode, q_adpcm_decode below.
     "q_multimodal_features" -> QueryDef.sql("""
       SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
              sha256(text) AS sha,
@@ -157,7 +160,7 @@ object FunctionQueries {
     // recomputes the same stats from the formula arithmetically, so any
     // defect in deflate/inflate framing, filter reconstruction (Sub/Up/
     // Average/Paeth), or PCM byte order shifts a sum and reddens the hash.
-    // Only video frame decode remains stubbed (needs a real codec).
+    // Only inter-frame video codecs (H.26x/VPx) remain stubbed.
     "q_media_decode" -> QueryDef.sql("""
       WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60),
       img AS (SELECT id, 8 + id % 17 AS w, 5 + id % 11 AS h FROM ids WHERE id % 2 = 0),
@@ -216,8 +219,9 @@ object FunctionQueries {
     // frames, width, height) and aviFrames (movi list, raw 00db chunks).
     // Integer stats of the DECODED frame bytes vs the arithmetic oracle: a
     // mis-walked list, off-by-one chunk pad, or dropped frame shifts a sum
-    // and reddens the hash. Compressed streams (00dc) are where the one
-    // remaining codec stub begins.
+    // and reddens the hash. Compressed 00dc streams: MJPEG decodes through
+    // Jpeg.aviMjpegFrames (q_mjpeg_frames); inter-frame codecs (H.26x/VPx)
+    // remain the stub boundary.
     "q_video_frames" -> QueryDef.sql("""
       WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 40),
       dims AS (SELECT id, 4 + id % 6 AS w, 3 + id % 5 AS h, 2 + id % 4 AS nf

@@ -620,6 +620,73 @@ object MlQueries {
       t.select("vec_id", "prediction")
         .join(drop, t("vec_id") === drop("vertex"), "left_anti")
         .orderBy("vec_id")
-    }.expectAtGate(400L, "227118589474776967215")
+    }.expectAtGate(400L, "227118589474776967215"),
+
+    // ----- SemDeDup exact twin (VERDICT r7 #4a): the SAME pipeline shape —
+    // cluster-partition → within-cluster cosine pairs → connected components
+    // → min-id representative — but with PINNED explicit centroids (the
+    // embeddings of vec_id % 50 == 0) and a 0-iteration assignment step
+    // (argmax rounded cosine, centroid-id tie-break) instead of a seeded
+    // Lloyd fit. Every stage is exact arithmetic, so the full chain replays
+    // in DuckDB: assignment cross-joins 8 broadcast centroids (the IVF
+    // coarse-quantizer shape — a narrow map at 100 TB), pair generation is
+    // the bucketed equi-join on the assigned centroid id, and the closure
+    // runs on near-dup edges only. Gates the q_semdedup kernel end-to-end
+    // minus only the k-means fit itself (which q_kmeans_blocks pins).
+    "q_semdedup_exact" -> QueryDef.sql {
+      def cosSql(a: String, b: String): String = {
+        def dotS(x: String, y: String) =
+          s"list_reduce(list_transform(range(1, 65), i -> $x[i]*$y[i]), (x,y)->x+y)"
+        s"(${dotS(a, b)} / (SQRT(${dotS(a, a)}) * SQRT(${dotS(b, b)})))"
+      }
+      s"""
+      WITH RECURSIVE t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id % 50 = 0),
+      asn AS (SELECT vec_id, v, cid FROM (
+                SELECT t.vec_id, t.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                         ORDER BY ROUND(${cosSql("t.v", "c.cv")}, 6) DESC, c.cid)
+                         AS rn
+                FROM t CROSS JOIN c) WHERE rn = 1),
+      e AS (SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM asn a JOIN asn b ON a.cid = b.cid AND b.vec_id > a.vec_id
+            WHERE ROUND(${cosSql("a.v", "b.v")}, 6) >= 0.35),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      reach AS (
+        SELECT src AS vertex, src AS root FROM sym
+        UNION
+        SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.vertex),
+      comp AS (SELECT vertex, MIN(root) AS component
+               FROM reach GROUP BY vertex)
+      SELECT vec_id, cid FROM asn
+      WHERE vec_id NOT IN (SELECT vertex FROM comp WHERE vertex <> component)
+      ORDER BY vec_id"""
+    } { (s, d) =>
+      import graft.similarity.ArrayOps
+      import org.apache.spark.sql.expressions.Window
+      val emb = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          round(ArrayOps.cosine(col("v"), col("cv")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val a = assigned.select(col("cid"), col("vec_id").as("id1"), col("v").as("v1"))
+      val b = assigned.select(col("cid"), col("vec_id").as("id2"), col("v").as("v2"))
+      val pairs = a.join(b, Seq("cid"))
+        .filter(col("id2") > col("id1") &&
+          round(ArrayOps.cosine(col("v1"), col("v2")), 6) >= 0.35)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      val drop = graft.graph.GraphOps.connectedComponents(pairs)
+        .filter(col("vertex") =!= col("component"))
+        .select(col("vertex"))
+      assigned.select("vec_id", "cid")
+        .join(drop, assigned("vec_id") === drop("vertex"), "left_anti")
+        .orderBy("vec_id")
+    }
   )
 }

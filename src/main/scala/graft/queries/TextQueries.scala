@@ -63,29 +63,57 @@ object TextQueries {
         .orderBy("ngram")
     },
 
-    // ----- M3: Porter-stemmed wordcount (no stemmer exists in offline
-    // DuckDB, so the algorithm is pinned by PorterStemmerSpec's published
-    // vocabulary instead of a SQL oracle)
-    "q_stemmed_wordcount" -> QueryDef.rowsOnly { (s, d) =>
+    // ----- M3: Porter-stemmed wordcount. No stemmer exists in offline
+    // DuckDB (stem() lives in the fts extension, undownloadable here), so
+    // the ALGORITHM is pinned by PorterStemmerSpec's published vocabulary;
+    // the sf0.01 gate uses a golden VALUES snapshot (VERDICT r7 #4b) —
+    // weaker than an independent recomputation, but it converts any
+    // engine-side drift (tokenizer, stemmer, threshold) into a red hash
+    // instead of a silent pin update. Regenerate via Verify + the dump
+    // recipe in COVERAGE.md if the sf0.01 corpus ever changes.
+    "q_stemmed_wordcount" -> QueryDef.sql("""
+      SELECT stem, CAST(n AS BIGINT) AS n FROM (VALUES
+        ('a', 880), ('agg', 901), ('batch', 937), ('big', 876),
+        ('column', 934), ('custom', 934), ('data', 908), ('dup', 26),
+        ('fast', 854), ('filter', 933), ('group', 878), ('hash', 947),
+        ('join', 964), ('kei', 896), ('line', 910), ('merg', 918),
+        ('order', 912), ('part', 878), ('queri', 871), ('row', 943),
+        ('scan', 936), ('slow', 918), ('small', 928), ('sort', 872),
+        ('spark', 880), ('stream', 888), ('tabl', 908), ('the', 840),
+        ('valu', 897), ('vector', 912), ('window', 886)
+      ) AS t(stem, n) ORDER BY stem""") { (s, d) =>
       Tables.documents(s, d)
         .select(explode(TextOps.stemTokens(TextOps.tokens(lower(col("text"))))).as("stem"))
         .groupBy("stem").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
         .orderBy("stem")
-    }.expectAtGate(31L, "19699369387328162539"),
+    },
 
     // ----- M3 (Snowball parity): the same wordcount through the Porter2 /
     // Snowball English stemmer — the algorithm the reference's stemming
     // stage actually ran (spark-stemming jar, feature/Utils.scala:200-204).
-    // Algorithm pinned by SnowballStemmerSpec's hand-derived vectors; gate
-    // pins rows + checksum at sf0.01.
-    "q_snowball_wordcount" -> QueryDef.rowsOnly { (s, d) =>
+    // Algorithm pinned by SnowballStemmerSpec's hand-derived vectors; the
+    // sf0.01 gate is a golden VALUES snapshot, same caveat + regen recipe
+    // as q_stemmed_wordcount above. The one Porter-vs-Porter2 divergence
+    // visible in this corpus: 'key' (Porter2 keeps the y after a vowel;
+    // Porter rewrites it to 'kei').
+    "q_snowball_wordcount" -> QueryDef.sql("""
+      SELECT stem, CAST(n AS BIGINT) AS n FROM (VALUES
+        ('a', 880), ('agg', 901), ('batch', 937), ('big', 876),
+        ('column', 934), ('custom', 934), ('data', 908), ('dup', 26),
+        ('fast', 854), ('filter', 933), ('group', 878), ('hash', 947),
+        ('join', 964), ('key', 896), ('line', 910), ('merg', 918),
+        ('order', 912), ('part', 878), ('queri', 871), ('row', 943),
+        ('scan', 936), ('slow', 918), ('small', 928), ('sort', 872),
+        ('spark', 880), ('stream', 888), ('tabl', 908), ('the', 840),
+        ('valu', 897), ('vector', 912), ('window', 886)
+      ) AS t(stem, n) ORDER BY stem""") { (s, d) =>
       Tables.documents(s, d)
         .select(explode(TextOps.snowballTokens(TextOps.tokens(lower(col("text"))))).as("stem"))
         .groupBy("stem").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
         .orderBy("stem")
-    }.expectAtGate(31L, "18678319426136856827"),
+    },
 
     // ----- extension: language-ID heuristic (marker-word argmax)
     "q_langid" -> QueryDef.sql("""

@@ -25,8 +25,12 @@ import scala.sys.process._
   */
 class RepinDryRunSpec extends SparkSpec {
 
-  /** Two cheap pinned (no-oracle) queries over the documents table. */
-  private val pins = Set("q_stemmed_wordcount", "q_snowball_wordcount")
+  /** Two cheap pinned (no-oracle) queries. The stemmer wordcounts that
+    * originally played this role gained golden VALUES oracles in r8, so the
+    * dry run now fires on the LSH pins (embeddings + featurized documents —
+    * the documents perturbation in step 1 shifts the feature pipeline, and
+    * the fixture fingerprint covers both tables either way). */
+  private val pins = Set("q_brp_lsh", "q_knn_probe")
 
   private val base = Paths.get("/tmp/graft_repin_dryrun")
 

@@ -190,4 +190,79 @@ class StreamingRestartSpec extends SparkSpec {
     assert(rolled == batchMap,
       "rolled-up session log diverges from batch sessionization after restart")
   }
+
+  test("foreachBatch MERGE upsert: crashed mid-replay, the resumed stream " +
+       "converges to the one-shot batch merge bit-for-bit") {
+    // The q_stream_upsert recipe (foreachBatch + MergeInto over a parquet
+    // snapshot) under the failure it must survive at 100 TB: the job dies
+    // BETWEEN micro-batches mid-replay, a new query object resumes the
+    // checkpoint, and the final snapshot must equal the one-shot batch
+    // MERGE. The uncommitted batch is re-delivered on restart (at-least-once
+    // from the offset log) and converges because the change rows carry
+    // absolute values — MergeInto re-application is idempotent per key.
+    val base = tmp()
+    val (chgDir, snapDir, ckpt) = (s"$base/chg", s"$base/snap", s"$base/ckpt")
+    val o = Tables.orders(spark, sfDir)
+    val price = col("o_totalprice").cast("decimal(30,2)")
+    val baseDf = o.filter(col("o_orderkey") % 4 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), price.as("price"))
+    val changes = o.filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), lit("I").as("op"), col("o_orderstatus"),
+        price.as("price"))
+      .unionByName(o.filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+          (price + 10).cast("decimal(30,2)").as("price")))
+      .unionByName(o.filter(col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey"), lit("D").as("op"), col("o_orderstatus"),
+          lit(null).cast("decimal(30,2)").as("price")))
+    baseDf.write.parquet(snapDir)
+    // three change files = three micro-batches at maxFilesPerTrigger=1;
+    // key-disjoint op classes, so batch order cannot affect the result
+    for (op <- Seq("I", "U", "D"))
+      changes.filter(col("op") === op).coalesce(1)
+        .write.mode("append").parquet(chgDir)
+
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(crashAtBatch: Long): Unit = {
+      val applyBatch: (DataFrame, Long) => Unit = (batch, id) => {
+        if (applied.length.toLong == crashAtBatch)
+          throw new RuntimeException("injected crash before batch side effect")
+        val next = graft.operators.MergeInto(
+          spark.read.parquet(snapDir), batch, "o_orderkey")
+        val tmpDir = s"${snapDir}_b${System.nanoTime()}"
+        next.write.mode("overwrite").parquet(tmpDir)
+        spark.read.parquet(tmpDir).write.mode("overwrite").parquet(snapDir)
+        applied += id
+      }
+      val q = spark.readStream.schema(spark.read.parquet(chgDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(chgDir)
+        .writeStream.foreachBatch(applyBatch)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(e.getMessage.contains("injected crash") ||
+               Option(e.getCause).exists(_.getMessage.contains("injected crash")),
+          s"unexpected stream failure: $e")
+      }
+    }
+    run(crashAtBatch = 1L) // batch 0 commits; the crash kills the run mid-replay
+    assert(applied.length == 1, s"phase 1 must commit exactly one batch: $applied")
+    val midCount = spark.read.parquet(snapDir).count()
+    run(crashAtBatch = -1L) // resume: re-delivers batch 1, then batch 2 — never batch 0
+    assert(applied.length == 3,
+      s"resume must apply exactly the two remaining batches, once each: $applied")
+
+    def canon(df: DataFrame): Seq[(Long, String, Option[String])] =
+      df.select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+          col("price").cast("string"))
+        .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    val got = canon(spark.read.parquet(snapDir))
+    val want = canon(graft.operators.MergeInto(baseDf, changes, "o_orderkey"))
+    // the D batch (applied only after the resume) shrinks the table, so the
+    // crashed phase-1 snapshot must be a genuine partial state
+    assert(midCount != want.length, "phase 1 must be a genuine partial state")
+    assert(got == want,
+      s"restarted upsert diverges from batch MERGE: ${got.length} vs ${want.length}")
+  }
 }
