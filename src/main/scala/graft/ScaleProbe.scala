@@ -256,6 +256,67 @@ object ScaleProbe {
           label -> tailFactors.map(f => f -> timeDf(mk, dirFor(f))).toMap
         }
 
+    // ---- multimodal codec ladder (r8, VERDICT r7 #5): decode is
+    // mapPartitions batch work — prove the embarrassingly-linear scaling and
+    // measure decoded MB/s/core, the number a 100 TB capacity plan needs.
+    // Payloads are PRE-GENERATED to parquet (generation untimed): 200·f
+    // baseline 256×256 grayscale JPEGs per factor, AC-rich blocks (Huffman
+    // AC magnitude + EOB paths exercised), every 4th image with restart
+    // markers. The timed query reads the parquet, full-decodes every image
+    // (marker walk → Huffman → dequant → IDCT → clamp) and aggregates pixel
+    // stats — the exact shape of a corpus-wide image feature-extract pass.
+    val mmFactors = Seq(1, 10, 50, 100)
+    val runMm = only.forall(_.contains("q_jpeg_throughput"))
+    val sparkForImplicits = spark
+    import sparkForImplicits.implicits._
+    def jpegPayloadPath(f: Int): String = s"${work.getPath}/jpeg_x$f.parquet"
+    if (runMm) mmFactors.foreach { f =>
+      spark.range(200L * f).as[Long].repartition(32).mapPartitions { it =>
+        it.map { id =>
+          val quant = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+          val blocks = Array.tabulate(32 * 32) { b =>
+            val blk = new Array[Int](64)
+            blk(0) = ((id * 7 + b * 13) % 381).toInt - 190
+            blk(1) = ((id + b) % 21).toInt - 10
+            blk(8) = ((id * 3 + b * 5) % 17).toInt - 8
+            blk(18) = ((b * 11 + id) % 9).toInt - 4
+            blk
+          }
+          (id, graft.multimodal.Jpeg.encodeJpegFromCoeffs(
+            256, 256, quant, blocks, if (id % 4 == 0) 4 else 0))
+        }
+      }.toDF("id", "payload")
+        .write.mode("overwrite").parquet(jpegPayloadPath(f))
+    }
+    def jpegDecodeDf(f: Int): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(jpegPayloadPath(f))
+        .select("id", "payload").as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val img = graft.multimodal.Jpeg.decodeJpeg(bytes)
+              .getOrElse(sys.error(s"JPEG decode failed for probe image $id"))
+            val px = img.planes.head
+            var s = 0L; var i = 0
+            while (i < px.length) { s += px(i); i += 1 }
+            (id, img.width, img.height, px.length.toLong, s,
+              bytes.length.toLong)
+          }
+        }.toDF("id", "w", "h", "n_px", "sum_px", "n_bytes")
+    val mmRows: Seq[(String, Map[Int, Double])] =
+      if (runMm)
+        Seq("jpeg_decode(256x256 gray)" ->
+          mmFactors.map(f => f -> timeDf(_ => jpegDecodeDf(f), "")._1).toMap)
+      else Nil
+    // bytes for the throughput figure: decoded = 1 B/px grayscale output,
+    // compressed = on-disk entropy-coded payload (both at 100×)
+    val mmBytes: Option[(Long, Long)] =
+      if (runMm) {
+        val r = jpegDecodeDf(100)
+          .agg(sum("n_px").cast("long"), sum("n_bytes").cast("long"))
+          .collect()(0)
+        Some((r.getLong(0), r.getLong(1)))
+      } else None
+
     val sb = new StringBuilder
     sb.append("# SCALEPROBE — measured wall-time scaling of document-path operators\n\n")
     sb.append(s"Generated by `graft.ScaleProbe` from $base (5k docs) replicated with\n")
@@ -348,6 +409,31 @@ object ScaleProbe {
           sb.append(f"| $label | ${f}x | $s%.2f | $rows | ${m.spillBytes / 1e6}%.0f " +
             f"| ${m.shuffleWriteBytes / 1e6}%.0f | ${m.gcMillis / 1e3}%.1f |\n")
         }
+      }
+    }
+    if (mmRows.nonEmpty) {
+      sb.append("\n## Multimodal codec ladder (r8): baseline-JPEG decode throughput\n\n")
+      sb.append("Pre-generated 256×256 grayscale baseline JPEGs (AC-rich blocks,\n")
+      sb.append("every 4th image with restart markers), 200 per factor unit;\n")
+      sb.append("payload generation is UNTIMED. The timed pass reads parquet and\n")
+      sb.append("full-decodes every image (marker walk → canonical Huffman →\n")
+      sb.append("dequant → IDCT → clamp) inside mapPartitions, then aggregates\n")
+      sb.append("pixel stats — the corpus-wide image feature-extract shape.\n\n")
+      sb.append("| probe | 1× s | 10× s | 50× s | 100× s | α(10×→100×) |\n")
+      sb.append("|---|---|---|---|---|---|\n")
+      mmRows.foreach { case (q, t) =>
+        val alpha = math.log(t(100) / t(10)) / math.log(10.0)
+        sb.append(f"| $q | ${t(1)}%.2f | ${t(10)}%.2f | ${t(50)}%.2f | ${t(100)}%.2f | $alpha%.2f |\n")
+      }
+      mmBytes.foreach { case (decoded, compressed) =>
+        val t100 = mmRows.head._2(100)
+        sb.append(f"\nAt 100× (${decoded / 1e6}%.0f MB decoded gray pixels from " +
+          f"${compressed / 1e6}%.0f MB entropy-coded payload in $t100%.2f s at\n" +
+          f"local[32]): ${decoded / 1e6 / t100 / 32}%.2f decoded MB/s/core " +
+          f"(${compressed / 1e6 / t100 / 32}%.2f compressed MB/s/core).\n" +
+          "Capacity math for a 100 TB image corpus reads straight off these\n" +
+          "per-core figures times the cluster's core count — decode carries\n" +
+          "no shuffle, so it scales with cores, not with any exchange.\n")
       }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outMd), sb.toString)

@@ -41,8 +41,13 @@ import org.apache.spark.sql.functions._
   * distinct keys that differ by a multiple of p COLLIDE and are silently
   * deduplicated by the sketch, while a raw-row SQL oracle would rank them
   * separately — the "exact bottom-k of distinct keys" law therefore needs
-  * |key| < p (or keys unique mod p). The gate fixtures satisfy it; key
-  * domains beyond 2³¹ that must be gated need a 64-bit-domain hash first.
+  * |key| < p (or keys unique mod p). The gate fixtures satisfy it; for key
+  * domains beyond 2³¹ the sketches take `wide = true`, which swaps the hash
+  * for [[hash64]] — the splitmix64 finalizer, a BIJECTION on the full
+  * 64-bit long domain, so no two distinct keys ever collide and the
+  * precondition disappears entirely (q_kmv64 gates it; the SQL replay is
+  * [[splitmix64SqlCtes]], the same staged HUGEINT emulation as the
+  * bills-source oracle).
   */
 object Kmv {
 
@@ -70,18 +75,61 @@ object Kmv {
   def hashSql(x: String): String =
     s"($HashA * ($x % $P) + $HashB) % $P"
 
+  // ------------------------------------------------------------ 64-bit hash
+
+  /** splitmix64 finalizer (Steele et al., public domain; same constants as
+    * [[graft.sources.BillsGen.mix]]) — a bijection on the FULL 64-bit long
+    * domain, so distinct keys NEVER collide and the mod-P domain
+    * precondition above vanishes. Java long arithmetic wraps mod 2⁶⁴, which
+    * is exactly the unsigned semantics the algorithm wants; ordering the
+    * sketch by the SIGNED result is still a fixed total order of a
+    * permutation, so the bottom-k is still a uniform sample. */
+  def hash64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** DuckDB CTE chain replaying [[hash64]] for every row of `inRel`'s
+    * `keyCol`: unsigned 64-bit arithmetic emulated stage by stage — values
+    * live in HUGEINT mod 2⁶⁴, xor runs in the signed-BIGINT bit-pattern
+    * domain, each 64×64 multiply splits hi/lo so the 128-bit intermediate
+    * fits HUGEINT (the bills-source oracle pattern,
+    * queries/Relational.billsStateOracleSql). Ends in a CTE
+    * `sm_h(key64, h)` with h the SIGNED 64-bit hash. */
+  def splitmix64SqlCtes(inRel: String, keyCol: String): String = {
+    def tos(c: String) =
+      s"CAST(CASE WHEN $c >= 9223372036854775808 THEN $c - 18446744073709551616 ELSE $c END AS BIGINT)"
+    def tou(c: String) =
+      s"(CASE WHEN $c < 0 THEN CAST($c AS HUGEINT) + 18446744073709551616 ELSE CAST($c AS HUGEINT) END)"
+    def xoru(a: String, b: String) = tou(s"xor(${tos(a)}, ${tos(b)})")
+    def mulmod(a: String, c: String) =
+      s"((($a % 4294967296) * $c + ((($a // 4294967296) * $c) % 4294967296) * 4294967296) % 18446744073709551616)"
+    s"""
+    sm_u0 AS (SELECT $keyCol AS key64,
+                     ${tou(s"CAST($keyCol AS BIGINT)")} AS z FROM $inRel),
+    sm_a1 AS (SELECT key64, (z + 11400714819323198485) % 18446744073709551616 AS z FROM sm_u0),
+    sm_b1 AS (SELECT key64, ${xoru("z", "(z // 1073741824)")} AS z FROM sm_a1),
+    sm_c1 AS (SELECT key64, ${mulmod("z", "13787848793156543929")} AS z FROM sm_b1),
+    sm_b2 AS (SELECT key64, ${xoru("z", "(z // 134217728)")} AS z FROM sm_c1),
+    sm_c2 AS (SELECT key64, ${mulmod("z", "10723151780598845931")} AS z FROM sm_b2),
+    sm_h AS (SELECT key64, ${tos(xoru("z", "(z // 2147483648)"))} AS h FROM sm_c2)"""
+  }
+
   // ---------------------------------------------------------------- sketch
 
   /** Mergeable KMV sketch: the k smallest DISTINCT hash values of the keys,
     * sorted ascending. Buffer is a sorted array ≤ k — insertion is a binary
     * search + shift (k ≤ a few hundred), merge is a sorted-merge truncated
     * at k. */
-  class Sketch(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  class Sketch(k: Int, wide: Boolean = false)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
     require(k >= 1)
     def zero: Array[Long] = Array.emptyLongArray
 
     def reduce(buf: Array[Long], x: Long): Array[Long] = {
-      val h = hash(x)
+      val h = if (wide) hash64(x) else hash(x)
       val pos = java.util.Arrays.binarySearch(buf, h)
       if (pos >= 0) buf // already present
       else {
@@ -119,6 +167,20 @@ object Kmv {
   def kmv(k: Int): UserDefinedFunction =
     udaf(new Sketch(k), ExpressionEncoder[Long]())
 
+  /** 64-bit-domain KMV sketch ([[hash64]] — collision-free on ANY long
+    * keys). Sketch values are SIGNED splitmix64 outputs, ascending. */
+  def kmv64(k: Int): UserDefinedFunction =
+    udaf(new Sketch(k, wide = true), ExpressionEncoder[Long]())
+
+  /** Distinct-count estimate from a [[kmv64]] sketch: the signed k-th value
+    * maps to unsigned rank space via +2⁶³, est = (k−1)·2⁶⁴ / u₍k₎. Single
+    * IEEE-double expression, identical op order to the SQL replay. */
+  def estimate64(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble * 1.8446744073709552E19) /
+          (element_at(sk, k).cast("double") + lit(9.223372036854776E18)), 4))
+
   /** Distinct-count estimate from a sketch column: exact size when the
     * buffer never filled, else (k−1)·P / h₍k₎ (Beyer et al. 2007 unbiased
     * form), rounded to 4 digits. Pure builtin Columns. */
@@ -151,7 +213,7 @@ object Kmv {
     * fixed permutation of the key space), deterministic and replayable in
     * SQL as a window rank. Buffer: parallel (hash, payload) arrays, sorted
     * by hash, distinct hashes (one payload per key). */
-  class BottomK(k: Int)
+  class BottomK(k: Int, wide: Boolean = false)
       extends Aggregator[(Long, Double), (Array[Long], Array[Double]), Seq[Double]] {
     require(k >= 1)
     def zero: (Array[Long], Array[Double]) =
@@ -160,7 +222,7 @@ object Kmv {
     def reduce(buf: (Array[Long], Array[Double]), x: (Long, Double)):
         (Array[Long], Array[Double]) = {
       val (hs, ps) = buf
-      val h = hash(x._1)
+      val h = if (wide) hash64(x._1) else hash(x._1)
       val pos = java.util.Arrays.binarySearch(hs, h)
       if (pos >= 0) buf
       else {
@@ -203,6 +265,10 @@ object Kmv {
     * payloads returned in hash order. */
   def bottomK(k: Int): UserDefinedFunction =
     udaf(new BottomK(k), ExpressionEncoder[(Long, Double)]())
+
+  /** 64-bit-domain bottom-k sample (collision-free on ANY long keys). */
+  def bottomK64(k: Int): UserDefinedFunction =
+    udaf(new BottomK(k, wide = true), ExpressionEncoder[(Long, Double)]())
 
   /** Type-1 sampled quantile: the ⌊q·(m−1)⌋+1-th smallest sample value
     * (m = sample size). DKW: rank error ≤ √(ln(2/δ)/2k) w.p. 1−δ. */

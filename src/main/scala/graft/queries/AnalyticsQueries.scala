@@ -751,6 +751,41 @@ object AnalyticsQueries {
         .orderBy("event_type", "rn")
     },
 
+    // ----- extension: 64-bit-domain KMV (VERDICT r7 #8) — the same sketch
+    // and bottom-k sample on keys DELIBERATELY pushed past 2³¹
+    // (o_orderkey · 4294967311 > 2³² for every order), where the mod-P
+    // multiplicative hash's collision precondition would bite. hash64 is
+    // the splitmix64 finalizer — a bijection on the full long domain, so no
+    // two distinct keys ever collide — and the oracle replays it stage by
+    // stage in HUGEINT-emulated unsigned arithmetic (Kmv.splitmix64SqlCtes,
+    // the bills-source pattern), then re-derives the SAME bottom-16 sample
+    // (window rank over the replayed hash) and the SAME distinct estimate
+    // ((k−1)·2⁶⁴ / u₍k₎ in one IEEE-double expression). Full hash match:
+    // sample membership, order, AND estimate.
+    "q_kmv64" -> QueryDef.sql(s"""
+      WITH kk AS (SELECT o_orderkey * 4294967311 AS key64 FROM orders),
+      ${graft.functions.Kmv.splitmix64SqlCtes("kk", "key64")},
+      r AS (SELECT key64, h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM sm_h),
+      est AS (SELECT ROUND(${255.0 * 1.8446744073709552E19}
+                           / (CAST(h AS DOUBLE) + 9.223372036854776E18), 4)
+                     AS est
+              FROM r WHERE rn = 256)
+      SELECT rn, key64, (SELECT est FROM est) AS est
+      FROM r WHERE rn <= 16 ORDER BY rn""") { (s, d) =>
+      import graft.functions.Kmv
+      val kk = Tables.orders(s, d)
+        .select((col("o_orderkey") * lit(4294967311L)).as("key64"))
+      kk.agg(
+          Kmv.kmv64(256)(col("key64")).as("sk"),
+          Kmv.bottomK64(16)(col("key64"), col("key64").cast("double"))
+            .as("samp"))
+        .select(posexplode(col("samp")).as(Seq("pos", "keyd")), col("sk"))
+        .select((col("pos") + 1).cast("long").as("rn"),
+          col("keyd").cast("long").as("key64"),
+          Kmv.estimate64(col("sk"), 256).as("est"))
+        .orderBy("rn")
+    },
+
     // ----- extension: sampled quantiles — order statistics of a bottom-k
     // uniform sample estimate population quantiles with DKW rank error
     // ≤ √(ln(2/δ)/2k) (≈ 0.102 at k = 256, δ = 1%; the gate flags use 0.11).

@@ -81,4 +81,39 @@ class KmvSpec extends SparkSpec {
     assert((1L to 4L).forall(w => top(w) <= top(w + 1)),
       s"top-k share not monotone in weight: $top")
   }
+
+  test("64-bit domain: keys P apart collide under hash, never under hash64") {
+    // the exact failure the mod-P precondition documents: x and x+P hash
+    // identically, so the narrow sketch silently dedups them; hash64 is a
+    // bijection on longs, so the wide sketch keeps both
+    val xs = Seq(5L, 5L + Kmv.P, 7L, 7L + 2 * Kmv.P)
+    assert(xs.map(Kmv.hash).distinct.length == 2, "mod-P collision expected")
+    assert(xs.map(Kmv.hash64).distinct.length == 4, "hash64 must not collide")
+    val narrow = xs.toDF("k").agg(Kmv.kmv(8)(col("k"))).as[Seq[Long]].head()
+    val wide = xs.toDF("k").agg(Kmv.kmv64(8)(col("k"))).as[Seq[Long]].head()
+    assert(narrow.length == 2, s"narrow sketch dedups the collisions: $narrow")
+    assert(wide.length == 4, s"wide sketch must keep all four keys: $wide")
+  }
+
+  test("wide sketch/sample are the exact bottom-k of splitmix64 on >2^31 keys") {
+    val keys = (1L to 4000L).map(_ * 4294967311L) // all beyond 2^32
+    val sk = keys.toDF("k").repartition(8)
+      .agg(Kmv.kmv64(64)(col("k"))).as[Seq[Long]].head()
+    assert(sk == keys.map(Kmv.hash64).sorted.take(64))
+    val got = keys.map(k => (k, k.toDouble)).toDF("k", "p").repartition(8)
+      .agg(Kmv.bottomK64(32)(col("k"), col("p"))).as[Seq[Double]].head()
+    val brute = keys.map(k => (Kmv.hash64(k), k.toDouble))
+      .sortBy(_._1).take(32).map(_._2)
+    assert(got == brute)
+  }
+
+  test("64-bit distinct estimate within 3/sqrt(k-2) on 50k distinct wide keys") {
+    val nd = 50000L
+    val est = spark.range(1, nd + 1)
+      .select((col("id") * 4294967311L).as("k"))
+      .agg(Kmv.kmv64(256)(col("k")).as("sk"))
+      .select(Kmv.estimate64(col("sk"), 256)).as[Double].head()
+    val rel = math.abs(est - nd) / nd.toDouble
+    assert(rel <= 3.0 / math.sqrt(254.0), s"estimate $est vs $nd: rel err $rel")
+  }
 }
