@@ -252,6 +252,28 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    // Host-speed calibration (r8): BENCH artifacts are compared ACROSS
+    // rounds, but the rounds run in different host epochs — the r8 A/B
+    // (SCALE.md r8 note: the exact r6 commit re-run interleaved with HEAD on
+    // identical data produced identical times, both ~1.7x the r6 artifact)
+    // proved the r6->r7 "regression" was host throughput, not engine code.
+    // This fixed pure-CPU, shuffle-free, data-independent reference job
+    // (xxhash64 fold over range, whole-stage codegen'd, 32 partitions) gives
+    // every artifact a denominator: divide per-query times by calib to
+    // compare engine work across host epochs. Best-of-3; ~1-2 s per rep.
+    val calib: Double =
+      if (isChild) 0.0
+      else (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 400000000L, 1L, 32)
+          .select(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("id")))).collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] calib rep $dt%.2f s")
+        dt
+      }.min
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val work = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
@@ -266,12 +288,12 @@ object Bench {
       }
     }
     val results = runAll(spark, sfDir, work, reps)
-    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     val isolate = !isChild &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     if (!isolate) {
       val total = results.map(_._2).sum
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)}%s,"sf":"$sfDir%s"}""")
+      val calibField = if (isChild) "" else f""","calib":$calib%.3f"""
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)}%s$calibField%s,"sf":"$sfDir%s"}""")
       spark.stop()
       return
     }
@@ -287,7 +309,7 @@ object Bench {
     }
     val total = canonical.map(_._2).sum
     val isoSeq = results.flatMap { case (k, _) => iso.get(k).map(k -> _) }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(canonical)}%s,"queries_in_set":${jsonMap(results)}%s,"queries_isolated":${jsonMap(isoSeq)}%s,"isolation":"fresh-jvm-family-$familySize","sf":"$sfDir%s"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(canonical)}%s,"queries_in_set":${jsonMap(results)}%s,"queries_isolated":${jsonMap(isoSeq)}%s,"isolation":"fresh-jvm-family-$familySize","calib":$calib%.3f,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }
