@@ -64,8 +64,14 @@ object ScaleProbe {
     val work = new java.io.File("/tmp/graft_scaleprobe")
     def dirFor(f: Int): String =
       if (f == 1) base else s"${work.getPath}/x$f"
+    // replica generation is deterministic (no RNG) — skip tables whose
+    // committed write already exists, so a resumed probe starts measuring
+    // within seconds instead of re-writing 500k-row parquet four times
+    def haveTable(f: Int, t: String): Boolean =
+      new java.io.File(s"${dirFor(f)}/$t.parquet/_SUCCESS").exists()
 
-    ((linearFactors ++ dupHeavyFactors).distinct.filter(_ > 1)).foreach { f =>
+    ((linearFactors ++ dupHeavyFactors).distinct.filter(_ > 1))
+        .filterNot(haveTable(_, "documents")).foreach { f =>
       val docs = (0 until f).map { r =>
         spark.read.parquet(s"$base/documents.parquet")
           .select(
@@ -76,7 +82,7 @@ object ScaleProbe {
       docs.repartition(32).write.mode("overwrite")
         .parquet(s"${dirFor(f)}/documents.parquet")
     }
-    eventsFactors.filter(_ > 1).foreach { f =>
+    eventsFactors.filter(_ > 1).filterNot(haveTable(_, "events")).foreach { f =>
       val evs = (0 until f).map { r =>
         graft.io.Tables.events(spark, base)
           .select(
@@ -88,7 +94,7 @@ object ScaleProbe {
       evs.repartition(32).write.mode("overwrite")
         .parquet(s"${dirFor(f)}/events.parquet")
     }
-    graphFactors.filter(_ > 1).foreach { f =>
+    graphFactors.filter(_ > 1).filterNot(haveTable(_, "customer")).foreach { f =>
       val cs = (0 until f).map { r =>
         // distinct custkey AND nationkey ranges → disjoint braided chains;
         // types preserved so Tables.customer's declared schema still reads
@@ -100,6 +106,39 @@ object ScaleProbe {
       cs.repartition(32).write.mode("overwrite")
         .parquet(s"${dirFor(f)}/customer.parquet")
     }
+
+    // ---- per-row checkpoint (r8): a full probe is a 60-90 min single-JVM
+    // run; one OOM or host kill used to lose every measured row. Each
+    // (label, factor) row appends to rows.jsonl as soon as it's measured; a
+    // restarted probe replays completed rows from the file and resumes at
+    // the first missing one. Delete rows.jsonl to force a full re-measure.
+    val ckptFile = new java.io.File(work, "rows.jsonl")
+    val ckpt = scala.collection.mutable.Map.empty[(String, Int), (Double, Long, ProbeMetrics)]
+    if (ckptFile.exists()) {
+      val re = """\{"label":"(.*?)","f":(\d+),"sec":([0-9.eE+\-]+),"rows":(\d+),"spill":(\d+),"shuffle":(\d+),"gc":(\d+)\}""".r
+      scala.io.Source.fromFile(ckptFile, "UTF-8").getLines().foreach {
+        case re(l, f, s, r, sp, sh, g) =>
+          ckpt((l, f.toInt)) = (s.toDouble, r.toLong, ProbeMetrics(sp.toLong, sh.toLong, g.toLong))
+        case _ => ()
+      }
+      System.err.println(s"[probe] resumed ${ckpt.size} checkpointed rows from $ckptFile")
+    }
+    def checkpointed(label: String, f: Int)(
+        compute: => (Double, Long, ProbeMetrics)): (Double, Long, ProbeMetrics) =
+      ckpt.getOrElse((label, f), {
+        System.err.println(s"[probe] measuring $label @${f}x ...")
+        val v = compute
+        // drop every cached/persisted frame a query left behind (LSH
+        // indexes, fit features): rows must not inherit heap pressure
+        spark.catalog.clearCache()
+        val w = new java.io.FileWriter(ckptFile, true)
+        try w.write(
+          s"""{"label":"$label","f":$f,"sec":${v._1},"rows":${v._2},"spill":${v._3.spillBytes},"shuffle":${v._3.shuffleWriteBytes},"gc":${v._3.gcMillis}}\n""")
+        finally w.close()
+        System.err.println(f"[probe] $label @${f}x: ${v._1}%.2f s")
+        ckpt((label, f)) = v
+        v
+      })
 
     // Task-metric listener: per-run sums of spill/shuffle/GC, to attribute a
     // superlinear segment to spill (memory pressure) vs output volume. The
@@ -124,8 +163,6 @@ object ScaleProbe {
         Thread.sleep(300)
         (dt, rows, metrics.snapshot())
       }.minBy(_._1)
-    def time(name: String, dir: String): Double =
-      timeDf(SparkEntry.queries(name)(spark, _), dir)._1
     // ML fits memoize per (session, dir): without the cache drop a repeat
     // rep would measure the post-fit cache hit, not the fit (the Bench
     // fitsOnce discipline). reps=2 for the fit ladder: each rep is a full
@@ -138,15 +175,24 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }.min
 
+    def rowDone(q: String, factors: Seq[Int]): Boolean =
+      factors.forall(f => ckpt.contains((q, f)))
+    def factorsOf(q: String): Seq[Int] =
+      if (Seq("q_minhash_dedup", "q_dedup_incremental").contains(q)) dupHeavyFactors
+      else linearFactors // events/graph share the linear 1/10/50/100 grid
+
     // warm the io/codegen paths so factor-1 isn't charged first-touch cost
+    // (skipped for ops fully replayed from the checkpoint)
     (linearOps ++ eventsOps ++ graphOps ++
         Seq("q_minhash_dedup", "q_dedup_incremental"))
       .filter(q => only.forall(_.contains(q)))
+      .filterNot(q => rowDone(q, factorsOf(q)))
       .foreach(q =>
         SparkEntry.queries(q)(spark, base).queryExecution.toRdd.count())
 
     val linRows = linearOps.filter(q => only.forall(_.contains(q))).map { q =>
-      q -> linearFactors.map(f => f -> time(q, dirFor(f))).toMap
+      q -> linearFactors.map(f =>
+        f -> checkpointed(q, f)(timeDf(SparkEntry.queries(q)(spark, _), dirFor(f)))._1).toMap
     }
     // q_dedup_incremental joins the replicated corpus too: every replica is
     // a near-dup of its original, so like q_minhash_dedup its verified-match
@@ -154,10 +200,12 @@ object ScaleProbe {
     // ladder, not the linear one.
     val dupRows = Seq("q_minhash_dedup", "q_dedup_incremental")
       .filter(q => only.forall(_.contains(q))).map { q =>
-      q -> dupHeavyFactors.map(f => f -> time(q, dirFor(f))).toMap
+      q -> dupHeavyFactors.map(f =>
+        f -> checkpointed(q, f)(timeDf(SparkEntry.queries(q)(spark, _), dirFor(f)))._1).toMap
     }
     val evRows = eventsOps.filter(q => only.forall(_.contains(q))).map { q =>
-      q -> eventsFactors.map(f => f -> time(q, dirFor(f))).toMap
+      q -> eventsFactors.map(f =>
+        f -> checkpointed(q, f)(timeDf(SparkEntry.queries(q)(spark, _), dirFor(f)))._1).toMap
     }
 
     // ---- graph/ML ladders (r7, VERDICT r6 #3): the iterative-join and fit
@@ -167,7 +215,8 @@ object ScaleProbe {
     // ladder over it would measure a constant), so the ladder probes the
     // SAME SCC operator over the replicas' full braided chains directly.
     val graphRows = graphOps.filter(q => only.forall(_.contains(q))).map { q =>
-      q -> graphFactors.map(f => f -> time(q, dirFor(f))).toMap
+      q -> graphFactors.map(f =>
+        f -> checkpointed(q, f)(timeDf(SparkEntry.queries(q)(spark, _), dirFor(f)))._1).toMap
     }
     val sccProbe: String => org.apache.spark.sql.DataFrame = { dir =>
       val c = graft.io.Tables.customer(spark, dir)
@@ -183,17 +232,23 @@ object ScaleProbe {
           .select(col("dst").as("src"), col("src").as("dst")))
       graft.graph.GraphOps.stronglyConnectedComponents(dir2)
     }
+    // timeFit returns seconds only — checkpoint with rows/metrics zeroed
+    def noMetrics(sec: Double): (Double, Long, ProbeMetrics) =
+      (sec, 0L, ProbeMetrics(0L, 0L, 0L))
     val sccRows =
       if (only.forall(_.contains("q_scc")))
         Seq("q_scc(whole-graph)" ->
-          graphFactors.map(f => f -> timeDf(sccProbe, dirFor(f))._1).toMap)
+          graphFactors.map(f =>
+            f -> checkpointed("q_scc(whole-graph)", f)(timeDf(sccProbe, dirFor(f)))._1).toMap)
       else Nil
     // k-means blocking fit on the linear document replicas: the reference's
     // own scale cliff lived in this fit (docs/tuning_kmeans.md:130).
     val fitRows =
       if (only.forall(_.contains("q_kmeans_blocks")))
         Seq("q_kmeans_blocks(fit)" ->
-          graphFactors.map(f => f -> timeFit("q_kmeans_blocks", dirFor(f))).toMap)
+          graphFactors.map(f =>
+            f -> checkpointed("q_kmeans_blocks(fit)", f)(
+              noMetrics(timeFit("q_kmeans_blocks", dirFor(f))))._1).toMap)
       else Nil
     // q_minhash_lsh and q_corpus_build (LSH dedup inside) see every replica
     // as a near-duplicate of its original — candidate-pair OUTPUT grows
@@ -201,7 +256,8 @@ object ScaleProbe {
     // dup-heavy factors like q_minhash_dedup, not the linear ones.
     val dupMlRows = Seq("q_minhash_lsh", "q_corpus_build")
       .filter(q => only.forall(_.contains(q))).map { q =>
-        q -> dupHeavyFactors.map(f => f -> timeFit(q, dirFor(f))).toMap
+        q -> dupHeavyFactors.map(f =>
+          f -> checkpointed(s"$q(fit)", f)(noMetrics(timeFit(q, dirFor(f))))._1).toMap
       }
 
     // ---- tail diagnosis (round-3 watch items): q_winnow and q_ngram_count
@@ -253,7 +309,8 @@ object ScaleProbe {
         .filter { case (label, _) =>
           only.forall(o => o.exists(q => label.startsWith(q))) }
         .map { case (label, mk) =>
-          label -> tailFactors.map(f => f -> timeDf(mk, dirFor(f))).toMap
+          label -> tailFactors.map(f =>
+            f -> checkpointed(label, f)(timeDf(mk, dirFor(f)))).toMap
         }
 
     // ---- multimodal codec ladder (r8, VERDICT r7 #5): decode is
@@ -270,7 +327,9 @@ object ScaleProbe {
     val sparkForImplicits = spark
     import sparkForImplicits.implicits._
     def jpegPayloadPath(f: Int): String = s"${work.getPath}/jpeg_x$f.parquet"
-    if (runMm) mmFactors.foreach { f =>
+    if (runMm) mmFactors
+        .filterNot(f => new java.io.File(s"${jpegPayloadPath(f)}/_SUCCESS").exists())
+        .foreach { f =>
       spark.range(200L * f).as[Long].repartition(32).mapPartitions { it =>
         it.map { id =>
           val quant = Array.tabulate(64)(i => if (i == 0) 8 else 16)
@@ -305,16 +364,22 @@ object ScaleProbe {
     val mmRows: Seq[(String, Map[Int, Double])] =
       if (runMm)
         Seq("jpeg_decode(256x256 gray)" ->
-          mmFactors.map(f => f -> timeDf(_ => jpegDecodeDf(f), "")._1).toMap)
+          mmFactors.map(f =>
+            f -> checkpointed("jpeg_decode(256x256 gray)", f)(
+              timeDf(_ => jpegDecodeDf(f), ""))._1).toMap)
       else Nil
     // bytes for the throughput figure: decoded = 1 B/px grayscale output,
-    // compressed = on-disk entropy-coded payload (both at 100×)
+    // compressed = on-disk entropy-coded payload (both at 100×) —
+    // checkpointed with the byte totals riding the rows/spill fields
     val mmBytes: Option[(Long, Long)] =
       if (runMm) {
-        val r = jpegDecodeDf(100)
-          .agg(sum("n_px").cast("long"), sum("n_bytes").cast("long"))
-          .collect()(0)
-        Some((r.getLong(0), r.getLong(1)))
+        val v = checkpointed("jpeg_bytes", 100) {
+          val r = jpegDecodeDf(100)
+            .agg(sum("n_px").cast("long"), sum("n_bytes").cast("long"))
+            .collect()(0)
+          (0.0, r.getLong(0), ProbeMetrics(r.getLong(1), 0L, 0L))
+        }
+        Some((v._2, v._3.spillBytes))
       } else None
 
     val sb = new StringBuilder

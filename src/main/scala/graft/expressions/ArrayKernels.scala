@@ -86,6 +86,43 @@ case class ArrayL1(left: Expression, right: Expression) extends ArrayPairFold {
     copy(left = l, right = r)
 }
 
+/** Σ (aᵢ−bᵢ)² in index order — squared Euclidean distance (the BRP-LSH
+  * verify kernel). Term shape is d·d with d = aᵢ−bᵢ, matching the DuckDB
+  * oracle's `(x[i]-y[i])*(x[i]-y[i])` fold bit-for-bit. */
+case class ArrayL2Sq(left: Expression, right: Expression) extends ArrayPairFold {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  protected def fold(a: ArrayData, b: ArrayData): Any = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $s = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        double $d = $a.getDouble($i) - $b.getDouble($i);
+        $s += $d * $d;
+      }
+      ${ev.value} = $s;"""
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** One-pass (dot, ‖a‖², ‖b‖²) as array<double> of length 3 — cosine without
   * three separate scans; each sum is the same left fold as the HOF version. */
 case class ArrayCosineParts(left: Expression, right: Expression) extends ArrayPairFold {

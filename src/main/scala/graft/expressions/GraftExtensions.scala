@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_l1", "graft_l1(a, b) - left-fold L1 distance of two array<double>"),
       (es: Seq[Expression]) => ArrayL1(es(0), es(1))))
 
+    ext.injectFunction((FunctionIdentifier("graft_l2sq"),
+      info("graft_l2sq", "graft_l2sq(a, b) - left-fold squared Euclidean distance of two array<double>"),
+      (es: Seq[Expression]) => ArrayL2Sq(es(0), es(1))))
+
     ext.injectFunction((FunctionIdentifier("graft_cosine_parts"),
       info("graft_cosine_parts", "graft_cosine_parts(a, b) - one-pass [dot, ||a||^2, ||b||^2]"),
       (es: Seq[Expression]) => ArrayCosineParts(es(0), es(1))))

@@ -229,6 +229,63 @@ object MlQueries {
         .orderBy("pk1", "pk2")
     }.expectAtGate(348L, "200285707061649059628"),
 
+    // ----- M12 exact twin, ORACLE-CHECKED (the q_semdedup_exact pattern):
+    // the SAME bucketed-random-projection pipeline shape — project onto a few
+    // directions, floor into buckets, candidate pairs from shared (table,
+    // bucket) via equi-join, exact Euclidean verify under the q_brp_lsh
+    // threshold — but with PINNED projection directions (the unit-norm
+    // embeddings of vec_id 1..3) instead of Spark ML's seeded random vectors,
+    // so every stage is exact arithmetic a DuckDB CTE replays end-to-end.
+    // Gates the BRP kernel (bucket → candidate → verify) minus only the RNG;
+    // bucketLength 0.05 fits unit-direction dots (∈[-1,1], σ≈1/8 at dim 64):
+    // at sf0.01 the bucket join prunes to ~29% of all-pairs and the verify
+    // keeps O(100) pairs. Same 100 TB shape as production LSH: the (tid, h)
+    // bucket id is the shuffle key, never a corpus-wide cross join — the
+    // 3-row direction table is the only broadcast.
+    "q_brp_exact" -> QueryDef.sql {
+      def dotS(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, 65), i -> $x[i]*$y[i]), (a,b)->a+b)"
+      def sqS(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, 65), i -> ($x[i]-$y[i])*($x[i]-$y[i])), (a,b)->a+b)"
+      s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      r AS (SELECT vec_id AS tid, v AS rv FROM t WHERE vec_id IN (1, 2, 3)),
+      bk AS (SELECT t.vec_id, r.tid,
+               CAST(FLOOR(ROUND(${dotS("t.v", "r.rv")} / 0.05, 6)) AS BIGINT) AS h
+             FROM t CROSS JOIN r),
+      cand AS (SELECT DISTINCT a.vec_id AS pk1, b.vec_id AS pk2
+               FROM bk a JOIN bk b ON a.tid = b.tid AND a.h = b.h
+                                   AND b.vec_id > a.vec_id)
+      SELECT pk1, pk2, dist FROM (
+        SELECT pk1, pk2, ROUND(SQRT(${sqS("x.v", "y.v")}), 6) AS dist
+        FROM cand JOIN t x ON x.vec_id = cand.pk1
+                  JOIN t y ON y.vec_id = cand.pk2)
+      WHERE dist < 1.15
+      ORDER BY pk1, pk2"""
+    } { (s, d) =>
+      import graft.similarity.ArrayOps
+      val t = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      val dirs = t.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("tid"), col("v").as("rv"))
+      val bk = t.crossJoin(broadcast(dirs))
+        .select(col("vec_id"), col("tid"),
+          floor(round(ArrayOps.dot(col("v"), col("rv")) / 0.05, 6)).as("h"))
+      val cand = bk.alias("a").join(bk.alias("b"),
+          col("a.tid") === col("b.tid") && col("a.h") === col("b.h") &&
+          col("b.vec_id") > col("a.vec_id"))
+        .select(col("a.vec_id").as("pk1"), col("b.vec_id").as("pk2"))
+        .distinct()
+      cand
+        .join(t.select(col("vec_id").as("pk1"), col("v").as("v1")), "pk1")
+        .join(t.select(col("vec_id").as("pk2"), col("v").as("v2")), "pk2")
+        .select(col("pk1"), col("pk2"),
+          round(ArrayOps.euclidean(col("v1"), col("v2")), 6).as("dist"))
+        .filter(col("dist") < 1.15)
+        .orderBy("pk1", "pk2")
+    },
+
     // ----- J4: two-phase approx k-NN (reference CustomizedLSH.scala:92-137).
     // The probe is an out-of-corpus token set, so its hash buckets are (nearly
     // always) empty and the query exercises the phase-2 hash-distance

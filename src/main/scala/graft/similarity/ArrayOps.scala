@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.expressions.{ArrayCosineParts, ArrayDot, ArrayL1, ArraySupportStats}
+import graft.expressions.{ArrayCosineParts, ArrayDot, ArrayL1, ArrayL2Sq, ArraySupportStats}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
@@ -29,6 +29,12 @@ object ArrayOps {
 
   /** Squared L2 norm. */
   def norm2sq(a: Column): Column = dot(a, a)
+
+  /** Squared Euclidean distance Σ(aᵢ−bᵢ)² (left fold, in index order). */
+  def l2sq(a: Column, b: Column): Column = bridge.column(ArrayL2Sq(e(a), e(b)))
+
+  /** Euclidean distance. */
+  def euclidean(a: Column, b: Column): Column = sqrt(l2sq(a, b))
 
   /** One-pass [dot, ‖a‖², ‖b‖²] (1-indexed via element_at). */
   def cosineParts(a: Column, b: Column): Column =

@@ -44,6 +44,16 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ArrayL2Sq bit-identical to HOF left fold") {
+    val hofL2Sq = aggregate(
+      zip_with(col("x"), col("y"), (p, q) => (p - q) * (p - q)),
+      lit(0.0), (acc, t) => acc + t)
+    val bad = pairs.select(
+        ArrayOps.l2sq(col("x"), col("y")).as("fast"), hofL2Sq.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bad == 0)
+  }
+
   test("cosineParts components bit-identical to separate folds") {
     val bad = pairs.select(
         ArrayOps.cosineParts(col("x"), col("y")).as("p"),
