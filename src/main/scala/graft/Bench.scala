@@ -262,18 +262,32 @@ object Bench {
     // (xxhash64 fold over range, whole-stage codegen'd, 32 partitions) gives
     // every artifact a denominator: divide per-query times by calib to
     // compare engine work across host epochs. Best-of-3; ~1-2 s per rep.
+    // The fold sums DOUBLES: summing raw xxhash64 longs over 4e8 uniform
+    // values overflows Long essentially surely, and under Spark 4's default
+    // ANSI mode that is a SparkArithmeticException — exactly the crash that
+    // zeroed BENCH_r08 (VERDICT r8 #1). Cast-to-double keeps the measured
+    // work (the hash) identical while making the reduction overflow-proof,
+    // and the whole block is guarded like warmup: an environment failure in
+    // calibration must never cost the measured queries or the JSON line
+    // (calib degrades to 0.0 = "no denominator this round").
     val calib: Double =
       if (isChild) 0.0
-      else (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0L, 400000000L, 1L, 32)
-          .select(org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.xxhash64(
-              org.apache.spark.sql.functions.col("id")))).collect()
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] calib rep $dt%.2f s")
-        dt
-      }.min
+      else try {
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(0L, 400000000L, 1L, 32)
+            .select(org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.xxhash64(
+                org.apache.spark.sql.functions.col("id")).cast("double")))
+            .collect()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] calib rep $dt%.2f s")
+          dt
+        }.min
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed (continuing, calib=0): ${e.getMessage}")
+        0.0
+      }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val work = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
@@ -293,7 +307,10 @@ object Bench {
     if (!isolate) {
       val total = results.map(_._2).sum
       val calibField = if (isChild) "" else f""","calib":$calib%.3f"""
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)}%s$calibField%s,"sf":"$sfDir%s"}""")
+      val normField =
+        if (calib <= 0.0) ""
+        else s""","queries_normalized":${jsonMap(results.map { case (k, v) => k -> v / calib })}"""
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)}%s$calibField%s$normField%s,"sf":"$sfDir%s"}""")
       spark.stop()
       return
     }
@@ -309,7 +326,21 @@ object Bench {
     }
     val total = canonical.map(_._2).sum
     val isoSeq = results.flatMap { case (k, _) => iso.get(k).map(k -> _) }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(canonical)}%s,"queries_in_set":${jsonMap(results)}%s,"queries_isolated":${jsonMap(isoSeq)}%s,"isolation":"fresh-jvm-family-$familySize","calib":$calib%.3f,"sf":"$sfDir%s"}""")
+    // Queries whose fresh-JVM re-measurement never landed (child OOM/timeout/
+    // parse miss) fall back to in-set numbers; name them in the artifact so a
+    // cross-round consumer can tell a genuine isolated measurement from a
+    // degraded one (ADVICE r8) instead of trusting the isolation label alone.
+    val isoFailed = results.map(_._1).filterNot(iso.contains)
+    val isoFailedField =
+      if (isoFailed.isEmpty) ""
+      else isoFailed.map("\"" + _ + "\"")
+        .mkString(""","isolated_failed":[""", ",", "]")
+    // Host-epoch-normalized seconds (sec / calib): makes the next throughput
+    // epoch shift self-evident in the artifact (VERDICT r8 #8).
+    val normField =
+      if (calib <= 0.0) ""
+      else s""","queries_normalized":${jsonMap(canonical.map { case (k, v) => k -> v / calib })}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(canonical)}%s,"queries_in_set":${jsonMap(results)}%s,"queries_isolated":${jsonMap(isoSeq)}%s$isoFailedField%s$normField%s,"isolation":"fresh-jvm-family-$familySize","calib":$calib%.3f,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,10 @@ object Verify {
   val pinnedFixtureFp = "021af98566136eab"
 
   def fixtureFingerprint(spark: SparkSession, sfDir: String): String = {
+    // ANSI bound (SCALE.md r9 audit): sum(crc32) < rows·2^32 — overflows a
+    // Long at ~4.3e9 rows; the gate runs at sf0.01/0.1 (≤1e6 rows), 3+
+    // orders of margin. Kept exact-Long DELIBERATELY: any cast changes the
+    // fingerprint string and would orphan pinnedFixtureFp + every content pin.
     import org.apache.spark.sql.functions.{count => cnt, lit, sum, crc32}
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .agg(cnt(lit(1)), sum(crc32(col("text"))), sum(col("doc_id"))).head

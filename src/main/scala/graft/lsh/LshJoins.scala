@@ -44,23 +44,54 @@ object LshJoins {
   }
 
   /** The join body shared by the fit-inline path and the persisted-index
-    * path: stock approxSimilarityJoin for candidates, asymmetric distance
-    * recomputed post-join (see object doc). */
+    * path. Same output as the stock `approxSimilarityJoin` (candidates =
+    * pairs sharing ≥1 of the model's (table, minhash) buckets; exact
+    * keyDistance verify `< threshold`; asymmetric distance recomputed) but
+    * on the banded-join physical shape the dedup module proved at scale
+    * (MinHashDedup.nearDupPairs): the estimator's own join explodes every
+    * bucket-sharing pair WITH both sparse vectors attached and evaluates an
+    * interpreted keyDistance UDF per candidate — measured 195 s at 1× and
+    * OOM at 10× on a 16 GiB heap, vs 2.78 s for the banded shape on the
+    * same corpus (SCALEPROBE r8). Here the bucket self-join carries ID +
+    * (table, hash) ONLY; the 1024-dim vectors are re-attached by two
+    * equi-joins for the |candidates| survivors, so the wide payload never
+    * rides the bucket shuffle. Hash values come from the model's public
+    * `transform` — identical bucketing, so recall (and the pinned q_minhash_lsh
+    * row count/checksum) is unchanged; `jaccardDistance` reproduces the
+    * estimator's keyDistance bit-for-bit (1 − |∩|/|∪| over nonzero sets). */
   private def selfJoinWithModel(model: MinHashLSHModel, nonEmpty: DataFrame,
                                 idCol: String, featuresCol: String,
                                 threshold: Double): DataFrame = {
-    val joined = model.approxSimilarityJoin(nonEmpty, nonEmpty, threshold, "jaccard_dist")
+    import org.apache.spark.ml.functions.vector_to_array
+    // hashed rows reused by both bucket-join sides and both vector rejoins —
+    // persist or the TF pipeline upstream re-runs four times (same rationale
+    // as MinHashDedup.nearDupPairs; bounded: id + vector + numTables doubles)
+    val hashed = model.transform(nonEmpty)
+      .select(col(idCol), col(featuresCol), col("__hashes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = hashed
+      .select(col(idCol).as("__bid"), posexplode(col("__hashes")).as(Seq("__t", "__hv")))
+      .select(col("__bid"), col("__t"),
+        element_at(vector_to_array(col("__hv")), 1).as("__h"))
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    val cand = a.join(b,
+        col("a.__t") === col("b.__t") && col("a.__h") === col("b.__h") &&
+        col("a.__bid") < col("b.__bid"))
+      .select(col("a.__bid").as("pk1"), col("b.__bid").as("pk2"))
+      .dropDuplicates("pk1", "pk2")
+    val vecs = hashed.select(col(idCol), col(featuresCol))
+    val jac = udf((x: Vector, y: Vector) => jaccardDistance(x, y))
     val asym = udf { (x: Vector, y: Vector) =>
       1.0 - math.max(Kernels.leftJaccard(x, y), Kernels.rightJaccard(x, y)) / 100.0
     }
-    joined
-      .filter(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
-      .select(
-        col(s"datasetA.$idCol").as("pk1"),
-        col(s"datasetB.$idCol").as("pk2"),
-        col("jaccard_dist"),
-        asym(col(s"datasetA.$featuresCol"), col(s"datasetB.$featuresCol"))
-          .as("asym_jaccard_dist"))
+    cand
+      .join(vecs.select(col(idCol).as("pk1"), col(featuresCol).as("__v1")), "pk1")
+      .join(vecs.select(col(idCol).as("pk2"), col(featuresCol).as("__v2")), "pk2")
+      .withColumn("jaccard_dist", jac(col("__v1"), col("__v2")))
+      .filter(col("jaccard_dist") < threshold)
+      .select(col("pk1"), col("pk2"), col("jaccard_dist"),
+        asym(col("__v1"), col("__v2")).as("asym_jaccard_dist"))
   }
 
   /** Persistable workflow-2 index: the fitted MinHashLSH model plus the join

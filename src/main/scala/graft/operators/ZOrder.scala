@@ -43,18 +43,53 @@ object ZOrder {
         s"((($y >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" | ")
 
-  /** Write `df` z-clustered on (xCol, yCol): range-partition by the Morton
-    * key (each output file owns a contiguous Morton range → a bounded (x, y)
-    * box) and sort within partitions so row groups inherit tight stats.
-    * The helper column is dropped before the write — layout only, schema
-    * unchanged. */
+  /** Write `df` z-clustered on (xCol, yCol): each output file owns a
+    * DISJOINT CONTIGUOUS Morton range (→ a bounded (x, y) box), rows sorted
+    * by the Morton key within each file so row groups inherit tight stats.
+    * The helper columns are dropped before the write — layout only, schema
+    * unchanged.
+    *
+    * File boundaries are exact equi-width Morton buckets from one cheap
+    * min/max pass over the key, NOT `repartitionByRange`: RangePartitioner
+    * seeds its reservoir sample from the RDD id, so the same write produced
+    * different file boundaries depending on unrelated session history
+    * (order-dependent pruning flake), and a sampled boundary never hard-
+    * guarantees a file owns one contiguous range. Bucket i is
+    * [min + i·width, min + (i+1)·width) by construction — deterministic
+    * across runs, sessions, and data order, which is also the property a
+    * table-maintenance OPTIMIZE job needs at 100 TB (idempotent re-runs
+    * produce byte-identical layouts). The bucket→file map is an explicit
+    * RDD `Partitioner` (partition i = bucket i): hash-repartitioning on the
+    * bucket would collide ~1/e of buckets into shared files, destroying the
+    * one-range-per-file guarantee. */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
                     bits: Int, nFiles: Int): Unit = {
-    val z = interleave(col(xCol), col(yCol), bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val withZ = df.withColumn("__z", interleave(col(xCol), col(yCol), bits))
+    val bounds = withZ.agg(min("__z"), max("__z")).head()
+    if (bounds.isNullAt(0)) { // empty input — schema-only write
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val minZ = bounds.getLong(0)
+    val maxZ = bounds.getLong(1)
+    val width = math.max(1L, (maxZ - minZ) / nFiles + 1)
+    // `div` (integer division) keeps the arithmetic exact for 62-bit Morton
+    // keys — float division would lose precision past 2^53.
+    val bucketed = withZ.withColumn("__bucket",
+      expr(s"cast(((__z - ${minZ}L) div ${width}L) as int)"))
+    val schema = bucketed.schema
+    val bIdx = schema.fieldIndex("__bucket")
+    val byBucket = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nFiles
+      override def getPartition(key: Any): Int =
+        math.min(nFiles - 1, math.max(0, key.asInstanceOf[Int]))
+    }
+    val rows = bucketed.rdd.map(r => (r.getInt(bIdx), r))
+      .partitionBy(byBucket).map(_._2)
+    df.sparkSession.createDataFrame(rows, schema)
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop("__z", "__bucket")
       .write.mode("overwrite").parquet(path)
   }
 }

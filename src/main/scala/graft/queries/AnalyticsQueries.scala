@@ -754,7 +754,10 @@ object AnalyticsQueries {
     // ----- extension: 64-bit-domain KMV (VERDICT r7 #8) — the same sketch
     // and bottom-k sample on keys DELIBERATELY pushed past 2³¹
     // (o_orderkey · 4294967311 > 2³² for every order), where the mod-P
-    // multiplicative hash's collision precondition would bite. hash64 is
+    // multiplicative hash's collision precondition would bite.
+    // ANSI bound (SCALE.md r9 audit): the product overflows Long only at
+    // o_orderkey ≥ 2.1e9 ≈ sf 350; gate max is ~6e5. A corpus regen past
+    // that would fail LOUD (ANSI exception), not silently wrap. hash64 is
     // the splitmix64 finalizer — a bijection on the full long domain, so no
     // two distinct keys ever collide — and the oracle replays it stage by
     // stage in HUGEINT-emulated unsigned arithmetic (Kmv.splitmix64SqlCtes,

