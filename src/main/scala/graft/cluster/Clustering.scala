@@ -60,15 +60,28 @@ object Clustering {
   def lsaProject(df: DataFrame, numConcepts: Int,
                  featuresCol: String = "features",
                  outputCol: String = "lsa_features"): DataFrame = {
-    val spark = df.sparkSession
     val rows = df.select(col(featuresCol)).rdd
       .map(r => org.apache.spark.mllib.linalg.Vectors.fromML(r.getAs[Vector](0)))
     val svd = new RowMatrix(rows).computeSVD(numConcepts, computeU = false)
     val v = svd.V // numFeatures x k, small (k columns)
-    val vArr = v.toArray // column-major
-    val nRows = v.numRows
-    val nCols = v.numCols
-    val bc = spark.sparkContext.broadcast((vArr, nRows, nCols))
+    projectRows(df, v.toArray, v.numRows, v.numCols, featuresCol, outputCol)
+  }
+
+  /** The projection half of [[lsaProject]], basis supplied explicitly:
+    * x → Vᵗx with `vColMajor` the numFeatures×numConcepts basis in
+    * column-major layout, broadcast once. Split out so the arithmetic is
+    * gate-checkable independent of the SVD fit — q_lsa_project runs this
+    * with a PINNED basis (deterministic data vectors) and a DuckDB oracle
+    * replays every dot product; the SVD-fitted path layers only `computeSVD`
+    * on top (spec-gated in ClusteringSpec). Same kernel at any scale: one
+    * narrow map over rows, zero joins, keys never leave the row. */
+  def projectRows(df: DataFrame, vColMajor: Array[Double], numFeatures: Int,
+                  numConcepts: Int, featuresCol: String = "features",
+                  outputCol: String = "lsa_features"): DataFrame = {
+    require(vColMajor.length == numFeatures * numConcepts,
+      s"basis length ${vColMajor.length} != $numFeatures x $numConcepts")
+    val bc = df.sparkSession.sparkContext
+      .broadcast((vColMajor, numFeatures, numConcepts))
     val project = udf { (x: Vector) =>
       val (m, nr, nc) = bc.value
       val out = new Array[Double](nc)

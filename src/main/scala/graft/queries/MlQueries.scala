@@ -195,13 +195,50 @@ object MlQueries {
         .limit(50)
     }.expectAtGate(50L, "32199987269354545395"),
 
-    // ----- M10: key-preserving LSA projection (fixes SURVEY J6)
-    "q_lsa_project" -> QueryDef.rowsOnly { (s, d) =>
+    // ----- M10: key-preserving LSA projection (fixes SURVEY J6), ORACLE-
+    // CHECKED (r9, the q_brp_exact pattern — pin converted to [sql]): the
+    // SAME broadcast column-major x → Vᵗx kernel lsaProject runs after its
+    // SVD fit (Clustering.projectRows — lsaProject IS computeSVD +
+    // projectRows), but with a PINNED basis — the embeddings of vec_id 1..8
+    // as V's columns — so every dot product, square and norm is exact
+    // arithmetic a DuckDB CTE replays term-for-term (fold order matches the
+    // UDF's ascending-index accumulation; ROUND(6) normalizes presentation
+    // only). Gates the projection arithmetic minus the SVD fit; the fitted
+    // path (separation in concept space, key preservation, output dim) is
+    // ClusteringSpec's. 100 TB shape unchanged: basis broadcast, one narrow
+    // map, zero joins.
+    "q_lsa_project" -> QueryDef.sql("""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      r AS (SELECT vec_id AS bid, v AS rv FROM t WHERE vec_id BETWEEN 1 AND 8),
+      d AS (SELECT t.vec_id, r.bid,
+              list_reduce(list_transform(range(1, 65), i -> t.v[i]*r.rv[i]),
+                          (a,b) -> a+b) AS dj
+            FROM t CROSS JOIN r),
+      n AS (SELECT vec_id,
+              SQRT(list_reduce(list_transform(list(dj ORDER BY bid), x -> x*x),
+                               (a,b) -> a+b)) AS raw
+            FROM d GROUP BY vec_id)
+      SELECT vec_id, ROUND(raw, 6) AS lsa_norm FROM n ORDER BY vec_id""") { (s, d) =>
+      import org.apache.spark.ml.functions.array_to_vector
+      val t = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val dim = 64
+      // pinned basis: embeddings 1..8, column-major — a bounded driver
+      // scalar (8 x 64 doubles), the q_brp_exact direction-table pattern
+      val basis = t.filter(col("vec_id").between(1L, 8L))
+        .select(col("vec_id"), org.apache.spark.ml.functions.vector_to_array(col("features")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val vArr = new Array[Double](dim * basis.length)
+      for (((_, vec), j) <- basis.zipWithIndex; i <- 0 until dim)
+        vArr(j * dim + i) = vec(i)
       val norm2 = udf((v: Vector) => math.sqrt(v.toArray.map(x => x * x).sum))
-      Clustering.lsaProject(featurized(s, d), numConcepts = 16)
-        .select(col("doc_id"), norm2(col("lsa_features")).as("lsa_norm"))
-        .orderBy("doc_id")
-    }.expectAtGate(500L, "283939178082398863561"),
+      Clustering.projectRows(t, vArr, dim, basis.length)
+        .select(col("vec_id"), round(norm2(col("lsa_features")), 6).as("lsa_norm"))
+        .orderBy("vec_id")
+    },
 
     // ----- M11/J3: MinHash LSH self-join + asymmetric keyDistance recompute
     "q_minhash_lsh" -> QueryDef.rowsOnly { (s, d) =>
@@ -553,15 +590,36 @@ object MlQueries {
         .orderBy("doc_id", "k")
     },
 
-    // ----- J2 full form: blocked candidate pairs on a clustered corpus
-    "q_candidates" -> QueryDef.rowsOnly { (s, d) =>
-      val clustered = clustered8(s, d)
-      Candidates.pairs(clustered, CandidateConfig(
+    // ----- J2 full form: blocked candidate pairs — ORACLE-CHECKED (r9, pin
+    // converted to [sql]): Candidates.pairs runs its COMPLETE config (block
+    // equi-key, cross-group constraint, the level-2 length-ratio band
+    // |l1−l2|/√(l1·l2) < 0.26, pk1<pk2 canonicalization) on PINNED block
+    // labels (doc_id mod 8) instead of the k-means prediction, so the whole
+    // J2/J9 composition — not just q_pairs_blocked's two-column shape — is
+    // replayed as one DuckDB self-join with identical IEEE ratio arithmetic.
+    // The k-means-labeled composition stays gated by the q_candidates_budget
+    // and q_billmatch pins (seeded fits aren't SQL-replayable); the physical
+    // plan here is the same shuffled equi-join on the block label.
+    "q_candidates" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id, lang, n_chars, doc_id % 8 AS prediction
+                 FROM documents)
+      SELECT a.doc_id AS pk1, b.doc_id AS pk2
+      FROM t a JOIN t b
+        ON a.prediction = b.prediction
+       AND a.doc_id < b.doc_id
+       AND a.lang <> b.lang
+       AND ABS(a.n_chars - b.n_chars)
+           / SQRT(CAST(a.n_chars AS DOUBLE) * b.n_chars) < 0.26
+      ORDER BY pk1, pk2""") { (s, d) =>
+      val blocked = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          pmod(col("doc_id"), lit(8)).as("prediction"))
+      Candidates.pairs(blocked, CandidateConfig(
         keyCol = "doc_id", groupCol = "lang",
         blockCol = Some("prediction"),
         lengthCol = Some("n_chars"), maxLengthRatio = 0.26))
         .orderBy("pk1", "pk2")
-    }.expectAtGate(9963L, "5765546440449434717339"),
+    },
 
     // ----- J2 with the oversized-block quadratic guard: same candidate
     // config as q_candidates but blocks past 40 rows switch to banded
