@@ -113,15 +113,31 @@ object ScaleProbe {
     // restarted probe replays completed rows from the file and resumes at
     // the first missing one. Delete rows.jsonl to force a full re-measure.
     val ckptFile = new java.io.File(work, "rows.jsonl")
+    // Measurement-epoch stamp (r9, ADVICE r8): every banked row records the
+    // engine commit + corpus dir it was measured under. A probe resumed
+    // after engine changes still REPLAYS foreign-epoch rows (deleting them
+    // would force a 60-90 min full re-measure after every commit), but the
+    // generated md names them in a "mixed measurement epochs" note instead
+    // of passing stale timings off as current — and a targeted re-measure is
+    // one `grep -v <label> rows.jsonl` away (documented in the md note).
+    val engineCommit: String =
+      try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"),
+        new java.io.File(".")).!!.trim
+      catch { case _: Throwable => "unknown" }
     val ckpt = scala.collection.mutable.Map.empty[(String, Int), (Double, Long, ProbeMetrics)]
+    val rowEpoch = scala.collection.mutable.Map.empty[(String, Int), String]
     if (ckptFile.exists()) {
-      val re = """\{"label":"(.*?)","f":(\d+),"sec":([0-9.eE+\-]+),"rows":(\d+),"spill":(\d+),"shuffle":(\d+),"gc":(\d+)\}""".r
+      val re = """\{"label":"(.*?)","f":(\d+),"sec":([0-9.eE+\-]+),"rows":(\d+),"spill":(\d+),"shuffle":(\d+),"gc":(\d+)(?:,"commit":"([^"]*)","dir":"([^"]*)")?\}""".r
       scala.io.Source.fromFile(ckptFile, "UTF-8").getLines().foreach {
-        case re(l, f, s, r, sp, sh, g) =>
-          ckpt((l, f.toInt)) = (s.toDouble, r.toLong, ProbeMetrics(sp.toLong, sh.toLong, g.toLong))
+        case re(l, f, s, r, sp, sh, g, commit, _) =>
+          val k = (l, f.toInt)
+          ckpt(k) = (s.toDouble, r.toLong, ProbeMetrics(sp.toLong, sh.toLong, g.toLong))
+          rowEpoch(k) = Option(commit).getOrElse("pre-r9")
         case _ => ()
       }
-      System.err.println(s"[probe] resumed ${ckpt.size} checkpointed rows from $ckptFile")
+      val foreign = rowEpoch.valuesIterator.count(_ != engineCommit)
+      System.err.println(s"[probe] resumed ${ckpt.size} checkpointed rows from $ckptFile" +
+        (if (foreign > 0) s" — WARNING: $foreign rows from a different engine commit (md will note them)" else ""))
     }
     // Optional wall-clock cutoff (epoch seconds): rows not yet banked when
     // the deadline passes are SKIPPED (rendered as "—" in the tables, never
@@ -146,10 +162,11 @@ object ScaleProbe {
           spark.catalog.clearCache()
           val w = new java.io.FileWriter(ckptFile, true)
           try w.write(
-            s"""{"label":"$label","f":$f,"sec":${v._1},"rows":${v._2},"spill":${v._3.spillBytes},"shuffle":${v._3.shuffleWriteBytes},"gc":${v._3.gcMillis}}\n""")
+            s"""{"label":"$label","f":$f,"sec":${v._1},"rows":${v._2},"spill":${v._3.spillBytes},"shuffle":${v._3.shuffleWriteBytes},"gc":${v._3.gcMillis},"commit":"$engineCommit","dir":"$base"}\n""")
           finally w.close()
           System.err.println(f"[probe] $label @${f}x: ${v._1}%.2f s")
           ckpt((label, f)) = v
+          rowEpoch((label, f)) = engineCommit
           v
       }
 
@@ -393,10 +410,12 @@ object ScaleProbe {
     // as a near-duplicate of its original — candidate-pair OUTPUT grows
     // quadratically in the factor by construction, so they ladder on the
     // dup-heavy factors like q_minhash_dedup, not the linear ones. Last on
-    // purpose: the Spark ML MinHashLSH estimator fit + approxSimilarityJoin
-    // costs ~200 s at 1× (the banded-dedup production twin above runs the
-    // same corpus in seconds) and OOMed a 16 GB heap at 10× — which is
-    // itself a scale finding the md records.
+    // purpose originally because the Spark ML estimator's
+    // approxSimilarityJoin cost ~200 s at 1× and OOMed at 10×; r9 rewrote
+    // LshJoins.selfJoinWithModel on the banded bucket-join shape (same
+    // pinned output), so this ladder now measures the production path —
+    // the r8 estimator numbers stay recorded in SCALE.md as the
+    // shape-comparison finding.
     val dupMlRows = Seq("q_minhash_lsh", "q_corpus_build")
       .filter(q => only.forall(_.contains(q))).map { q =>
         q -> dupHeavyFactors.map(f =>
@@ -421,6 +440,20 @@ object ScaleProbe {
     sb.append("suppressed by best-of-3, not eliminated). α ≈ 1 is the linear\n")
     sb.append("scan-and-aggregate contract; α well below 1 means the operator is\n")
     sb.append("still overhead-dominated even at 500k docs.\n\n")
+    locally { // mixed-epoch disclosure (r9, ADVICE r8): never pass stale rows off as current
+      val byCommit = rowEpoch.valuesIterator.toSeq.groupBy(identity)
+        .view.mapValues(_.size).toSeq.sortBy(-_._2)
+      val foreign = byCommit.filter(_._1 != engineCommit)
+      if (foreign.nonEmpty) {
+        sb.append(s"**Mixed measurement epochs.** Generated at engine commit `$engineCommit`;\n")
+        sb.append(s"rows replayed from earlier-commit checkpoints: ")
+        sb.append(foreign.map { case (c, n) => s"$n from `$c`" }.mkString(", "))
+        sb.append(".\nPer-row stamps live in `/tmp/graft_scaleprobe/rows.jsonl`; delete a\n")
+        sb.append("label's lines there to force its re-measure under the current commit.\n")
+        sb.append("Rows whose operator code changed since their stamp were re-measured\n")
+        sb.append("this run (their stamp equals the generating commit above).\n\n")
+      }
+    }
     sb.append("| query | 1× s | 10× s | 50× s | 100× s | α(10×→100×) |\n")
     sb.append("|---|---|---|---|---|---|\n")
     linRows.foreach { case (q, t) =>
@@ -479,7 +512,13 @@ object ScaleProbe {
     sb.append("duplication factor by construction — the operator's job;\n")
     sb.append("q_minhash_lsh and q_corpus_build join this ladder in r7: every\n")
     sb.append("replica is a near-dup of its original, so their LSH candidate\n")
-    sb.append("output grows quadratically too — fit caches dropped per rep):\n\n")
+    sb.append("output grows quadratically too — fit caches dropped per rep).\n")
+    sb.append("r9: q_minhash_lsh runs the BANDED bucket-join rewrite of\n")
+    sb.append("LshJoins.selfJoinWithModel (id-only bucket shuffle, vectors\n")
+    sb.append("re-attached for survivors; identical pinned output) — its ladder\n")
+    sb.append("was re-measured under the new shape. The r8 estimator numbers\n")
+    sb.append("(195 s at 1×, 510 s at 2×, OOM at 10× on a 16 GiB heap) are the\n")
+    sb.append("shape-comparison finding recorded in SCALE.md.\n\n")
     sb.append("| query | 1× s | 2× s | 5× s | 10× s |\n")
     sb.append("|---|---|---|---|---|\n")
     (dupRows ++ dupMlRows).foreach { case (q, t) =>

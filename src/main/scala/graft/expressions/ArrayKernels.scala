@@ -208,3 +208,54 @@ case class ArraySupportStats(left: Expression, right: Expression, threshold: Dou
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** |∩| of two SORTED-ASCENDING, duplicate-free array<long> columns by linear
+  * merge — the verify-step primitive of the LSH join family (r9). Sortedness
+  * and distinctness are a CALLER PROMISE (ml `Vector.toSparse.indices` and
+  * `array_distinct`+`array_sort` outputs satisfy it; unsorted input
+  * undercounts) — the merge is O(|a|+|b|) with zero allocation, vs the
+  * hash-set pass of [[ArraySetJaccard]] which must tolerate duplicates.
+  * From the count and the two (known) set sizes, Jaccard, containment and
+  * the reference's left/right asymmetric kernels are all scalar arithmetic,
+  * so ONE array pass per candidate pair serves every reported distance. */
+case class SortedLongInterCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_inter_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    var i = 0; var j = 0; var inter = 0L
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val inter = ctx.freshName("inter")
+      s"""
+      int $i = 0, $j = 0;
+      int $nx = $a.numElements(), $ny = $b.numElements();
+      long $inter = 0L;
+      while ($i < $nx && $j < $ny) {
+        long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+        if ($xv == $yv) { $inter++; $i++; $j++; }
+        else if ($xv < $yv) $i++;
+        else $j++;
+      }
+      ${ev.value} = $inter;"""
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
