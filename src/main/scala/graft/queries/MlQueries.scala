@@ -43,6 +43,23 @@ object MlQueries {
     as.indices.map(k => s"(${k}, ${as(k)}, ${bs(k)})").mkString(", ")
   }
 
+  /** The Spark ML MinHashLSH model's own (a, b) hash coefficients for
+    * seed 12345 / 16 tables, reproduced by the estimator's documented
+    * derivation (Spark MinHashLSH.fit: `new Random($(seed))`, then per table
+    * `(1 + nextInt(HASH_PRIME - 1), nextInt(HASH_PRIME - 1))`,
+    * HASH_PRIME = 2038074743). LshJoinsSpec pins this reproduction against
+    * the fitted model's private coefficients by reflection, so a Spark
+    * upgrade that changes the derivation fails `sbt test` LOUDLY instead of
+    * silently reddening the q_minhash_lsh oracle. */
+  private[queries] lazy val mlMinhashCoefSqlValues: String = {
+    val r = new scala.util.Random(12345L)
+    (0 until 16).map { k =>
+      val a = 1 + r.nextInt(2038074743 - 1)
+      val b = r.nextInt(2038074743 - 1)
+      s"($k, $a, $b)"
+    }.mkString(", ")
+  }
+
   private val featCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -240,18 +257,66 @@ object MlQueries {
         .orderBy("vec_id")
     },
 
-    // ----- M11/J3: MinHash LSH self-join + asymmetric keyDistance recompute
-    "q_minhash_lsh" -> QueryDef.rowsOnly { (s, d) =>
-      // spread BEFORE the estimator: the single-file corpus otherwise leaves
-      // approxSimilarityJoin's probe side one partition — the whole
-      // bucket-pair keyDistance scan lands on ONE task (observed 19 min at
-      // sf0.1; 32-way spread makes it minutes of parallel work)
+    // ----- M11/J3: MinHash LSH self-join + asymmetric keyDistance recompute —
+    // ORACLE-CHECKED (r9, pin converted to [sql]): every stage of the fitted
+    // pipeline is deterministic arithmetic DuckDB replays end-to-end. The
+    // binary-TF feature indices are the murmur3 bucket replay proven for
+    // q_tfidf_features; the model's 16 per-table hash functions are
+    // min((1+i)·a + b mod 2038074743) with seed-derived (a, b) reproduced by
+    // the estimator's documented derivation (mlMinhashCoefSqlValues —
+    // reflection-pinned against the fitted model in LshJoinsSpec); candidates
+    // = pairs sharing a (table, minhash) bucket (equal minhash PROVES a
+    // shared argmin element: a·(e1−e2) ≡ 0 mod prime ⇒ e1 = e2, so the
+    // verify join never drops a candidate); the exact verify and both
+    // asymmetric kernels are functions of (|∩|, |x|, |y|) — jaccard in
+    // double, left/right kernels in FLOAT exactly as Kernels computes them.
+    // ROUND(6) on both sides normalizes presentation only (the 0.6 threshold
+    // is applied to the UNrounded distance on both sides).
+    "q_minhash_lsh" -> QueryDef.sql(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(list_filter(
+          regexp_split_to_array(
+            regexp_replace(regexp_replace(lower(text), '(\\d|,|:|;|\\?|!)', '', 'g'),
+                           '\\b\\w{1,2}\\b', '', 'g'), '\\W'),
+          x -> x <> '' AND x NOT IN (${MlQueries.stopwordSqlList})))) AS term
+        FROM documents),
+      terms AS (SELECT DISTINCT term FROM toks),
+      ${graft.text.Murmur3.oracleSqlCtes("terms", 1024, words = 8)},
+      db AS (SELECT DISTINCT t.doc_id, h.bucket FROM toks t JOIN mm_hash h USING (term)),
+      nz AS (SELECT doc_id, COUNT(*) AS n, list_sort(list(bucket)) AS lb
+             FROM db GROUP BY doc_id),
+      coef(k, a, b) AS (VALUES ${MlQueries.mlMinhashCoefSqlValues}),
+      mh AS (SELECT db.doc_id, c.k,
+               MIN(((1 + db.bucket) * CAST(c.a AS BIGINT) + c.b) % 2038074743) AS h
+             FROM db CROSS JOIN coef c GROUP BY db.doc_id, c.k),
+      cand AS (SELECT DISTINCT x.doc_id AS pk1, y.doc_id AS pk2
+               FROM mh x JOIN mh y ON x.k = y.k AND x.h = y.h
+                                   AND y.doc_id > x.doc_id),
+      scored AS (SELECT c.pk1, c.pk2,
+                   1.0 - CAST(len(list_intersect(a.lb, b.lb)) AS DOUBLE)
+                         / (a.n + b.n - len(list_intersect(a.lb, b.lb))) AS jd,
+                   GREATEST(
+                     CAST(len(list_intersect(a.lb, b.lb)) AS FLOAT)
+                       / CAST(a.n AS FLOAT) * CAST(100.0 AS FLOAT),
+                     CAST(len(list_intersect(a.lb, b.lb)) AS FLOAT)
+                       / CAST(b.n AS FLOAT) * CAST(100.0 AS FLOAT)) AS mx
+                 FROM cand c JOIN nz a ON a.doc_id = c.pk1
+                             JOIN nz b ON b.doc_id = c.pk2)
+      SELECT pk1, pk2, ROUND(jd, 6) AS jaccard_dist,
+             ROUND(1.0 - CAST(mx AS DOUBLE) / 100.0, 6) AS asym_jaccard_dist
+      FROM scored WHERE jd < 0.6 ORDER BY pk1, pk2""") { (s, d) =>
+      // spread BEFORE the join: the single-file corpus otherwise leaves the
+      // bucket join's probe side one partition (observed 19 min at sf0.1;
+      // 32-way spread makes it minutes of parallel work)
       val tf = FeaturePipeline.features(spread(Tables.documents(s, d)),
         FeatureConfig(numTextFeatures = 1024, useIdf = false))
         .select("doc_id", "features")
       LshJoins.minHashSelfJoin(tf, "doc_id", "features", threshold = 0.6)
+        .select(col("pk1"), col("pk2"),
+          round(col("jaccard_dist"), 6).as("jaccard_dist"),
+          round(col("asym_jaccard_dist"), 6).as("asym_jaccard_dist"))
         .orderBy("pk1", "pk2")
-    }.expectAtGate(106457L, "61339493087933124682433"),
+    },
 
     // ----- M12: bucketed random-projection LSH on embeddings
     "q_brp_lsh" -> QueryDef.rowsOnly { (s, d) =>

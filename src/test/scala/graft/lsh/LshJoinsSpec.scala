@@ -27,6 +27,29 @@ class LshJoinsSpec extends SparkSpec {
     assert(math.abs(r12._4 - 0.2) < 1e-9)
   }
 
+  test("q_minhash_lsh oracle coefficients reproduce the fitted model's (reflection pin)") {
+    // The q_minhash_lsh DuckDB oracle derives the model's 16 (a, b) hash
+    // coefficients from the estimator's documented derivation
+    // (new Random(seed); (1 + nextInt(P-1), nextInt(P-1)), P = 2038074743).
+    // Pin that reproduction against the ACTUAL fitted model's private
+    // coefficients so a Spark upgrade that changes the derivation fails here
+    // loudly instead of silently reddening the oracle gate.
+    val model = new org.apache.spark.ml.feature.MinHashLSH()
+      .setInputCol("features").setOutputCol("__h")
+      .setNumHashTables(16).setSeed(12345L)
+      .fit(sets)
+    val f = model.getClass.getDeclaredFields
+      .find(_.getName.contains("randCoefficients"))
+      .getOrElse(fail("MinHashLSHModel no longer has randCoefficients — " +
+        "re-derive the q_minhash_lsh oracle coefficient table"))
+    f.setAccessible(true)
+    val fitted = f.get(model).asInstanceOf[Array[(Int, Int)]].toSeq
+    val r = new scala.util.Random(12345L)
+    val repro = Seq.fill(16)((1 + r.nextInt(2038074743 - 1), r.nextInt(2038074743 - 1)))
+    assert(fitted == repro,
+      "seed-derivation drift: update MlQueries.mlMinhashCoefSqlValues")
+  }
+
   test("brpSelfJoin finds close euclidean pairs only") {
     val vecs = Seq(
       (1L, Vectors.dense(0.0, 0.0)),
