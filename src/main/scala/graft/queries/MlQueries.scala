@@ -60,6 +60,25 @@ object MlQueries {
     }.mkString(", ")
   }
 
+  /** The fitted BucketedRandomProjectionLSH model's 3 random unit vectors
+    * for seed 12345 at dim 64 — GOLDEN CONSTANTS extracted from the model
+    * itself (Double.toString is shortest-round-trip, so both this literal
+    * and the DuckDB-parsed copy are bit-identical to the model's doubles).
+    * An RNG-replay derivation was tried first but Spark's normalization
+    * rounds differently in the last ulp at dim 64, so the extraction is
+    * golden-pinned instead: LshJoinsSpec compares the fitted model's vectors
+    * to THESE literals by reflection — estimator drift fails `sbt test`
+    * loudly, exactly the stemmer golden-VALUES contract. */
+  private[graft] lazy val brpUnitVectors: Array[Array[Double]] = Array(
+      Array(-0.021545244263604903, 0.06750477679642078, 0.10884585871093154, -0.056703349930264865, -0.14034849486931816, -0.08006932891410677, -0.08916239979224563, 0.23723972239817856, -0.06737978306861402, 0.05301681415738194, 0.15769053833849175, -0.011225614862279335, -0.12348761729563112, 0.1420149632581532, 0.07574484329825806, -0.02713991657280294, -0.09910453738653528, 0.013399215257832275, -0.0877604805475323, -0.07073371431236779, 0.010588591555839905, -0.024446027039342746, -0.04269764100068935, 0.04995481271385698, -0.06072010878701209, -0.15976630138602593, -0.10098923885327385, 0.02326390209851016, -0.27208789625301605, -0.009664077404908662, 0.021537747806250927, 0.09145922182313124, 0.003686376483318534, 0.06372947257396515, -0.32201447542717276, 0.23274147901008363, 0.160928947415411, -0.008808375365685614, 0.08576181582623803, 0.1951514150141344, 0.03751977867767384, -0.10035162267716051, -0.034724033999350985, -0.14542792629466328, -0.08483693492588618, -0.18361799024104786, 0.1399852778820853, 0.13441446118476508, -0.2052877259776924, 0.055624373790485716, 0.12296581748013152, 0.15952021968563562, 0.28929580939722277, 0.08822883207041601, 0.02810825435238399, 0.12144150072636625, 0.15150328206871366, 0.03319790470302765, -0.03259632380550266, 0.11226442571484915, 0.017063816744783095, 0.07705485971712443, 0.13549285323462595, 0.25260930919024066),
+      Array(-0.16487890255290671, -0.21081198421191188, -0.07531080668173987, -0.1633724856157685, -0.001518496928981591, -0.06415750362680686, 0.12087615490149012, 0.05264909845987418, -0.13466708141389583, 0.16442311184030933, -0.127963167480195, 0.014411729410658457, -6.220063801664852E-4, -0.07810294563808055, -0.0038547665584941723, 0.07772690429341428, -0.3111878827047169, -0.028757716991026076, -0.03316290012775147, 0.08051706317047012, 0.008381110597978894, -0.03719502430018198, 0.24733013684229807, 0.1016875121916912, -0.0761318964376968, 0.034002845752106506, 0.0535648214182276, 0.043147743562655674, 0.01760949708939141, -0.2380064102791983, -0.08415837430001033, -0.273614939361309, -0.005792408889912242, 0.12069580409689266, 0.0825558386260343, -0.1278446197373569, 0.003678170053573539, -0.14165948431395012, 6.854847105878124E-4, 0.1274808144170331, -0.15596267945040262, 0.029291858091003237, -0.26589601979856786, -0.11562256846416738, 0.03291366191392344, -0.12639248714921272, -0.01996145247508682, -0.0411732084445934, -0.20891361479045067, 0.07984601718600667, -0.09999497034935272, -0.05331747519399888, 0.0022520139255995616, -0.1490803923846238, 0.07881192811119604, -0.2217831279023804, -0.20345852042600643, -0.19390793547039645, 0.13886677841942335, 0.0896821018163475, 0.06403193554520936, 0.023454664261872052, 0.05559036239474915, 0.12143665576385879),
+      Array(-0.058427518044317416, 0.04801462468881679, -0.09847973190893124, 0.05104264779889858, 0.14037981399114424, 0.012841695334902982, -0.24993193043744233, -0.17408557386479803, 0.06589562247922001, -0.0702868428710073, -0.09287712557322007, -0.07667595230733708, -0.018611955910368596, 0.04236799387495172, -0.03115797431674651, -0.17369641188798987, 0.06224428508019241, 0.12023089192039738, -0.14128810545629925, 0.06106590387558081, -0.09164421467282761, -0.20363414125857282, 0.017954161227653243, 0.1570823250952804, 0.21643431945777003, 0.09265870465617668, 0.17728027374643376, 0.22002172887786475, 0.014425111082667029, -0.2804990458714965, 0.2099930258892217, -0.025769370737064298, -0.023343228772693573, -0.10189451822618002, 0.18590525459156007, -0.14478669155338544, -0.09940570940630425, -0.02695100762677115, -0.16730726516449032, -0.11934751675602286, -0.16135137197966581, 0.0905606624420629, 0.007702738279629521, 0.11354779069719129, -0.12077401936735062, 0.09329942396630313, 0.16803430381593887, -0.06937472353511245, 0.09279601766383784, -0.1405999650003041, 0.056900020782951345, 0.24102481792684516, 0.11890607960108979, 0.10402477486585171, -0.06591346620106692, -0.15801447142898514, 0.09820021210460761, 0.06533771896928116, -0.18727611771458302, -0.05871199769101712, -0.021663771486229114, 0.12764643208249152, 0.02145293311317744, 0.0017989093479777154))
+
+  private[queries] lazy val brpUnitVectorSqlValues: String =
+    brpUnitVectors.zipWithIndex.map { case (u, j) =>
+      s"($j, [${u.mkString(", ")}])"
+    }.mkString(", ")
+
   private val featCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -318,18 +337,47 @@ object MlQueries {
         .orderBy("pk1", "pk2")
     },
 
-    // ----- M12: bucketed random-projection LSH on embeddings
-    "q_brp_lsh" -> QueryDef.rowsOnly { (s, d) =>
+    // ----- M12: bucketed random-projection LSH on embeddings — ORACLE-
+    // CHECKED (r9, pin converted to [sql]): the estimator's "random" unit
+    // vectors are deterministic functions of the seed, so the oracle replays
+    // the FULL fitted pipeline — project onto the model's unit vectors
+    // (golden-extracted brpUnitVectorSqlValues, reflection-pinned in
+    // LshJoinsSpec), floor
+    // into bucketLength-0.5 buckets, candidates from shared (table, bucket),
+    // exact Euclidean verify under the raw threshold — with the same
+    // ascending-index fold order as the BLAS dot/sqdist. ROUND(6)
+    // presentation only; threshold 1.15 applies to the UNrounded distance on
+    // both sides. (1.15 because the synthetic embeddings' nearest-pair
+    // distance is ~0.99: 1.0 returned a single pair, near-vacuous.)
+    "q_brp_lsh" -> QueryDef.sql {
+      def dotS(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, 65), i -> $x[i]*$y[i]), (a,b)->a+b)"
+      def sqS(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, 65), i -> ($x[i]-$y[i])*($x[i]-$y[i])), (a,b)->a+b)"
+      s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      rv(j, r) AS (VALUES ${MlQueries.brpUnitVectorSqlValues}),
+      bk AS (SELECT t.vec_id, rv.j,
+               CAST(FLOOR(${dotS("t.v", "rv.r")} / 0.5) AS BIGINT) AS h
+             FROM t CROSS JOIN rv),
+      cand AS (SELECT DISTINCT a.vec_id AS pk1, b.vec_id AS pk2
+               FROM bk a JOIN bk b ON a.j = b.j AND a.h = b.h
+                                   AND b.vec_id > a.vec_id),
+      s AS (SELECT pk1, pk2, SQRT(${sqS("x.v", "y.v")}) AS d
+            FROM cand JOIN t x ON x.vec_id = cand.pk1
+                      JOIN t y ON y.vec_id = cand.pk2)
+      SELECT pk1, pk2, ROUND(d, 6) AS dist FROM s
+      WHERE d < 1.15 ORDER BY pk1, pk2"""
+    } { (s, d) =>
       val vecs = spread(Tables.embeddings(s, d))
         .select(col("vec_id"),
           org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
-      // threshold 1.15: the synthetic embeddings' nearest-pair distance is
-      // ~0.99, so 1.0 returned a single pair and the gate was near-vacuous;
-      // 1.15 yields O(100) pairs at sf0.01 — enough to catch a broken join
       LshJoins.brpSelfJoin(vecs, "vec_id", "features",
         threshold = 1.15, bucketLength = 0.5)
+        .select(col("pk1"), col("pk2"), round(col("dist"), 6).as("dist"))
         .orderBy("pk1", "pk2")
-    }.expectAtGate(348L, "200285707061649059628"),
+    },
 
     // ----- M12 exact twin, ORACLE-CHECKED (the q_semdedup_exact pattern):
     // the SAME bucketed-random-projection pipeline shape — project onto a few
@@ -392,10 +440,52 @@ object MlQueries {
     // The probe is an out-of-corpus token set, so its hash buckets are (nearly
     // always) empty and the query exercises the phase-2 hash-distance
     // widening: sort by min differing-slot count, k-th value as threshold,
-    // true-Jaccard top-k over the widened set. Deterministic (fixed seed,
-    // id tiebreak) but not SQL-replayable (MinHash bucket internals) →
-    // rows-only: the contract is EXACTLY k rows even though no bucket matched.
-    "q_knn_probe" -> QueryDef.rowsOnly { (s, d) =>
+    // true-Jaccard top-k over the widened set. ORACLE-CHECKED (r9, pin
+    // converted to [sql]): "MinHash bucket internals" stopped being a blocker
+    // once the model's hash family became replayable (mlMinhashCoefSqlValues)
+    // — the oracle routes the PROBE's tokens through the same murmur3 chain
+    // as the corpus, replays both signatures, and reproduces the exact
+    // two-phase CONDITIONAL: per-table hash vectors hold one slot, so a
+    // doc's min differing-slot count is 0 iff any table matches and the k-th
+    // smallest is 0 when ≥ k docs share a bucket, else 1 (the full-scan
+    // widening) — then the true-Jaccard top-k with the id tiebreak.
+    "q_knn_probe" -> QueryDef.sql(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(list_filter(
+          regexp_split_to_array(
+            regexp_replace(regexp_replace(lower(text), '(\\d|,|:|;|\\?|!)', '', 'g'),
+                           '\\b\\w{1,2}\\b', '', 'g'), '\\W'),
+          x -> x <> '' AND x NOT IN (${MlQueries.stopwordSqlList})))) AS term
+        FROM documents),
+      probe_toks(term) AS (VALUES ('zyzzyva'), ('quokka'), ('oblast'),
+                                  ('plasmid'), ('xylem'), ('fjord')),
+      terms AS (SELECT DISTINCT term FROM toks
+                UNION SELECT term FROM probe_toks),
+      ${graft.text.Murmur3.oracleSqlCtes("terms", 1024, words = 8)},
+      db AS (SELECT DISTINCT t.doc_id, h.bucket FROM toks t JOIN mm_hash h USING (term)),
+      pb AS (SELECT DISTINCT h.bucket FROM probe_toks p JOIN mm_hash h USING (term)),
+      nz AS (SELECT doc_id, COUNT(*) AS n, list_sort(list(bucket)) AS lb
+             FROM db GROUP BY doc_id),
+      pn AS (SELECT COUNT(*) AS np, list_sort(list(bucket)) AS pl FROM pb),
+      coef(k, a, b) AS (VALUES ${MlQueries.mlMinhashCoefSqlValues}),
+      mh AS (SELECT db.doc_id, c.k,
+               MIN(((1 + db.bucket) * CAST(c.a AS BIGINT) + c.b) % 2038074743) AS h
+             FROM db CROSS JOIN coef c GROUP BY db.doc_id, c.k),
+      ph AS (SELECT c.k,
+               MIN(((1 + pb.bucket) * CAST(c.a AS BIGINT) + c.b) % 2038074743) AS h
+             FROM pb CROSS JOIN coef c GROUP BY c.k),
+      hd AS (SELECT mh.doc_id, MIN(CASE WHEN mh.h = ph.h THEN 0 ELSE 1 END) AS hd
+             FROM mh JOIN ph ON mh.k = ph.k GROUP BY mh.doc_id),
+      thr AS (SELECT CASE WHEN (SELECT COUNT(*) FROM hd WHERE hd = 0) >= 25
+                          THEN 0 ELSE 1 END AS t),
+      sub AS (SELECT doc_id FROM hd, thr WHERE hd <= thr.t),
+      d AS (SELECT s.doc_id,
+              1.0 - CAST(len(list_intersect(nz.lb, pn.pl)) AS DOUBLE)
+                    / (nz.n + pn.np - len(list_intersect(nz.lb, pn.pl))) AS raw
+            FROM sub s JOIN nz ON nz.doc_id = s.doc_id, pn
+            ORDER BY raw, s.doc_id LIMIT 25)
+      SELECT doc_id, ROUND(raw, 6) AS jaccard_dist FROM d
+      ORDER BY jaccard_dist, doc_id""") { (s, d) =>
       val cfg = FeatureConfig(numTextFeatures = 1024, useIdf = false)
       val tf = FeaturePipeline.features(spread(Tables.documents(s, d)), cfg)
         .select("doc_id", "features")
@@ -404,8 +494,9 @@ object MlQueries {
           Seq((-1L, "zyzzyva quokka oblast plasmid xylem fjord")).toDF("doc_id", "text"), cfg)
         .select("features").head.getAs[Vector](0)
       LshJoins.minHashKnn(tf, "doc_id", "features", probe, k = 25)
+        .select(col("doc_id"), round(col("jaccard_dist"), 6).as("jaccard_dist"))
         .orderBy("jaccard_dist", "doc_id")
-    }.expectAtGate(25L, "16415262962297745791"),
+    },
 
     // ----- J4 exact limit, ORACLE-CHECKED (the q_dimsum_exact pattern):
     // minHashKnn's `exhaustive` mode — its full-scan degrade made

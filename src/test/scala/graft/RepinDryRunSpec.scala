@@ -26,11 +26,12 @@ import scala.sys.process._
 class RepinDryRunSpec extends SparkSpec {
 
   /** Two cheap pinned (no-oracle) queries. The stemmer wordcounts that
-    * originally played this role gained golden VALUES oracles in r8, so the
-    * dry run now fires on the LSH pins (embeddings + featurized documents —
-    * the documents perturbation in step 1 shifts the feature pipeline, and
-    * the fixture fingerprint covers both tables either way). */
-  private val pins = Set("q_brp_lsh", "q_knn_probe")
+    * originally played this role gained golden VALUES oracles in r8 and the
+    * LSH pins that replaced them became full SQL gates in r9, so the dry
+    * run now fires on the seeded-fit pins — the k-means blocking fit over
+    * the featurized documents (the step-1 perturbation shifts its input)
+    * and the IVF index over embeddings. */
+  private val pins = Set("q_kmeans_blocks", "q_ann_ivf")
 
   private val base = Paths.get("/tmp/graft_repin_dryrun")
 

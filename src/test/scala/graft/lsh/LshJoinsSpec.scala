@@ -50,6 +50,31 @@ class LshJoinsSpec extends SparkSpec {
       "seed-derivation drift: update MlQueries.mlMinhashCoefSqlValues")
   }
 
+  test("q_brp_lsh oracle unit vectors equal the fitted model's (reflection pin)") {
+    // The q_brp_lsh oracle's projection directions are GOLDEN CONSTANTS
+    // extracted from the fitted model (an RNG replay of the seed derivation
+    // differs in the last ulp of the normalization at dim 64, so extraction
+    // is pinned instead). Compare the real model's vectors to the literals
+    // bit-for-bit so an estimator/seed-derivation change fails loudly here
+    // instead of silently reddening the oracle gate.
+    val dim = 64
+    val df = Seq(Tuple1(Vectors.dense(Array.fill(dim)(1.0)))).toDF("features")
+    val model = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("__h")
+      .setBucketLength(0.5).setNumHashTables(3).setSeed(12345L)
+      .fit(df)
+    val m = model.getClass.getDeclaredMethods
+      .find(_.getName == "randUnitVectors")
+      .getOrElse(fail("BucketedRandomProjectionLSHModel no longer exposes " +
+        "randUnitVectors — re-extract the q_brp_lsh oracle vector table"))
+    val fitted = m.invoke(model)
+      .asInstanceOf[Array[org.apache.spark.ml.linalg.Vector]]
+      .map(_.toArray.toSeq).toSeq
+    val golden = graft.queries.MlQueries.brpUnitVectors.map(_.toSeq).toSeq
+    assert(fitted == golden,
+      "estimator drift: re-extract MlQueries.brpUnitVectors (see its doc)")
+  }
+
   test("brpSelfJoin finds close euclidean pairs only") {
     val vecs = Seq(
       (1L, Vectors.dense(0.0, 0.0)),
