@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *  - video: container metadata is REAL (MP4 box walk), and FRAME decode is
   *    real for uncompressed AVI ([[aviFrames]]: RIFF chunk walk into the
   *    movi list, raw '00db' frames) AND MJPEG AVI ([[aviMjpegFrames]]:
-  *    '00dc' chunks, one baseline JPEG per frame) — only inter-frame
+  *    '00dc' chunks, one baseline JPEG per frame; r9 adds MS Video 1 CRAM
+  *    inter-frame decode in [[MsVideo1]]) — only motion-COMPENSATED
   *    predicted codecs (H.26x, VPx) remain the clearly-marked STUB: they
   *    genuinely need a codec library this container does not ship.
   */
@@ -155,7 +156,8 @@ object Multimodal {
     * offsets 12/16 of the box payload; version 1: u64 times, timescale at 20,
     * duration u64 at 24). Returns (timescale ticks/sec, duration ticks);
     * seconds = duration / timescale. Frame decode for MP4 payloads needs an
-    * inter-frame codec (H.26x/VPx) — the one declared stub boundary.
+    * motion-compensated codec (H.26x/VPx) — the one declared stub boundary
+    * (frame-DIFFERENCING inter-frame decode is real since r9: [[MsVideo1]]).
     * Overflow-safe Long cursors, like [[wavHeader]]. */
   final case class Mp4Info(timescale: Long, duration: Long)
 
@@ -203,7 +205,7 @@ object Multimodal {
   // plus the five spec filters, and WAV PCM samples are plain
   // byte-addressable integers after the chunk walk above. Together with the
   // JPEG codec ([[Jpeg]]), GIF/LZW below, and the G.711/ADPCM expanders,
-  // these retire the image/audio decode stub; only inter-frame video codecs
+  // these retire the image/audio decode stub; only motion-compensated codecs
   // (H.26x/VPx) remain stubbed.
 
   /** Decoded PNG: 8-bit samples row-major, channel-interleaved, 0-255. */
@@ -563,7 +565,8 @@ object Multimodal {
     * device-independent-bitmap frames — for 8-bit gray, one byte per pixel.
     * This is REAL video frame decode with zero codec dependencies; compressed
     * `00dc` streams decode through [[Jpeg.aviMjpegFrames]] when the codec is
-    * MJPG — inter-frame codecs (H.26x/VPx) remain the stub boundary. */
+    * MJPG, and MS Video 1 CRAM streams through [[MsVideo1.aviCramFrames]] —
+    * motion-compensated codecs (H.26x/VPx) remain the stub boundary. */
   final case class AviInfo(width: Int, height: Int, nFrames: Int)
 
   def aviHeader(p: Array[Byte]): Option[AviInfo] = {
@@ -636,7 +639,7 @@ object Multimodal {
     * but expects compressed `00dc` chunks, each a complete baseline JPEG
     * stream (MJPEG is exactly that — one independent JPEG per frame), and
     * decodes them through [[Jpeg.decodeJpeg]]. This retires the MJPEG slice
-    * of the video stub; inter-frame-predicted codecs (H.26x) remain the one
+    * of the video stub; motion-compensated codecs (H.26x) remain the one
     * genuine codec-library dependency. None when the container is not AVI
     * or any frame fails the JPEG decode. */
   def aviMjpegFrames(p: Array[Byte]): Option[Seq[Jpeg.JpegImage]] = {
@@ -678,7 +681,12 @@ object Multimodal {
   /** MJPEG twin of [[synthAvi]]: the same RIFF skeleton, but each frame is a
     * complete JPEG stream carried in a `00dc` (compressed) chunk. */
   def synthAviMjpeg(w: Int, h: Int, jpegFrames: Seq[Array[Byte]]): Array[Byte] =
-    synthAviWith(w, h, jpegFrames, "00dc")
+    synthAviCompressed(w, h, jpegFrames)
+
+  /** Generic compressed-AVI synth: per-frame codec byte streams in `00dc`
+    * chunks (MJPEG JPEGs, [[MsVideo1]] CRAM code streams, ...). */
+  def synthAviCompressed(w: Int, h: Int, frameStreams: Seq[Array[Byte]]): Array[Byte] =
+    synthAviWith(w, h, frameStreams, "00dc")
 
   /** Minimal VALID uncompressed AVI: RIFF('AVI ') { LIST('hdrl'){avih},
     * LIST('movi'){00db × frames} }. 8-bit gray, one byte per pixel. */

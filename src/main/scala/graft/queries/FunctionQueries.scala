@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.functions.Aggregators
 import graft.io.Tables
-import graft.multimodal.{Jpeg, Multimodal}
+import graft.multimodal.{Jpeg, MsVideo1, Multimodal}
 import graft.similarity.ArrayOps
 import org.apache.spark.sql.functions._
 
@@ -160,7 +160,8 @@ object FunctionQueries {
     // recomputes the same stats from the formula arithmetically, so any
     // defect in deflate/inflate framing, filter reconstruction (Sub/Up/
     // Average/Paeth), or PCM byte order shifts a sum and reddens the hash.
-    // Only inter-frame video codecs (H.26x/VPx) remain stubbed.
+    // Only motion-compensated video codecs (H.26x/VPx) remain stubbed
+    // (frame-differencing inter-frame decode is real: q_msvideo1_frames).
     "q_media_decode" -> QueryDef.sql("""
       WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60),
       img AS (SELECT id, 8 + id % 17 AS w, 5 + id % 11 AS h FROM ids WHERE id % 2 = 0),
@@ -220,7 +221,7 @@ object FunctionQueries {
     // Integer stats of the DECODED frame bytes vs the arithmetic oracle: a
     // mis-walked list, off-by-one chunk pad, or dropped frame shifts a sum
     // and reddens the hash. Compressed 00dc streams: MJPEG decodes through
-    // Jpeg.aviMjpegFrames (q_mjpeg_frames); inter-frame codecs (H.26x/VPx)
+    // Jpeg.aviMjpegFrames (q_mjpeg_frames); motion-compensated codecs
     // remain the stub boundary.
     "q_video_frames" -> QueryDef.sql("""
       WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 40),
@@ -506,6 +507,86 @@ object FunctionQueries {
             perPx.map { case (v, f) => v * f }.sum)
         }
         .toDF("doc_id", "n_frames", "n_px", "sum_px", "min_px", "max_px", "sum_f")
+        .orderBy("doc_id")
+    },
+
+    // ----- INTER-FRAME video decode gate (r9): MS Video 1 (CRAM), a real
+    // documented frame-differencing codec — 4x4 blocks, bottom-up, with
+    // SKIP ops that copy from the PREVIOUS frame (graft.multimodal.MsVideo1;
+    // narrows the declared video stub to motion-COMPENSATED codecs only).
+    // Fixture video: a moving 2-color checker sprite + a moving 8-color
+    // quadrant block over a STATIC background, so from frame 1 on the
+    // encoder emits real skip runs and the decoder must reconstruct most
+    // pixels from frame carry — the oracle computes the TRUE per-frame
+    // pixels from the generating formula, so a broken skip copy, wrong
+    // bottom-up block order, or bad quadrant indexing shifts sum_pos/f and
+    // reddens the hash (MsVideo1Spec pins op-level conventions; this gate
+    // pins the whole container->codestream->carry pipeline).
+    "q_msvideo1_frames" -> QueryDef.sql("""
+      WITH ids AS (SELECT doc_id AS id, 3 + doc_id % 3 AS nf
+                   FROM documents WHERE doc_id < 40),
+      px AS (
+        SELECT id, nf, f, x, y,
+          CASE
+            WHEN x//4 = (id + f) % 4 AND y//4 = (id + 2*f) % 4
+              THEN CASE WHEN (x + y) % 2 = 0 THEN (id*5 + f*3) % 32768
+                        ELSE ((id*5 + f*3) % 32768 + 7777) % 32768 END
+            WHEN x//4 = ((id + f) % 4 + 1) % 4 AND y//4 = (id + 2*f) % 4
+              THEN CASE WHEN (x + y) % 2 = 0
+                THEN (id*3 + f*5 + ((y%4)//2*2 + (x%4)//2)*11) % 32768
+                ELSE ((id*3 + f*5 + ((y%4)//2*2 + (x%4)//2)*11) % 32768 + 4321) % 32768 END
+            ELSE (id*3 + (x//4)*5 + (y//4)*7) % 32768
+          END AS v
+        FROM ids
+        CROSS JOIN range(0,5) rf(f)
+        CROSS JOIN range(0,16) rx(x) CROSS JOIN range(0,16) ry(y)
+        WHERE f < nf)
+      SELECT id AS doc_id,
+             CAST(MAX(nf) AS BIGINT) AS n_frames,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(v // 1024) AS BIGINT) AS sum_r,
+             CAST(SUM(v // 32 % 32) AS BIGINT) AS sum_g,
+             CAST(SUM(v % 32) AS BIGINT) AS sum_b,
+             CAST(SUM(v * (x + y*16 + f*256)) AS BIGINT) AS sum_pos
+      FROM px GROUP BY id ORDER BY doc_id""") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = 16; val h = 16
+          val nf = (3 + id % 3).toInt
+          def pixel(f: Int, x: Int, y: Int): Int = {
+            val sx = ((id + f) % 4).toInt; val sy = ((id + 2 * f) % 4).toInt
+            val bx = x / 4; val by = y / 4
+            if (bx == sx && by == sy) {
+              val cA = ((id * 5 + f * 3) % 32768).toInt
+              if ((x + y) % 2 == 0) cA else (cA + 7777) % 32768
+            } else if (bx == (sx + 1) % 4 && by == sy) {
+              val q = (y % 4 / 2) * 2 + (x % 4 / 2)
+              val v0 = ((id * 3 + f * 5 + q * 11) % 32768).toInt
+              if ((x + y) % 2 == 0) v0 else (v0 + 4321) % 32768
+            } else ((id * 3 + bx * 5 + by * 7) % 32768).toInt
+          }
+          val frames = (0 until nf).map(f =>
+            Array.tabulate(w * h)(k => pixel(f, k % w, k / w)))
+          val avi = Multimodal.synthAviCompressed(w, h,
+            MsVideo1.encodeFrames(w, h, frames))
+          val got = MsVideo1.aviCramFrames(avi, w, h)
+            .getOrElse(sys.error(s"CRAM walk failed for doc $id"))
+          require(got.length == nf, s"frame count mismatch for doc $id")
+          var nPx = 0L; var sr = 0L; var sg = 0L; var sb = 0L; var sp = 0L
+          got.zipWithIndex.foreach { case (fr, f) =>
+            var k = 0
+            while (k < fr.length) {
+              val v = fr(k); val x = k % w; val y = k / w
+              nPx += 1; sr += v >> 10; sg += (v >> 5) & 31; sb += v & 31
+              sp += v.toLong * (x + y * 16 + f * 256)
+              k += 1
+            }
+          }
+          (id, nf.toLong, nPx, sr, sg, sb, sp)
+        }
+        .toDF("doc_id", "n_frames", "n_px", "sum_r", "sum_g", "sum_b", "sum_pos")
         .orderBy("doc_id")
     },
 
