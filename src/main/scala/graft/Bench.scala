@@ -28,6 +28,9 @@ object Bench {
     "q_stemmed_wordcount", // Porter-stem + agg
     "q_dedup_exact",     // content-hash dedup
     "q_minhash_dedup",   // MinHash banded LSH near-dup
+    "q_minhash_lsh",     // estimator-parity LSH self-join (r9: banded shape —
+                         // joined the headline set once the rewrite made it
+                         // bench-affordable; tracks the J3/M11 path per round)
     "q_simhash_dedup",   // SimHash near-dup
     "q_vector_sum",      // typed Aggregator
     "q_kmv_distinct",    // mergeable sketch family representative (r6)
