@@ -43,6 +43,13 @@ object MlQueries {
     as.indices.map(k => s"(${k}, ${as(k)}, ${bs(k)})").mkString(", ")
   }
 
+  /** Same family at numHashes = 32 — `Candidates.pairsWithBudget`'s default
+    * support-MinHash width, for the q_candidates_budget_exact oracle. */
+  private[queries] lazy val budgetCoefSqlValues: String = {
+    val (as, bs) = MinHashDedup.coefficients(32)
+    as.indices.map(k => s"(${k}, ${as(k)}, ${bs(k)})").mkString(", ")
+  }
+
   /** The Spark ML MinHashLSH model's own (a, b) hash coefficients for
     * seed 12345 / 16 tables, reproduced by the estimator's documented
     * derivation (Spark MinHashLSH.fit: `new Random($(seed))`, then per table
@@ -793,6 +800,73 @@ object MlQueries {
         "features", maxBlockSize = 40)
         .orderBy("pk1", "pk2")
     }.expectAtGate(9590L, "5549586423280872182474"),
+
+    // ----- J2 budget guard, ORACLE-CHECKED twin (r9): pairsWithBudget's
+    // COMPLETE two-branch semantics — exact all-pairs for small blocks,
+    // banded support-MinHash LSH for oversized ones — on PINNED block labels
+    // floor(sqrt(doc_id)) (sizes 2k+1, so maxBlockSize 25 splits the corpus
+    // into both branches for real: blocks 0-12 and the short tail run exact,
+    // 13+ run LSH) and the murmur3-bucket features DuckDB already replays for
+    // q_minhash_lsh. The oracle recomputes every stage: token→bucket supports
+    // (mm_hash), the 32-hash affine signature family (budgetCoefSqlValues =
+    // the engine's own md5-derived coefficients), 16 band slices, bucket
+    // candidates by SLICE equality (engine joins on xxhash64(slice) equality
+    // — identical up to 64-bit hash collisions, odds < 1e-12 at gate scale),
+    // both block-size branches, and the shared lang/length-ratio/canonical
+    // constraints. Leaves q_candidates_budget pinning only the seeded
+    // k-means composition, same split as q_candidates vs q_billmatch.
+    "q_candidates_budget_exact" -> QueryDef.sql(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(list_filter(
+          regexp_split_to_array(
+            regexp_replace(regexp_replace(lower(text), '(\\d|,|:|;|\\?|!)', '', 'g'),
+                           '\\b\\w{1,2}\\b', '', 'g'), '\\W'),
+          x -> x <> '' AND x NOT IN (${MlQueries.stopwordSqlList})))) AS term
+        FROM documents),
+      terms AS (SELECT DISTINCT term FROM toks),
+      ${graft.text.Murmur3.oracleSqlCtes("terms", 1024, words = 8)},
+      db AS (SELECT DISTINCT t.doc_id, h.bucket FROM toks t JOIN mm_hash h USING (term)),
+      meta AS (SELECT doc_id, lang, n_chars,
+                 CAST(FLOOR(SQRT(CAST(doc_id AS DOUBLE))) AS BIGINT) AS blk
+               FROM documents),
+      bn AS (SELECT blk, COUNT(*) AS n FROM meta GROUP BY blk),
+      exact AS (
+        SELECT a.doc_id AS pk1, b.doc_id AS pk2
+        FROM meta a JOIN meta b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        JOIN bn ON bn.blk = a.blk AND bn.n <= 25
+        WHERE a.lang <> b.lang
+          AND ABS(a.n_chars - b.n_chars)
+              / SQRT(CAST(a.n_chars AS DOUBLE) * b.n_chars) < 0.26),
+      coefb(k, a, b) AS (VALUES ${MlQueries.budgetCoefSqlValues}),
+      mh AS (SELECT db.doc_id, c.k,
+               MIN((c.a * db.bucket + c.b) % 2147483647) AS h
+             FROM db CROSS JOIN coefb c GROUP BY db.doc_id, c.k),
+      sig AS (SELECT doc_id, list(h ORDER BY k) AS sg FROM mh GROUP BY doc_id),
+      bands AS (SELECT doc_id, bd, sg[bd*2+1:bd*2+2] AS slice
+                FROM sig CROSS JOIN range(16) r(bd)),
+      lsh AS (
+        SELECT DISTINCT a2.doc_id AS pk1, b2.doc_id AS pk2
+        FROM bands sa JOIN bands sb ON sa.bd = sb.bd AND sa.slice = sb.slice
+        JOIN meta a2 ON a2.doc_id = sa.doc_id
+        JOIN meta b2 ON b2.doc_id = sb.doc_id
+        JOIN bn ON bn.blk = a2.blk AND bn.n > 25
+        WHERE a2.blk = b2.blk AND a2.doc_id < b2.doc_id AND a2.lang <> b2.lang
+          AND ABS(a2.n_chars - b2.n_chars)
+              / SQRT(CAST(a2.n_chars AS DOUBLE) * b2.n_chars) < 0.26)
+      SELECT pk1, pk2 FROM (SELECT * FROM exact UNION ALL SELECT * FROM lsh)
+      ORDER BY pk1, pk2""") { (s, d) =>
+      val blocked = FeaturePipeline.features(spread(Tables.documents(s, d)),
+        FeatureConfig(numTextFeatures = 1024, useIdf = false))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          floor(sqrt(col("doc_id").cast("double"))).cast("long").as("prediction"),
+          col("features"))
+      Candidates.pairsWithBudget(blocked, CandidateConfig(
+        keyCol = "doc_id", groupCol = "lang",
+        blockCol = Some("prediction"),
+        lengthCol = Some("n_chars"), maxLengthRatio = 0.26),
+        "features", maxBlockSize = 25)
+        .orderBy("pk1", "pk2")
+    },
 
     // ----- flagship: the reference's workflow-1 end to end (features →
     // k-means blocking → candidate join → cosine kernel → global top-K),
