@@ -51,6 +51,13 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                     if os.path.isdir(p)])
+    # Optional 3rd arg: comma-separated subset — lets a wrapper run the
+    # long sf0.1 soak one query at a time and resume after interruption
+    # (the all-pairs dedup oracles dominate; a killed run otherwise loses
+    # every completed compare).
+    if len(sys.argv) > 3:
+        want = set(sys.argv[3].split(","))
+        names = [n for n in names if n in want]
     n_ok = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
