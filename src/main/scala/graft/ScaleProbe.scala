@@ -197,13 +197,13 @@ object ScaleProbe {
     // rep would measure the post-fit cache hit, not the fit (the Bench
     // fitsOnce discipline). reps=2 for the fit ladder: each rep is a full
     // featurize+fit, the second rep suffices to shed first-touch noise.
-    def timeFit(name: String, dir: String, reps: Int = 2): Double =
+    def timeFit(name: String, dir: String, reps: Int = 2): (Double, Long) =
       (1 to reps).map { _ =>
         graft.queries.MlQueries.clearFitCaches()
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val rows = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }.minBy(_._1)
 
     def rowDone(q: String, factors: Seq[Int]): Boolean =
       factors.forall(f => ckpt.contains((q, f)))
@@ -230,8 +230,10 @@ object ScaleProbe {
     // ladder, not the linear one.
     val dupRows = Seq("q_minhash_dedup", "q_dedup_incremental")
       .filter(q => only.forall(_.contains(q))).map { q =>
-      q -> dupHeavyFactors.map(f =>
-        f -> checkpointed(q, f)(timeDf(SparkEntry.queries(q)(spark, _), dirFor(f)))._1).toMap
+      q -> dupHeavyFactors.map { f =>
+        val v = checkpointed(q, f)(timeDf(SparkEntry.queries(q)(spark, _), dirFor(f)))
+        f -> ((v._1, v._2))
+      }.toMap
     }
     val evRows = eventsOps.filter(q => only.forall(_.contains(q))).map { q =>
       q -> eventsFactors.map(f =>
@@ -262,9 +264,9 @@ object ScaleProbe {
           .select(col("dst").as("src"), col("src").as("dst")))
       graft.graph.GraphOps.stronglyConnectedComponents(dir2)
     }
-    // timeFit returns seconds only — checkpoint with rows/metrics zeroed
-    def noMetrics(sec: Double): (Double, Long, ProbeMetrics) =
-      (sec, 0L, ProbeMetrics(0L, 0L, 0L))
+    // timeFit returns (seconds, output rows) — checkpoint with metrics zeroed
+    def noMetrics(v: (Double, Long)): (Double, Long, ProbeMetrics) =
+      (v._1, v._2, ProbeMetrics(0L, 0L, 0L))
     val sccRows =
       if (only.forall(_.contains("q_scc")))
         Seq("q_scc(whole-graph)" ->
@@ -283,6 +285,96 @@ object ScaleProbe {
     // (q_minhash_lsh / q_corpus_build fit ladders moved BELOW the tail and
     // multimodal sections: the ML-estimator LSH fit costs ~200 s at 1× —
     // under a deadline the cheap sections must bank first.)
+
+    // ---- ANN ladder (r9): the similarity-search family had correctness
+    // twins but no measured scaling row. FIXED 40-probe batch against a
+    // GROWING corpus — the 100 TB question is query-batch cost vs corpus
+    // size, so probes stay the base corpus's vec_id%50 set while replicas
+    // multiply the corpus (distinct vec_ids, vectors unchanged: timing is
+    // corpus-size-driven; duplicate vectors only create score ties).
+    locally {
+      val annFactorsNeeded = linearFactors.filter(_ > 1)
+        .filterNot(haveTable(_, "embeddings"))
+      annFactorsNeeded.foreach { f =>
+        val es = (0 until f).map { r =>
+          spark.read.parquet(s"$base/embeddings.parquet")
+            .select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+              col("embedding"), col("label"))
+        }.reduce(_.unionByName(_))
+        es.repartition(32).write.mode("overwrite")
+          .parquet(s"${dirFor(f)}/embeddings.parquet")
+      }
+    }
+    def annCorpus(dir: String) =
+      graft.io.Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          graft.similarity.ArrayOps.asDouble(col("embedding")).as("v"))
+        .repartition(32)
+    def annProbes(t: org.apache.spark.sql.DataFrame) =
+      t.filter(col("vec_id") < 2000 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // bounded per-probe top-3 via the TopKScored partial aggregation —
+    // the same shape Ivf/IvfPq.search use (one ≤k buffer per partition per
+    // probe rides the shuffle, never the corpus-scale scored rows)
+    def annTop3(scored: org.apache.spark.sql.DataFrame) =
+      scored.groupBy("q_id")
+        .agg(graft.functions.Aggregators.topKScored(3)(
+          col("cos"), col("cand_id")).as("__top"))
+        .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+        .select(col("q_id"), col("__t._2").as("cand_id"),
+          col("__t._1").as("cos"), (col("__pos") + 1).cast("int").as("rn"))
+    val annOps: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      // exact baseline: broadcast the probe batch, scan the corpus once
+      "q_ann_brute(40q)" -> { dir =>
+        val t = annCorpus(dir)
+        annTop3(t.crossJoin(broadcast(annProbes(t)))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            graft.similarity.ArrayOps.cosine(col("qv"), col("v")).as("cos")))
+      },
+      // data-independent sign-LSH buckets (no fit): candidates from bucket
+      // equality only — candidate count per probe tracks bucket occupancy
+      "q_ann_lsh(40q)" -> { dir =>
+        // registry q_ann_lsh config: 6 planes → 64 buckets (16 planes left
+        // every base-corpus bucket singleton — zero candidates at 1×)
+        val planes = graft.ann.SignLsh.hyperplanes(6, 64)
+        val t = annCorpus(dir)
+          .withColumn("bkt", graft.ann.SignLsh.bucket(col("v"), planes))
+        val q = t.filter(col("vec_id") < 2000 && col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("bkt").as("qbkt"))
+        annTop3(t.join(broadcast(q), col("qbkt") === col("bkt") &&
+            col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            graft.similarity.ArrayOps.cosine(col("qv"), col("v")).as("cos")))
+      },
+      // registry IVF config end-to-end (k-means build + routed search):
+      // fixed k means the scan fraction is nProbe/k of the corpus — the
+      // ladder shows the linear wall this hits
+      "q_ann_ivf(k16,p4)" -> { dir =>
+        val t = annCorpus(dir)
+        val idx = graft.ann.Ivf.build(t, "v", k = 16)
+        graft.ann.Ivf.search(idx, annProbes(t), "vec_id", "v",
+          topK = 3, nProbe = 4)
+      },
+      // √N-scaled coarse quantizer (k ∝ √corpus, the standard IVF tuning):
+      // scan fraction shrinks as the corpus grows — build cost rises with
+      // k but the search stays probe-bounded
+      "q_ann_ivf(k~sqrtN,p4)" -> { dir =>
+        val t = annCorpus(dir)
+        val n = t.count()
+        val k = math.max(16, (math.sqrt(n.toDouble) / 2.8).toInt)
+        val idx = graft.ann.Ivf.build(t, "v", k = k)
+        graft.ann.Ivf.search(idx, annProbes(t), "vec_id", "v",
+          topK = 3, nProbe = 4)
+      })
+    val annRows = annOps
+      .filter { case (l, _) => only.forall(_.exists(l.startsWith)) }
+      .map { case (label, mk) =>
+        label -> linearFactors.map { f =>
+          f -> checkpointed(label, f)(timeDf(mk, dirFor(f)))._1
+        }.toMap
+      }
 
     // ---- tail diagnosis (round-3 watch items): q_winnow and q_ngram_count
     // are the two operators whose 50×→100× segment trends superlinear. For
@@ -418,8 +510,10 @@ object ScaleProbe {
     // shape-comparison finding.
     val dupMlRows = Seq("q_minhash_lsh", "q_corpus_build")
       .filter(q => only.forall(_.contains(q))).map { q =>
-        q -> dupHeavyFactors.map(f =>
-          f -> checkpointed(s"$q(fit)", f)(noMetrics(timeFit(q, dirFor(f))))._1).toMap
+        q -> dupHeavyFactors.map { f =>
+          val v = checkpointed(s"$q(fit)", f)(noMetrics(timeFit(q, dirFor(f))))
+          f -> ((v._1, v._2))
+        }.toMap
       }
 
     // deadline-skipped rows render as "—" (measured numbers only, never a
@@ -508,6 +602,37 @@ object ScaleProbe {
       sb.append("1.5M vertices. q_kmeans_blocks(fit) includes the full\n")
       sb.append("clean→tokenize→TF→IDF featurization plus the k=8 fit.\n")
     }
+    if (annRows.nonEmpty) {
+      sb.append("\n## ANN ladder: fixed 40-probe batch vs growing corpus (r9)\n\n")
+      sb.append("The 100 TB similarity-search question is query-batch cost vs\n")
+      sb.append("corpus size, so the probe set is FIXED (the base corpus's 40\n")
+      sb.append("vec_id%50 probes) while embedding replicas grow the corpus\n")
+      sb.append("2k→200k vectors. All four shapes broadcast the probe side and\n")
+      sb.append("scan/join the corpus without shuffling it; since r9 the\n")
+      sb.append("per-probe top-k is a BOUNDED TopKScored partial aggregation\n")
+      sb.append("(one ≤k buffer per partition per probe rides the exchange) in\n")
+      sb.append("Ivf/IvfPq/Pq.search and the LSH/brute shapes alike — the\n")
+      sb.append("window form it replaced shuffled every scored candidate row,\n")
+      sb.append("a corpus-scale exchange these semantics never needed. Brute\n")
+      sb.append("force is the exact baseline (one corpus scan × 40 cosines per\n")
+      sb.append("row); sign-LSH restricts to 64-bucket equality candidates\n")
+      sb.append("(data-independent, no fit); the IVF rows INCLUDE the k-means\n")
+      sb.append("index build each rep — fixed k=16 scans nProbe/k = 25% of the\n")
+      sb.append("corpus, k~√N shrinks the scanned fraction as the corpus grows.\n")
+      sb.append("Reading: every α sits near 0 — at ≤200k×64-dim the per-job\n")
+      sb.append("constant floors all four shapes and the IVF rows are fit-\n")
+      sb.append("dominated (~3 s k-means, amortized across batches in\n")
+      sb.append("production); the evidence at this scale is the flat profile\n")
+      sb.append("plus the plan shape, not a brute-vs-index gap, which opens\n")
+      sb.append("only past ~10⁷ vectors per executor. Checkpoint shuffle-MB\n")
+      sb.append("tracks the deliberate single-file scan-spread repartition,\n")
+      sb.append("not the top-k.\n\n")
+      sb.append("| query | 1× s | 10× s | 50× s | 100× s | α(10×→100×) |\n")
+      sb.append("|---|---|---|---|---|---|\n")
+      annRows.foreach { case (q, t) =>
+        sb.append(s"| $q | ${fmt(t(1))} | ${fmt(t(10))} | ${fmt(t(50))} | ${fmt(t(100))} | ${alphaOf(t)} |\n")
+      }
+    }
     sb.append("\nDup-heavy dedup (output pairs grow quadratically in the\n")
     sb.append("duplication factor by construction — the operator's job;\n")
     sb.append("q_minhash_lsh and q_corpus_build join this ladder in r7: every\n")
@@ -519,12 +644,30 @@ object ScaleProbe {
     sb.append("was re-measured under the new shape. The r8 estimator numbers\n")
     sb.append("(195 s at 1×, 510 s at 2×, OOM at 10× on a 16 GiB heap) are the\n")
     sb.append("shape-comparison finding recorded in SCALE.md.\n\n")
-    sb.append("| query | 1× s | 2× s | 5× s | 10× s |\n")
+    sb.append("Cells are `seconds (output rows)`: for these operators OUTPUT is\n")
+    sb.append("the scale driver, so μs/row is the number to read, not α.\n")
+    sb.append("q_minhash_lsh reproduces the reference estimator's semantics —\n")
+    sb.append("ALL pairs sharing ≥1 of 16 single-minhash buckets that pass the\n")
+    sb.append("0.6 jaccard-distance threshold. On this corpus ~85% of ALL pairs\n")
+    sb.append("pass (106 457 of 124 750 at the sf0.01 gate), so its output —\n")
+    sb.append("and any exact implementation's floor — is Θ(n²); the ladder's\n")
+    sb.append("question is whether time/row stays flat. q_minhash_dedup is the\n")
+    sb.append("production dedup path (tight banding, 0.7 threshold, survivor\n")
+    sb.append("pairs only): output quadratic only in the DUP factor, corpus-\n")
+    sb.append("linear otherwise. q_corpus_build reduces to a bounded ≤15-row\n")
+    sb.append("report — time tracks the internal dedup; the report SHRINKS at\n")
+    sb.append("higher factors as dup clusters collapse whole sources.\n\n")
+    sb.append("| query | 1× s (rows) | 2× s (rows) | 5× s (rows) | 10× s (rows) |\n")
     sb.append("|---|---|---|---|---|\n")
+    def fmtRows(n: Long): String =
+      if (n >= 1000000L) f"${n / 1e6}%.1fM"
+      else if (n >= 1000L) f"${n / 1e3}%.0fk" else n.toString
+    def cell(v: (Double, Long)): String =
+      if (v._1.isNaN) "—" else s"${fmt(v._1)} (${fmtRows(v._2)})"
     (dupRows ++ dupMlRows).foreach { case (q, t) =>
-      sb.append(s"| $q | ${fmt(t(1))} | ${fmt(t(2))} | ${fmt(t(5))} | ${fmt(t(10))} |\n")
+      sb.append(s"| $q | ${cell(t(1))} | ${cell(t(2))} | ${cell(t(5))} | ${cell(t(10))} |\n")
     }
-    if (dupMlRows.exists(_._2.values.exists(_.isNaN)))
+    if (dupMlRows.exists(_._2.values.exists(_._1.isNaN)))
       sb.append("\nq_minhash_lsh rows marked — were cut at the probe deadline:\n" +
         "the Spark ML MinHashLSH estimator fit + approxSimilarityJoin costs\n" +
         "~200 s at 1× (vs seconds for the banded q_minhash_dedup production\n" +

@@ -45,12 +45,21 @@ object Ivf {
 
   /** Top-K cosine neighbors per probe, searching only the nProbe nearest
     * centroid partitions. `probes` carries (qIdCol, qVecCol); output is
-    * (qIdCol, cand_id, cos, rn) with rn 1..topK per probe. */
+    * (qIdCol, cand_id, cos, rn) with rn 1..topK per probe.
+    *
+    * The per-probe top-K is a BOUNDED partial aggregation
+    * ([[graft.functions.Aggregators.TopKScored]]), not a window: the window
+    * form (`row_number over (partition by q_id order by cos desc)`) shuffles
+    * EVERY scored candidate row — nProbe/k of the corpus × |probes| rows —
+    * where the aggregator shuffles one ≤topK buffer per map partition per
+    * probe, independent of corpus size. Ranking semantics identical
+    * (score desc, id asc tie-break), measured on the SCALEPROBE ANN ladder. */
   def search(index: Index, probes: DataFrame, idCol: String, vecCol: String,
              qIdCol: String = "q_id", qVecCol: String = "qv",
              topK: Int = 10, nProbe: Int = 4): DataFrame = {
     // squared L2 to each centroid as ||q||² + ||c||² − 2·q·c (single-pass
-    // kernels); deterministic centroid tie-break on id
+    // kernels); deterministic centroid tie-break on id. Window is fine HERE:
+    // probes × k centroid rows is config-scale, not corpus-scale.
     val d2 = ArrayOps.norm2sq(col(qVecCol)) + ArrayOps.norm2sq(col("cvec")) -
       lit(2.0) * ArrayOps.dot(col(qVecCol), col("cvec"))
     val wc = Window.partitionBy(qIdCol).orderBy(asc("__cd"), asc("centroid_id"))
@@ -59,12 +68,15 @@ object Ivf {
       .withColumn("__crn", row_number().over(wc))
       .filter(col("__crn") <= nProbe)
       .select(col(qIdCol), col(qVecCol), col("centroid_id"))
-    val w = Window.partitionBy(qIdCol).orderBy(desc("cos"), asc("cand_id"))
     broadcast(probed).join(index.assigned, Seq("centroid_id"))
       .filter(col(idCol) =!= col(qIdCol))
-      .select(col(qIdCol), col(idCol).as("cand_id"),
-        ArrayOps.cosine(col(qVecCol), col(vecCol)).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
+      .select(col(qIdCol), col(idCol).as("__cid"),
+        ArrayOps.cosine(col(qVecCol), col(vecCol)).as("__cos"))
+      .groupBy(qIdCol)
+      .agg(graft.functions.Aggregators.topKScored(topK)(
+        col("__cos"), col("__cid")).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(qIdCol), col("__t._2").as("cand_id"), col("__t._1").as("cos"),
+        (col("__pos") + 1).cast("int").as("rn"))
   }
 }

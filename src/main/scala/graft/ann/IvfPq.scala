@@ -47,12 +47,23 @@ object IvfPq {
     // corpus-side state: id → (centroid_id, codes); embeddings never read
     val cands = ivf.assigned.select(col(idCol).as("__id"), col("centroid_id"))
       .join(pq.codes, "__id")
-    val w = Window.partitionBy(qIdCol).orderBy(asc("approx_d2"), asc("cand_id"))
+    // bounded per-probe top-K partial aggregation, not a window — the
+    // window form shuffles every scored candidate (nProbe/k of the corpus
+    // per probe); this shuffles one ≤topK buffer per partition per probe.
+    // Distances rank ASCENDING, the aggregator keeps LARGEST scores, so it
+    // aggregates on the negated distance — the double sign-flip restores
+    // approx_d2 bit-exactly (IEEE negation is exact), ties break on the
+    // smaller cand_id exactly like the previous `asc("cand_id")`.
     broadcast(tabled).join(cands, Seq("centroid_id"))
       .filter(col("__id") =!= col(qIdCol))
-      .select(col(qIdCol), col("__id").as("cand_id"),
-        Pq.adcScoreUdf(pq)(col("__tab"), col("codes")).as("approx_d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
+      .select(col(qIdCol), col("__id").as("__cid"),
+        Pq.adcScoreUdf(pq)(col("__tab"), col("codes")).as("__d2"))
+      .groupBy(qIdCol)
+      .agg(graft.functions.Aggregators.topKScored(topK)(
+        -col("__d2"), col("__cid")).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(qIdCol), col("__t._2").as("cand_id"),
+        (-col("__t._1")).as("approx_d2"),
+        (col("__pos") + 1).cast("int").as("rn"))
   }
 }

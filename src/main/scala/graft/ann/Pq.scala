@@ -119,13 +119,21 @@ object Pq {
     * approx_d2, rn) with rn 1..topK, deterministic tie-break on cand_id. */
   def search(index: Index, probes: DataFrame, qIdCol: String = "q_id",
              qVecCol: String = "qv", topK: Int = 10): DataFrame = {
-    val w = Window.partitionBy(qIdCol).orderBy(asc("approx_d2"), asc("cand_id"))
+    // bounded per-probe top-K partial aggregation on the negated distance
+    // (the Ivf/IvfPq.search shape, r9): the window form shuffled every
+    // scored corpus row; the double sign-flip restores approx_d2
+    // bit-exactly and ties break on the smaller cand_id as before
     val tabled = probes
       .select(col(qIdCol), adcTableUdf(index)(col(qVecCol)).as("__tab"))
     broadcast(tabled).join(index.codes, col(qIdCol) =!= col("__id"))
-      .select(col(qIdCol), col("__id").as("cand_id"),
-        adcScoreUdf(index)(col("__tab"), col("codes")).as("approx_d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
+      .select(col(qIdCol), col("__id").as("__cid"),
+        adcScoreUdf(index)(col("__tab"), col("codes")).as("__d2"))
+      .groupBy(qIdCol)
+      .agg(graft.functions.Aggregators.topKScored(topK)(
+        -col("__d2"), col("__cid")).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(qIdCol), col("__t._2").as("cand_id"),
+        (-col("__t._1")).as("approx_d2"),
+        (col("__pos") + 1).cast("int").as("rn"))
   }
 }

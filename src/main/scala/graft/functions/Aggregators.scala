@@ -142,10 +142,34 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
   }
 
+  /** [[TopK]] keeping the scores: output is the (score, id) pairs ordered
+    * score desc / id asc — for consumers (ANN search) whose output schema
+    * carries the score next to the id. Same bounded buffer and merge. */
+  class TopKScored(k: Int) extends
+      Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val inner = new TopK(k)
+    def zero: Seq[(Double, Long)] = inner.zero
+    def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+      inner.reduce(buf, in)
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      inner.merge(a, b)
+    def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      buf.sortWith((x, y) => x._1 > y._1 || (x._1 == y._1 && x._2 < y._2))
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** Column function: ids of the k largest scores per group, score desc /
     * id asc. Input: struct(score double, id long). */
   def topK(k: Int): UserDefinedFunction =
     udaf(new TopK(k), ExpressionEncoder[(Double, Long)]())
+
+  /** Column function: (score, id) pairs of the k largest scores per group,
+    * score desc / id asc — [[topK]] with the score kept in the output. */
+  def topKScored(k: Int): UserDefinedFunction =
+    udaf(new TopKScored(k), ExpressionEncoder[(Double, Long)]())
 
   /** Column function: element-wise sum of an array<double> column. */
   def vectorSum: UserDefinedFunction =

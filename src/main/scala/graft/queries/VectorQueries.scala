@@ -326,12 +326,19 @@ object VectorQueries {
         .withColumn("bkt", SignLsh.bucket(col("v"), planes))
       val q = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bkt").as("qbkt"))
-      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+      // bounded per-probe top-3 partial aggregation (r9, the Ivf.search
+      // shape): the window twin in the oracle SQL ranks identically
+      // (cos desc, cand_id asc), but this plan shuffles one ≤3-row buffer
+      // per partition per probe instead of every bucket-mate score
       q.join(t, col("qbkt") === col("bkt") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("cand_id"),
           round(ArrayOps.cosine(col("qv"), col("v")), 6).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+        .groupBy("q_id")
+        .agg(graft.functions.Aggregators.topKScored(3)(
+          col("cos"), col("cand_id")).as("__top"))
+        .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+        .select(col("q_id"), col("__t._2").as("cand_id"),
+          col("__t._1").as("cos"), (col("__pos") + 1).cast("int").as("rn"))
         .orderBy("q_id", "rn")
     },
 

@@ -115,4 +115,22 @@ class AggregatorsSpec extends SparkSpec {
       .as[(String, Seq[Long])].collect().toMap
     assert(got == Map("a" -> Seq(11L, 10L), "b" -> Seq(12L)))
   }
+
+  test("topKScored equals the window form with scores kept (ANN search shape)") {
+    val df = spark.range(0, 5000).repartition(8)
+      .select((col("id") % 7).cast("string").as("k"),
+        (col("id") % 50).cast("double").as("score"),
+        col("id").as("id"))
+    val got = df.groupBy("k")
+      .agg(Aggregators.topKScored(5)(col("score"), col("id")).as("top"))
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("score").desc, col("id").asc)
+    val expected = df
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .orderBy("k", "rn")
+      .as[(String, Double, Long, Int)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+    assert(got == expected)
+  }
 }
