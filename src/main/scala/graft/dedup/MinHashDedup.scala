@@ -158,14 +158,19 @@ object MinHashDedup {
   }
 
   /** Exact-duplicate removal by content hash: keeps the smallest id per
-    * distinct text (deterministic, unlike a bare dropDuplicates). */
+    * distinct text (deterministic, unlike a bare dropDuplicates).
+    *
+    * min_by partial aggregation, not a window (r9): the window form
+    * shuffled EVERY row to its content-hash partition and sorted each
+    * group; min_by keeps one survivor row per hash per map partition, so
+    * the exchange carries ~distinct-text rows — on dup-heavy input (the
+    * whole point of dedup) that is the dup factor in shuffle savings.
+    * Ties impossible (ids unique), so the pick is deterministic. */
   def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol).cast("binary")))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns
+    df.groupBy(md5(col(textCol).cast("binary")).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** INCREMENTAL dedup: the rows of `batch` that duplicate nothing in

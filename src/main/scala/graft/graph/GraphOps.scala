@@ -302,7 +302,8 @@ object GraphOps {
     * one a pipeline should trust. Integer-exact throughout.
     *
     * Scale: per iteration, one join labels⋈edges + one two-key groupBy + one
-    * per-vertex argmax window — all keyed on vertex id (AQE reuses the
+    * per-vertex argmax AGGREGATION (min(struct(-c, label)) — partial
+    * map-side, no per-vertex sort) — all keyed on vertex id (AQE reuses the
     * partitioning); same localCheckpoint policy as [[pageRankDF]] for long
     * runs. */
   def labelPropagationDF(canonical: DataFrame, numIter: Int): DataFrame = {
@@ -315,12 +316,16 @@ object GraphOps {
         .join(labels.withColumnRenamed("vertex", "dst"), "dst")
         .groupBy(col("src").as("vertex"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("vertex")
-        .orderBy(col("c").desc, col("label"))
+      // per-vertex argmax as min(struct(-c, label)) — struct ordering gives
+      // (largest count, then smallest label), exactly the window's
+      // (c desc, label asc) rn=1 row, but as a partial-aggregating hash agg
+      // instead of a per-vertex sort: high-degree vertices never buffer
+      // their full neighbor-label census through an exchange (r9; c ≥ 1 so
+      // the negation cannot overflow)
       val upd = counts
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("vertex"), col("label").as("__new"))
+        .groupBy("vertex")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("__m"))
+        .select(col("vertex"), col("__m.label").as("__new"))
       labels = labels
         .join(upd, Seq("vertex"), "left")
         .select(col("vertex"), coalesce(col("__new"), col("label")).as("label"))

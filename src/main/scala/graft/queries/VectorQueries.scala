@@ -139,13 +139,18 @@ object VectorQueries {
         .repartition(s.sparkContext.defaultParallelism)
       val q = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+      // bounded per-probe top-5 partial aggregation (r9, the Ivf.search
+      // shape) over the ROUNDED cosine the oracle ranks on; the window twin
+      // lives in the SQL above with identical (cos desc, cand_id asc) ties
       broadcast(q).join(t, col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("cand_id"),
-          ArrayOps.cosine(col("qv"), col("v")).as("cos"))
-        .select(col("q_id"), col("cand_id"), round(col("cos"), 6).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+          round(ArrayOps.cosine(col("qv"), col("v")), 6).as("cos"))
+        .groupBy("q_id")
+        .agg(graft.functions.Aggregators.topKScored(5)(
+          col("cos"), col("cand_id")).as("__top"))
+        .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+        .select(col("q_id"), col("__t._2").as("cand_id"),
+          col("__t._1").as("cos"), (col("__pos") + 1).cast("int").as("rn"))
         .orderBy("q_id", "rn")
     },
 
