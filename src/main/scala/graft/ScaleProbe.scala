@@ -208,13 +208,14 @@ object ScaleProbe {
     def rowDone(q: String, factors: Seq[Int]): Boolean =
       factors.forall(f => ckpt.contains((q, f)))
     def factorsOf(q: String): Seq[Int] =
-      if (Seq("q_minhash_dedup", "q_dedup_incremental").contains(q)) dupHeavyFactors
+      if (Seq("q_minhash_dedup", "q_dedup_incremental",
+              "q_allpairs_jaccard").contains(q)) dupHeavyFactors
       else linearFactors // events/graph share the linear 1/10/50/100 grid
 
     // warm the io/codegen paths so factor-1 isn't charged first-touch cost
     // (skipped for ops fully replayed from the checkpoint)
     (linearOps ++ eventsOps ++ graphOps ++
-        Seq("q_minhash_dedup", "q_dedup_incremental"))
+        Seq("q_minhash_dedup", "q_dedup_incremental", "q_allpairs_jaccard"))
       .filter(q => only.forall(_.contains(q)))
       .filterNot(q => rowDone(q, factorsOf(q)))
       .foreach(q =>
@@ -228,7 +229,7 @@ object ScaleProbe {
     // a near-dup of its original, so like q_minhash_dedup its verified-match
     // OUTPUT grows with the duplication factor — probed on the dup-heavy
     // ladder, not the linear one.
-    val dupRows = Seq("q_minhash_dedup", "q_dedup_incremental")
+    val dupRows = Seq("q_minhash_dedup", "q_dedup_incremental", "q_allpairs_jaccard")
       .filter(q => only.forall(_.contains(q))).map { q =>
       q -> dupHeavyFactors.map { f =>
         val v = checkpointed(q, f)(timeDf(SparkEntry.queries(q)(spark, _), dirFor(f)))
@@ -674,7 +675,12 @@ object ScaleProbe {
     sb.append("question is whether time/row stays flat. q_minhash_dedup is the\n")
     sb.append("production dedup path (tight banding, 0.7 threshold, survivor\n")
     sb.append("pairs only): output quadratic only in the DUP factor, corpus-\n")
-    sb.append("linear otherwise. q_corpus_build reduces to a bounded ≤15-row\n")
+    sb.append("linear otherwise; q_allpairs_jaccard (r9) is its EXACT\n")
+    sb.append("PPJoin/AllPairs twin — the same τ=0.7 answer set with no\n")
+    sb.append("banding-recall caveat, via rarest-first prefix-token join —\n")
+    sb.append("so their cells compare an approximate and an exact algorithm\n")
+    sb.append("on identical semantics. q_corpus_build reduces\n")
+    sb.append("to a bounded ≤15-row\n")
     sb.append("report — time tracks the internal dedup; the report SHRINKS at\n")
     sb.append("higher factors as dup clusters collapse whole sources.\n\n")
     sb.append("| query | 1× s (rows) | 2× s (rows) | 5× s (rows) | 10× s (rows) |\n")

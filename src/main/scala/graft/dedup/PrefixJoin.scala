@@ -1,0 +1,109 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join via prefix filtering — the AllPairs /
+  * PPJoin family (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity
+  * Search", WWW 2007; Xiao, Wang, Lin & Yu, "Efficient Similarity Joins for
+  * Near Duplicate Detection", WWW 2008): every pair of documents with
+  * shingle-set Jaccard ≥ τ, with NO sampling and NO LSH recall risk. The
+  * deterministic complement to [[MinHashDedup]]: banding misses a true pair
+  * with probability (1−s^r)^b > 0; prefix filtering misses NONE — each
+  * filter below is provably complete, and the exact verify re-judges every
+  * candidate, so output = the mathematical answer set.
+  *
+  * Filter chain:
+  *  - SIZE: J(a,b) ≥ τ ⇒ τ·|a| ≤ |b| ≤ |a|/τ (|∩| ≤ min, |∪| ≥ max).
+  *  - PREFIX: order the shingle universe by ascending document frequency
+  *    (rarest first, ties by shingle value — one TOTAL order shared by all
+  *    documents); keep each document's first |d| − ⌈τ·|d|⌉ + 1 tokens in
+  *    that order. J ≥ τ with the size filter gives |∩| ≥ ⌈τ·|d|⌉ on each
+  *    side, and a document whose whole prefix avoids the intersection has
+  *    only ⌈τ·|d|⌉ − 1 slots left for it — contradiction — so every
+  *    qualifying pair shares ≥ 1 token lying in BOTH prefixes, and the
+  *    prefix-token equi-join finds it.
+  *  - VERIFY: exact |∩| by one [[graft.expressions.SortedLongInterCount]]
+  *    merge over the full value-sorted 64-bit shingle-id sets; Jaccard from
+  *    (|∩|, |a|, |b|) scalars. 64-bit ids make cross-shingle hash
+  *    collisions ~2⁻⁶⁴ (the q_minhash_dedup verify argument).
+  *
+  * Floating-point discipline: every fp comparison in the filters carries a
+  * 1e-9 slack in the OVER-KEEPING direction (a boundary pair is never
+  * dropped by ulp noise — ⌈0.1·10⌉ must not become 2 — only re-judged by
+  * the exact verify), so fp cannot cost completeness, only a few spurious
+  * candidates.
+  *
+  * 100 TB shape: three corpus-token-scale shuffles build the ordered sets
+  * (df count, df re-join, per-doc collect) — all LINEAR scans/aggregations;
+  * the candidate join is an equi-join on prefix tokens, whose buckets are
+  * each document's RAREST tokens by construction — the frequent-token hot
+  * buckets that would blow up an unfiltered inverted index never enter a
+  * prefix unless a document has nothing rarer, which is exactly when they
+  * carry signal. Verify payloads re-attach by id join for survivors only
+  * (the MinHashDedup discipline: wide arrays never ride the candidate
+  * shuffle).
+  */
+object PrefixJoin {
+
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.7)
+
+  /** All pairs (d1 < d2) with shingle Jaccard ≥ threshold, as
+    * (d1, d2, jac) with jac in percent rounded to 4 (threshold applied to
+    * the unrounded ratio) — the [[MinHashDedup.nearDupPairs]] output
+    * contract, exact instead of banded. */
+  def allPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
+    val tau = cfg.jaccardThreshold
+    require(tau > 0.0 && tau <= 1.0, s"threshold in (0,1]: $tau")
+    val sk = df
+      .select(col(cfg.idCol).as("__id"),
+        array_sort(MinHashDedup.shingleIds(col(cfg.textCol), cfg.shingleSize))
+          .as("__sids"))
+      .withColumn("__n", size(col("__sids")))
+      .filter(col("__n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = sk.select(col("__id"), col("__n"), explode(col("__sids")).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // per-document tokens in the global (df asc, token asc) order; prefix =
+    // first n − ⌈τ·n⌉ + 1 of them (1e-9 under the product: ⌈⌉ may only err
+    // toward a LONGER prefix)
+    val plen = (col("__n") - ceil(lit(tau) * col("__n") - lit(1e-9)) + 1)
+      .cast("int")
+    val prefixes = toks.join(dfreq, "__t")
+      .groupBy("__id", "__n")
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
+      .select(col("__id"), col("__n"),
+        explode(slice(transform(col("__ord"), x => x.getField("__t")),
+          lit(1), greatest(plen, lit(1)))).as("__t"))
+    val a = prefixes.select(col("__id").as("__a"), col("__n").as("__na"),
+      col("__t").as("__ta"))
+    val b = prefixes.select(col("__id").as("__b"), col("__n").as("__nb"),
+      col("__t").as("__tb"))
+    val cand = a.join(b,
+        col("__ta") === col("__tb") && col("__a") < col("__b") &&
+        col("__na") * lit(tau) <= col("__nb").cast("double") + lit(1e-9) &&
+        col("__nb") * lit(tau) <= col("__na").cast("double") + lit(1e-9))
+      .select(col("__a"), col("__b"))
+      .dropDuplicates("__a", "__b")
+    val sets = sk.select(col("__id"), col("__sids"), col("__n"))
+    val inter = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.SortedLongInterCount(
+        org.apache.spark.sql.graft.bridge.expression(col("__s1")),
+        org.apache.spark.sql.graft.bridge.expression(col("__s2"))))
+    cand
+      .join(sets.select(col("__id").as("__a"), col("__sids").as("__s1"),
+        col("__n").as("__n1")), "__a")
+      .join(sets.select(col("__id").as("__b"), col("__sids").as("__s2"),
+        col("__n").as("__n2")), "__b")
+      .withColumn("__i", inter)
+      .withColumn("__jac_raw",
+        col("__i") * lit(100.0) / (col("__n1") + col("__n2") - col("__i")))
+      .filter(col("__jac_raw") >= lit(tau * 100.0))
+      .select(col("__a").as("d1"), col("__b").as("d2"),
+        round(col("__jac_raw"), 4).as("jac"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.candidates.{CandidateConfig, Candidates}
 import graft.cluster.Clustering
-import graft.dedup.{MinHashDedup, SimHash}
+import graft.dedup.{MinHashDedup, PrefixJoin, SimHash}
 import graft.io.Tables
 import graft.linalg.Dimsum
 import graft.lsh.LshJoins
@@ -624,6 +624,31 @@ object MlQueries {
       ORDER BY d1, d2""") { (s, d) =>
       MinHashDedup.nearDupPairs(spread(Tables.documents(s, d)),
         MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.7))
+        .orderBy("d1", "d2")
+    },
+
+    // ----- extension: EXACT set-similarity self-join (AllPairs/PPJoin
+    // prefix filtering — Bayardo et al. WWW'07): the same answer set as the
+    // exact all-pairs oracle, computed WITHOUT all-pairs — size filter +
+    // rarest-first prefix-token equi-join + merge-verify, every filter
+    // provably complete, so unlike q_minhash_dedup the oracle match needs
+    // NO banding-recall argument. PrefixJoinSpec holds the independent
+    // driver brute-force parity incl. low-τ prefix arithmetic.
+    "q_allpairs_jaccard" -> QueryDef.sql("""
+      WITH t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks)-1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+              FROM documents))
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)*100.0
+                   / len(list_distinct(list_concat(a.s,b.s))), 4) AS jac
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)*100.0
+            / len(list_distinct(list_concat(a.s,b.s))) >= 70.0
+      ORDER BY d1, d2""") { (s, d) =>
+      PrefixJoin.allPairs(spread(Tables.documents(s, d)),
+        PrefixJoin.Config(shingleSize = 3, jaccardThreshold = 0.7))
         .orderBy("d1", "d2")
     },
 

@@ -1,0 +1,74 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PrefixJoin = the AllPairs/PPJoin exact set-similarity join. The spec's
+  * oracle is an INDEPENDENT driver-side brute force over Scala Sets (no
+  * engine kernels, no prefix math) — completeness of the size+prefix filter
+  * chain and correctness of the merge-verify are both on trial. */
+class PrefixJoinSpec extends SparkSpec {
+
+  /** (id → shingle-id set) via plain Scala — independent of the engine's
+    * column expressions except tokenization, which is shared vocabulary. */
+  private def bruteSets(w: Int): Map[Long, Set[Long]] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        MinHashDedup.shingleIds(col("text"), w).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+
+  private def brutePairs(sets: Map[Long, Set[Long]], tau: Double): Set[(Long, Long, Double)] = {
+    val ids = sets.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      if a.nonEmpty && b.nonEmpty
+      inter = (a intersect b).size
+      jac = inter.toDouble * 100.0 / (a.size + b.size - inter)
+      if jac >= tau * 100.0
+    } yield (ids(i), ids(j),
+      BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+  }
+
+  private def enginePairs(tau: Double, w: Int = 3): Set[(Long, Long, Double)] =
+    PrefixJoin.allPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        PrefixJoin.Config(shingleSize = w, jaccardThreshold = tau))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("exact parity with driver brute force at tau=0.7") {
+    val sets = bruteSets(3)
+    assert(enginePairs(0.7) == brutePairs(sets, 0.7))
+  }
+
+  test("exact parity at a low threshold (prefix math stress, tau=0.25)") {
+    // low tau makes prefixes long and the ceil() boundary arithmetic the
+    // failure surface; output must STILL be the exact answer set
+    val sets = bruteSets(3)
+    val got = enginePairs(0.25)
+    val want = brutePairs(sets, 0.25)
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("tau=1.0 degenerates to exact-duplicate sets (prefix length 1)") {
+    val sets = bruteSets(3)
+    assert(enginePairs(1.0) == brutePairs(sets, 1.0))
+  }
+
+  test("finds every pair the banded MinHash join reports (superset proof)") {
+    // MinHashDedup.nearDupPairs is approximate-by-banding with the same
+    // exact verify: its survivors are true near-dups, so the exact join
+    // must report every one of them (equality would additionally require
+    // banding recall = 1, which is not guaranteed)
+    val banded = MinHashDedup.nearDupPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.7))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = enginePairs(0.7).map(t => (t._1, t._2))
+    assert(banded.subsetOf(exact))
+  }
+}
