@@ -31,6 +31,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** ANN per-probe top-k must be the bounded TopKScored partial
+    * aggregation, not a window: a Window node here means every scored
+    * candidate row rides the exchange again (the corpus-scale shuffle the
+    * r9 rewrite removed). The centroid-routing window inside q_ann_ivf is
+    * probes x k (config-scale) and allowed; the scoring side is what must
+    * not regress — q_cosine_topk and q_ann_lsh plans carry NO window at
+    * all, and every ANN plan must show a partial ObjectHashAggregate. */
+  test("ANN top-k is partial aggregation, not a corpus-scale window") {
+    for (q <- Seq("q_cosine_topk", "q_ann_lsh")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q ranks through a window again")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q lost the TopKScored partial aggregation")
+    }
+    assert(planOf("q_ann_ivf").contains("ObjectHashAggregate"),
+      "q_ann_ivf lost the TopKScored partial aggregation")
+    // exact prefix-filtered set-similarity join: equi-join, no cartesian
+    val pj = planOf("q_allpairs_jaccard")
+    assert(!pj.contains("CartesianProduct"),
+      "q_allpairs_jaccard plans a cartesian product")
+  }
+
   /** Winnowing fingerprint extraction must stay inside whole-stage codegen
     * (WinnowPack is an interpreted-fallback-prone custom expression; a
     * regression here costs the map-side of the whole dedup family). */
