@@ -106,4 +106,72 @@ object PrefixJoin {
       .select(col("__a").as("d1"), col("__b").as("d2"),
         round(col("__jac_raw"), 4).as("jac"))
   }
+
+  /** Batch-vs-corpus EXACT incremental dedup — the rows of `batch` that
+    * duplicate nothing in `corpus`, exactly (same text) or nearly (shingle
+    * Jaccard ≥ threshold), with the [[MinHashDedup.dedupAgainst]] contract
+    * but zero recall risk: a certifying ingest gate rather than a
+    * probabilistic one.
+    *
+    * The prefix order is CORPUS document frequency (batch-only tokens get
+    * df 0 = rarest). The prefix theorem needs only A shared total order —
+    * the O-smallest common token of a qualifying pair sits within both
+    * prefixes under any order — so using the corpus's own distribution is
+    * sound AND operational: an ingest loop computes the df table once per
+    * corpus generation and reuses it for every arriving batch; batch
+    * contents never shift the order. */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame,
+                   cfg: Config = Config()): DataFrame = {
+    val tau = cfg.jaccardThreshold
+    require(tau > 0.0 && tau <= 1.0, s"threshold in (0,1]: $tau")
+    val exactSurvivors = batch.join(
+      corpus.select(md5(col(cfg.textCol).cast("binary")).as("__h")).distinct(),
+      md5(col(cfg.textCol).cast("binary")) === col("__h"), "left_anti")
+    def sk(df: DataFrame) = df
+      .select(col(cfg.idCol).as("__id"),
+        array_sort(MinHashDedup.shingleIds(col(cfg.textCol), cfg.shingleSize))
+          .as("__sids"))
+      .withColumn("__n", size(col("__sids")))
+      .filter(col("__n") > 0)
+    val cs = sk(corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = sk(exactSurvivors).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = cs.select(explode(col("__sids")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    val plen = (col("__n") - ceil(lit(tau) * col("__n") - lit(1e-9)) + 1)
+      .cast("int")
+    def prefixes(s: DataFrame) =
+      s.select(col("__id"), col("__n"), explode(col("__sids")).as("__t"))
+        .join(dfreq, Seq("__t"), "left")
+        .withColumn("__df", coalesce(col("__df"), lit(0L)))
+        .groupBy("__id", "__n")
+        .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
+        .select(col("__id"), col("__n"),
+          explode(slice(transform(col("__ord"), x => x.getField("__t")),
+            lit(1), greatest(plen, lit(1)))).as("__t"))
+    val bp = prefixes(bs).select(col("__id").as("__b"), col("__n").as("__nb"),
+      col("__t").as("__tb"))
+    val cp = prefixes(cs).select(col("__id").as("__c"), col("__n").as("__nc"),
+      col("__t").as("__tc"))
+    val cand = bp.join(cp,
+        col("__tb") === col("__tc") &&
+        col("__nb") * lit(tau) <= col("__nc").cast("double") + lit(1e-9) &&
+        col("__nc") * lit(tau) <= col("__nb").cast("double") + lit(1e-9))
+      .select(col("__b"), col("__c"))
+      .dropDuplicates("__b", "__c")
+    val inter = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.SortedLongInterCount(
+        org.apache.spark.sql.graft.bridge.expression(col("__s1")),
+        org.apache.spark.sql.graft.bridge.expression(col("__s2"))))
+    val dupIds = cand
+      .join(bs.select(col("__id").as("__b"), col("__sids").as("__s1"),
+        col("__n").as("__n1")), "__b")
+      .join(cs.select(col("__id").as("__c"), col("__sids").as("__s2"),
+        col("__n").as("__n2")), "__c")
+      .withColumn("__i", inter)
+      .filter(col("__i") * lit(100.0) / (col("__n1") + col("__n2") - col("__i"))
+        >= lit(tau * 100.0))
+      .select(col("__b")).distinct()
+    exactSurvivors.join(dupIds,
+      exactSurvivors(cfg.idCol) === dupIds("__b"), "left_anti")
+  }
 }

@@ -715,6 +715,36 @@ object MlQueries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // ----- extension: EXACT incremental dedup — q_dedup_incremental's
+    // batch-vs-corpus shape on the PrefixJoin path: same oracle, but where
+    // the banded form's oracle match rides a banding-recall argument, this
+    // one is exact-for-exact (prefix filtering is complete under the
+    // corpus-df order; batch-only tokens rank rarest). The corpus df table
+    // is the once-per-generation artifact an ingest loop reuses per batch.
+    "q_dedup_incremental_exact" -> QueryDef.sql("""
+      WITH docs AS (SELECT doc_id, text,
+          list_distinct(list_transform(range(1, len(toks)-1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS toks
+              FROM documents)),
+      b AS (SELECT * FROM docs WHERE doc_id % 4 = 0),
+      c AS (SELECT * FROM docs WHERE doc_id % 4 <> 0),
+      exact_dup AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON c.text = b.text),
+      near_dup AS (SELECT DISTINCT b.doc_id FROM b JOIN c
+                   ON CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)*100.0
+                      / len(list_distinct(list_concat(b.s, c.s))) >= 70.0)
+      SELECT doc_id FROM b
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
+        AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+      ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      PrefixJoin.dedupAgainst(
+          spread(docs.filter(col("doc_id") % 4 === 0)),
+          spread(docs.filter(col("doc_id") % 4 =!= 0)),
+          PrefixJoin.Config(shingleSize = 3, jaccardThreshold = 0.7))
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // ----- extension: SimHash near-dup detection. Gate variant hashes tokens
     // with md5 (SimHash.md5Hash60) so the oracle reproduces the signatures
     // bit-for-bit in SQL; the chunk-join candidate step has ZERO false

@@ -59,6 +59,31 @@ class PrefixJoinSpec extends SparkSpec {
     assert(enginePairs(1.0) == brutePairs(sets, 1.0))
   }
 
+  test("dedupAgainst survivors match driver brute force (incremental shape)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sets = bruteSets(3)
+    val batchIds = texts.keys.filter(_ % 4 == 0).toSeq.sorted
+    val corpusIds = texts.keys.filter(_ % 4 != 0).toSet
+    val want = batchIds.filter { b =>
+      !corpusIds.exists(c => texts(c) == texts(b)) &&
+      !corpusIds.exists { c =>
+        val (x, y) = (sets(b), sets(c))
+        x.nonEmpty && y.nonEmpty && {
+          val i = (x intersect y).size
+          i.toDouble * 100.0 / (x.size + y.size - i) >= 70.0
+        }
+      }
+    }.toSet
+    val got = PrefixJoin.dedupAgainst(
+        docs.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 4 =!= 0),
+        PrefixJoin.Config(shingleSize = 3, jaccardThreshold = 0.7))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"got ${got.size} survivors, want ${want.size}")
+  }
+
   test("finds every pair the banded MinHash join reports (superset proof)") {
     // MinHashDedup.nearDupPairs is approximate-by-banding with the same
     // exact verify: its survivors are true near-dups, so the exact join
