@@ -684,6 +684,38 @@ object MlQueries {
         .orderBy("survivor")
     },
 
+    // ----- extension: CERTIFIED dedup clusters — q_dedup_clusters' exact
+    // twin: edges from PrefixJoin.allPairs (complete, no banding recall
+    // term), so the connected components and their min-id survivors are
+    // certifiably THE transitive-duplicate clusters, not almost-all of
+    // them. Same recursive-reachability oracle.
+    "q_dedup_clusters_exact" -> QueryDef.sql("""
+      WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks)-1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+              FROM documents)),
+      e AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)*100.0
+                  / len(list_distinct(list_concat(a.s,b.s))) >= 70.0),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      reach AS (
+        SELECT src AS vertex, src AS root FROM sym
+        UNION
+        SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.vertex),
+      comp AS (SELECT vertex, MIN(root) AS survivor FROM reach GROUP BY vertex)
+      SELECT survivor, COUNT(*) AS n_members
+      FROM comp GROUP BY survivor ORDER BY survivor""") { (s, d) =>
+      val pairs = PrefixJoin.allPairs(spread(Tables.documents(s, d)),
+        PrefixJoin.Config(shingleSize = 3, jaccardThreshold = 0.7))
+      graft.graph.GraphOps.connectedComponents(
+          pairs.select(col("d1").as("src"), col("d2").as("dst")))
+        .groupBy(col("component").as("survivor"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("survivor")
+    },
+
     // ----- extension: INCREMENTAL dedup — the arriving-batch-vs-standing-
     // corpus shape (docs with doc_id % 4 = 0 play the batch; the rest the
     // corpus). A real 100 TB pipeline never re-dedups the corpus against
