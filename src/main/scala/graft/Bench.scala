@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions.lit
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR at local[32] and prints ONE JSON line
   * {"metric":...,"value":N,"unit":"sec","queries":{name:sec,...},"sf":...}.
+  * The line is kept under the harness's ~2000-char stdout tail window (the
+  * r9 artifact regressed to parsed:null when extra per-query maps pushed it
+  * past that); the full in-set/isolated/normalized evidence goes to the
+  * BENCH_DETAIL.json sidecar (SPARK_GRAFT_BENCH_DETAIL to relocate).
   *
   * The headline set spans every module (relational, text, events/streaming,
   * vectors/ANN, ML, graph, dedup, aggregators) — one representative per
@@ -205,6 +209,41 @@ object Bench {
     m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
 
+  /** The harness that collects BENCH_r{N}.json keeps only the LAST ~2000
+    * characters of stdout and parses the {"metric":...} line out of that
+    * window. Round 9's line carried four per-query maps (~2.3 KB), so the
+    * window started MID-LINE and the artifact came back parsed:null even
+    * with rc=0. The contract line therefore stays compact (one canonical
+    * per-query map); the full evidence (in-set vs fresh-JVM-isolated vs
+    * host-normalized seconds) goes to this sidecar file, committed per round. */
+  private def writeDetail(json: String): Unit = try {
+    val p = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] detail written to ${p.toAbsolutePath}")
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] detail write failed (continuing): ${e.getMessage}")
+  }
+
+  /** The isolate-mode driver-contract line: compact on purpose — one
+    * canonical per-query map plus scalars. BenchSpec asserts the worst-case
+    * rendering of the full headline set fits the tail-window budget. */
+  private[graft] def contractLine(total: Double, canonical: Seq[(String, Double)],
+      isoFailedField: String, familySize: Int, calib: Double,
+      sfDir: String): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(canonical)}%s$isoFailedField%s,"isolation":"fresh-jvm-family-$familySize","calib":$calib%.3f,"sf":"$sfDir%s"}"""
+
+  /** Guard the driver-contract budget at print time: if a future headline-set
+    * widening pushes the line past the harness tail window, shout on stderr —
+    * the artifact would silently regress to parsed:null otherwise. */
+  private def printContract(line: String): Unit = {
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: contract line ${line.length} chars " +
+        "exceeds the ~2000-char harness tail window — trim the headline set " +
+        "or move fields to BENCH_DETAIL.json")
+    println(line)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(
@@ -310,10 +349,9 @@ object Bench {
     if (!isolate) {
       val total = results.map(_._2).sum
       val calibField = if (isChild) "" else f""","calib":$calib%.3f"""
-      val normField =
-        if (calib <= 0.0) ""
-        else s""","queries_normalized":${jsonMap(results.map { case (k, v) => k -> v / calib })}"""
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)}%s$calibField%s$normField%s,"sf":"$sfDir%s"}""")
+      if (!isChild && calib > 0.0) writeDetail(
+        s"""{"queries_in_set":${jsonMap(results)},"queries_normalized":${jsonMap(results.map { case (k, v) => k -> v / calib })},"calib":$calib,"sf":"$sfDir"}""")
+      printContract(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)}%s$calibField%s,"sf":"$sfDir%s"}""")
       spark.stop()
       return
     }
@@ -338,12 +376,16 @@ object Bench {
       if (isoFailed.isEmpty) ""
       else isoFailed.map("\"" + _ + "\"")
         .mkString(""","isolated_failed":[""", ",", "]")
-    // Host-epoch-normalized seconds (sec / calib): makes the next throughput
-    // epoch shift self-evident in the artifact (VERDICT r8 #8).
+    // Host-epoch-normalized seconds (sec / calib) make the next throughput
+    // epoch shift self-evident (VERDICT r8 #8) — but the raw maps live in the
+    // sidecar, NOT the contract line, which must fit the harness tail window.
     val normField =
       if (calib <= 0.0) ""
       else s""","queries_normalized":${jsonMap(canonical.map { case (k, v) => k -> v / calib })}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(canonical)}%s,"queries_in_set":${jsonMap(results)}%s,"queries_isolated":${jsonMap(isoSeq)}%s$isoFailedField%s$normField%s,"isolation":"fresh-jvm-family-$familySize","calib":$calib%.3f,"sf":"$sfDir%s"}""")
+    writeDetail(
+      s"""{"queries":${jsonMap(canonical)},"queries_in_set":${jsonMap(results)},"queries_isolated":${jsonMap(isoSeq)}$isoFailedField$normField,"isolation":"fresh-jvm-family-$familySize","calib":$calib,"sf":"$sfDir"}""")
+    printContract(contractLine(total, canonical, isoFailedField, familySize,
+      calib, sfDir))
     spark.stop()
   }
 }

@@ -379,8 +379,11 @@ object ScaleProbe {
     // search-only twin: the index is built and PERSISTED outside the timed
     // lambda — the production shape, where one build amortizes across many
     // probe batches; the build+search rows above price the fit in
+    // same filter direction as annRows (label starts with the filter string) —
+    // the r9 cut had the prefix test inverted, so passing the row's own full
+    // label silently skipped it (ADVICE r9)
     val annSearchRows =
-      if (only.forall(_.exists("q_ann_ivf".startsWith)))
+      if (only.forall(_.exists(e => "q_ann_ivf(k16,p4 search-only)".startsWith(e))))
         Seq("q_ann_ivf(k16,p4 search-only)" -> linearFactors.map { f =>
           f -> checkpointed("q_ann_ivf(k16,p4 search-only)", f) {
             val t = annCorpus(dirFor(f))
@@ -677,14 +680,17 @@ object ScaleProbe {
     sb.append("pairs only): output quadratic only in the DUP factor, corpus-\n")
     sb.append("linear otherwise; q_allpairs_jaccard (r9) is its EXACT\n")
     sb.append("PPJoin/AllPairs twin — the same τ=0.7 answer set with no\n")
-    sb.append("banding-recall caveat, via rarest-first prefix-token join —\n")
-    sb.append("so their cells compare an approximate and an exact algorithm\n")
-    sb.append("on identical semantics. Read the rows columns against each\n")
-    sb.append("other: at 10× the exact join reports 250 500 pairs to the\n")
-    sb.append("banded join's 250 497 — THREE true near-dup pairs measurably\n")
-    sb.append("missed by 16-band/64-hash MinHash (recall 99.9988%), caught\n")
-    sb.append("by the complete prefix filter at ~2.9× the wall time. That is\n")
-    sb.append("the quantified price/risk trade between the two dedup paths.\n")
+    sb.append("banding-recall caveat, via rarest-first prefix-token join\n")
+    sb.append("plus (r10) the PPJoin positional filter, which cut candidate\n")
+    sb.append("shuffle bytes ~28% and 10× wall time 7.96→5.78 s with the\n")
+    sb.append("output identical — so their cells compare an approximate and\n")
+    sb.append("an exact algorithm on identical semantics. Read the rows\n")
+    sb.append("columns against each other: at 10× the exact join reports\n")
+    sb.append("250 500 pairs to the banded join's 250 497 — THREE true\n")
+    sb.append("near-dup pairs measurably missed by 16-band/64-hash MinHash\n")
+    sb.append("(recall 99.9988%), caught by the complete prefix+positional\n")
+    sb.append("filter at ~2.1× the wall time. That is the quantified\n")
+    sb.append("price/risk trade between the two dedup paths.\n")
     sb.append("q_corpus_build reduces\n")
     sb.append("to a bounded ≤15-row\n")
     sb.append("report — time tracks the internal dedup; the report SHRINKS at\n")

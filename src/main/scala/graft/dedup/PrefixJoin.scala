@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   *    only ⌈τ·|d|⌉ − 1 slots left for it — contradiction — so every
   *    qualifying pair shares ≥ 1 token lying in BOTH prefixes, and the
   *    prefix-token equi-join finds it.
+  *  - POSITIONAL (PPJoin, Xiao et al. §3.2): a match on token t at 1-based
+  *    global-order positions (i, j) bounds the overlap from above —
+  *    |∩| ≤ 1 + min(|a| − i, |b| − j), because tokens before the match
+  *    positions can only be shared if an EARLIER matched row exists, and
+  *    that row's own bound is looser. J ≥ τ needs
+  *    |∩| ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉, so a matched row whose bound falls short
+  *    is dropped BEFORE the pair-dedup shuffle and the verify set joins.
+  *    Completeness: a qualifying pair's FIRST shared token in the global
+  *    order lies in both prefixes (prefix theorem) and yields the pair's
+  *    LOOSEST bound, which a true-qualifying pair always passes — the pair
+  *    survives via that row even if later matched rows are filtered.
   *  - VERIFY: exact |∩| by one [[graft.expressions.SortedLongInterCount]]
   *    merge over the full value-sorted 64-bit shingle-id sets; Jaccard from
   *    (|∩|, |a|, |b|) scalars. 64-bit ids make cross-shingle hash
@@ -43,6 +54,16 @@ import org.apache.spark.sql.functions._
   * carry signal. Verify payloads re-attach by id join for survivors only
   * (the MinHashDedup discipline: wide arrays never ride the candidate
   * shuffle).
+  *
+  * Cache lifecycle (caller-owned, the MinHashDedup convention): each call
+  * persists its bounded sketch frame (ids + sorted shingle-id sets — no raw
+  * text) at MEMORY_AND_DISK because four plan branches reuse it and Catalyst
+  * cannot share an uncached subplan across them. The returned DataFrame
+  * still references that cache, so the operator cannot unpersist it before
+  * the caller materializes; a long-lived session issuing many calls should
+  * `spark.catalog.clearCache()` (or unpersist via the UI-listed RDDs) after
+  * consuming each result. Blocks are spill-safe — the leak costs storage
+  * memory/disk, never correctness (ADVICE r9).
   */
 object PrefixJoin {
 
@@ -73,20 +94,31 @@ object PrefixJoin {
     // toward a LONGER prefix)
     val plen = (col("__n") - ceil(lit(tau) * col("__n") - lit(1e-9)) + 1)
       .cast("int")
+    // posexplode: 0-based offset of the token within the (df asc, token asc)
+    // global order — the position the PPJoin bound needs (prefix positions
+    // ARE full-order positions: the prefix is the order's first plen tokens)
     val prefixes = toks.join(dfreq, "__t")
       .groupBy("__id", "__n")
       .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
       .select(col("__id"), col("__n"),
-        explode(slice(transform(col("__ord"), x => x.getField("__t")),
-          lit(1), greatest(plen, lit(1)))).as("__t"))
+        posexplode(slice(transform(col("__ord"), x => x.getField("__t")),
+          lit(1), greatest(plen, lit(1)))).as(Seq("__p0", "__t")))
+      .select(col("__id"), col("__n"), (col("__p0") + 1).as("__p"), col("__t"))
     val a = prefixes.select(col("__id").as("__a"), col("__n").as("__na"),
-      col("__t").as("__ta"))
+      col("__p").as("__pa"), col("__t").as("__ta"))
     val b = prefixes.select(col("__id").as("__b"), col("__n").as("__nb"),
-      col("__t").as("__tb"))
+      col("__p").as("__pb"), col("__t").as("__tb"))
+    // PPJoin positional filter: overlap needed α = ⌈τ/(1+τ)·(na+nb)⌉ (1e-9
+    // under the product — ⌈⌉ may only err toward a SMALLER α = over-keeping);
+    // this matched row bounds |∩| ≤ 1 + min(na − pa, nb − pb)
+    val alpha = ceil(lit(tau / (1.0 + tau)) *
+      (col("__na") + col("__nb")) - lit(1e-9))
     val cand = a.join(b,
         col("__ta") === col("__tb") && col("__a") < col("__b") &&
         col("__na") * lit(tau) <= col("__nb").cast("double") + lit(1e-9) &&
-        col("__nb") * lit(tau) <= col("__na").cast("double") + lit(1e-9))
+        col("__nb") * lit(tau) <= col("__na").cast("double") + lit(1e-9) &&
+        lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb"))
+          >= alpha)
       .select(col("__a"), col("__b"))
       .dropDuplicates("__a", "__b")
     val sets = sk.select(col("__id"), col("__sids"), col("__n"))
@@ -146,16 +178,23 @@ object PrefixJoin {
         .groupBy("__id", "__n")
         .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
         .select(col("__id"), col("__n"),
-          explode(slice(transform(col("__ord"), x => x.getField("__t")),
-            lit(1), greatest(plen, lit(1)))).as("__t"))
+          posexplode(slice(transform(col("__ord"), x => x.getField("__t")),
+            lit(1), greatest(plen, lit(1)))).as(Seq("__p0", "__t")))
+        .select(col("__id"), col("__n"), (col("__p0") + 1).as("__p"), col("__t"))
     val bp = prefixes(bs).select(col("__id").as("__b"), col("__n").as("__nb"),
-      col("__t").as("__tb"))
+      col("__p").as("__pb"), col("__t").as("__tb"))
     val cp = prefixes(cs).select(col("__id").as("__c"), col("__n").as("__nc"),
-      col("__t").as("__tc"))
+      col("__p").as("__pc"), col("__t").as("__tc"))
+    // same PPJoin positional bound as allPairs (doc comment there); both
+    // sides' positions come from the one corpus-df total order
+    val alpha = ceil(lit(tau / (1.0 + tau)) *
+      (col("__nb") + col("__nc")) - lit(1e-9))
     val cand = bp.join(cp,
         col("__tb") === col("__tc") &&
         col("__nb") * lit(tau) <= col("__nc").cast("double") + lit(1e-9) &&
-        col("__nc") * lit(tau) <= col("__nb").cast("double") + lit(1e-9))
+        col("__nc") * lit(tau) <= col("__nb").cast("double") + lit(1e-9) &&
+        lit(1) + least(col("__nb") - col("__pb"), col("__nc") - col("__pc"))
+          >= alpha)
       .select(col("__b"), col("__c"))
       .dropDuplicates("__b", "__c")
     val inter = org.apache.spark.sql.graft.bridge.column(

@@ -57,7 +57,15 @@ object LshJoins {
     * rides the bucket shuffle. Hash values come from the model's public
     * `transform` — identical bucketing, so recall (and the pinned q_minhash_lsh
     * row count/checksum) is unchanged; `jaccardDistance` reproduces the
-    * estimator's keyDistance bit-for-bit (1 − |∩|/|∪| over nonzero sets). */
+    * estimator's keyDistance bit-for-bit (1 − |∩|/|∪| over nonzero sets).
+    *
+    * Cache lifecycle (caller-owned, the MinHashDedup/PrefixJoin convention):
+    * the hashed frame below persists at MEMORY_AND_DISK because three plan
+    * branches reuse it, and the returned (lazy) DataFrame still references
+    * it — so this method cannot unpersist before the caller materializes.
+    * Long-lived sessions issuing many LSH joins should
+    * `spark.catalog.clearCache()` after consuming each result; blocks are
+    * spill-safe, so the leak costs storage memory, never correctness. */
   private def selfJoinWithModel(model: MinHashLSHModel, nonEmpty: DataFrame,
                                 idCol: String, featuresCol: String,
                                 threshold: Double): DataFrame = {

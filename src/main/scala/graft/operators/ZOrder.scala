@@ -75,9 +75,12 @@ object ZOrder {
     val maxZ = bounds.getLong(1)
     val width = math.max(1L, (maxZ - minZ) / nFiles + 1)
     // `div` (integer division) keeps the arithmetic exact for 62-bit Morton
-    // keys — float division would lose precision past 2^53.
+    // keys — float division would lose precision past 2^53. A null xCol/yCol
+    // yields a null Morton key; those rows land deterministically in bucket 0
+    // (nulls-first, matching the sort order `sortWithinPartitions` gives the
+    // null __z rows) instead of NPE-ing in the partitioner (ADVICE r9).
     val bucketed = withZ.withColumn("__bucket",
-      expr(s"cast(((__z - ${minZ}L) div ${width}L) as int)"))
+      coalesce(expr(s"cast(((__z - ${minZ}L) div ${width}L) as int)"), lit(0)))
     val schema = bucketed.schema
     val bIdx = schema.fieldIndex("__bucket")
     val byBucket = new org.apache.spark.Partitioner {

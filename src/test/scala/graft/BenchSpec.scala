@@ -42,6 +42,23 @@ class BenchSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+  test("contract line fits the harness stdout tail window at worst case") {
+    // The harness keeps only the LAST ~2000 chars of stdout and parses the
+    // {"metric":...} line from that window; BENCH_r09 came back parsed:null
+    // because extra per-query maps pushed the line to ~2.3 KB and the window
+    // opened mid-line. Render the line exactly as Bench.main does, with every
+    // headline query at a worst-case-width time and a nonempty isolated_failed
+    // list, and hold it under budget with margin for the trailing sbt line.
+    val worst = Bench.headline.map(_ -> 9999.999)
+    val isoFailed = worst.take(3).map("\"" + _._1 + "\"")
+      .mkString(""","isolated_failed":[""", ",", "]")
+    val line = Bench.contractLine(329999.967, worst, isoFailed, 4, 0.139,
+      "/root/testdata/sf0.1")
+    assert(line.length <= 1900,
+      s"contract line ${line.length} chars > 1900-char budget")
+    assert(Bench.parseQueriesJson(line).size == Bench.headline.size)
+  }
+
   test("child-JSON parse round-trips a bench output line") {
     val line = """noise
 {"metric":"total","value":1.234,"unit":"sec","queries":{"q1_agg":0.400,"q_wordcount":0.834},"sf":"/x"}

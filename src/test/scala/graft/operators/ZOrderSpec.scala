@@ -78,4 +78,20 @@ class ZOrderSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("x", "y"), "helper column leaked")
     assert(back.except(grid).isEmpty && grid.except(back).isEmpty)
   }
+
+  test("writeZOrdered tolerates null key columns (null keys land in file 0)") {
+    // ADVICE r9: a null xCol/yCol makes the Morton key null; the bucket cast
+    // must coalesce to 0 instead of NPE-ing in the partitioner's getInt.
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    val grid = spark.range(1000L)
+      .select(when(col("id") % 97 === 0, lit(null)).otherwise(col("id") % 25)
+          .cast("long").as("x"),
+        floor(col("id") / 40).cast("long").as("y"))
+    ZOrder.writeZOrdered(grid, s"$dir/t", "x", "y", 5, 4)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 1000L)
+    assert(back.filter(col("x").isNull).count() ==
+      grid.filter(col("x").isNull).count())
+    assert(back.except(grid).isEmpty && grid.except(back).isEmpty)
+  }
 }
