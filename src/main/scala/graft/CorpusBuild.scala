@@ -71,7 +71,8 @@ object CorpusBuild {
     // from the RAW table — the eval set is what it is; quality gates and
     // dedup apply to training candidates only.
     val bench = docs.filter(col("doc_id") % cfg.evalMod === 0)
-      .select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 4)).as("g"))
+      .select(explode(array_distinct(
+        TextOps.ngrams(TextOps.tokens(col("text")), 4))).as("g"))
       .distinct()
     val contaminated = deduped
       .filter(col("doc_id") % cfg.evalMod =!= 0)

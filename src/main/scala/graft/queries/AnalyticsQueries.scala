@@ -426,9 +426,12 @@ object AnalyticsQueries {
              string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS postings
       FROM dfreq JOIN r ON r.t = dfreq.t AND r.rn <= 5
       GROUP BY dfreq.t, dfreq.df ORDER BY term""") { (s, d) =>
+      // per-doc token dedup is map-side (array_distinct before the explode):
+      // the posting set is a per-row set, so no (doc_id, t) exchange is
+      // needed to deduplicate it (r10 — the q_winnow_neardup rationale)
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("t"))
       val w = Window.partitionBy("t").orderBy("doc_id")
       val r = tok.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))

@@ -56,7 +56,13 @@ object PipelineQueries {
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextOps.ngrams(TextOps.tokens(col("text")), 4)).as("g"))
-      val bench = grams.filter(col("doc_id") % 11 === 0).select("g").distinct()
+      // per-doc array_distinct pre-reduces the exchange feeding the global
+      // distinct (duplicate grams within one doc never leave the map side)
+      val bench = Tables.documents(s, d)
+        .filter(col("doc_id") % 11 === 0)
+        .select(explode(array_distinct(
+          TextOps.ngrams(TextOps.tokens(col("text")), 4))).as("g"))
+        .distinct()
       val contaminated = grams.filter(col("doc_id") % 11 =!= 0)
         .join(broadcast(bench), "g")
         .select("doc_id").distinct()
@@ -263,7 +269,13 @@ object PipelineQueries {
         .select(col("doc_id"),
           explode(TextOps.ngrams(TextOps.tokens(col("text")), 4)).as("g"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val boiler = grams.select("g", "doc_id").distinct()
+      // df = docs-per-gram: per-doc gram dedup happens map-side
+      // (array_distinct before the explode) so the only exchange is the
+      // groupBy(g) itself — the explode+distinct form paid an extra full
+      // (g, doc_id) shuffle to dedup a per-row set (r10)
+      val boiler = Tables.documents(s, d)
+        .select(explode(array_distinct(
+          TextOps.ngrams(TextOps.tokens(col("text")), 4))).as("g"))
         .groupBy("g").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .filter(col("df") * 5 >= col("n_docs"))
@@ -609,7 +621,8 @@ object PipelineQueries {
       import graft.streaming.Streaming
       val bench = Tables.documents(s, d)
         .filter(col("doc_id") % 11 === 0)
-        .select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 4)).as("g"))
+        .select(explode(array_distinct(
+          TextOps.ngrams(TextOps.tokens(col("text")), 4))).as("g"))
         .distinct()
       val streamGrams = Streaming.docStream(s, d)
         .filter(col("doc_id") % 11 =!= 0)

@@ -486,10 +486,14 @@ object TextQueries {
       FROM sh JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
       WHERE CAST(ns AS DOUBLE) / (s1.n + s2.n - ns) >= 0.5
       ORDER BY d1, d2""") { (s, d) =>
+      // per-doc fingerprint dedup happens MAP-SIDE (array_distinct over the
+      // masked hashes before the explode): the previous explode+distinct
+      // shuffled every (doc_id, fp) occurrence — one full corpus-fingerprint
+      // shuffle — to deduplicate what is a per-row set to begin with (r10)
       val fp = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.winnow(col("text"), 12, 4)).as("packed"))
-        .select(col("doc_id"), col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("fp"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(transform(TextOps.winnow(col("text"), 12, 4),
+            p => p.bitwiseAND(lit(0xFFFFFFFFL))))).as("fp"))
       val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
       val rfp = fp.join(rare, "fp")
