@@ -209,13 +209,14 @@ object ScaleProbe {
       factors.forall(f => ckpt.contains((q, f)))
     def factorsOf(q: String): Seq[Int] =
       if (Seq("q_minhash_dedup", "q_dedup_incremental",
-              "q_allpairs_jaccard").contains(q)) dupHeavyFactors
+              "q_allpairs_jaccard", "q_winnow_neardup").contains(q)) dupHeavyFactors
       else linearFactors // events/graph share the linear 1/10/50/100 grid
 
     // warm the io/codegen paths so factor-1 isn't charged first-touch cost
     // (skipped for ops fully replayed from the checkpoint)
     (linearOps ++ eventsOps ++ graphOps ++
-        Seq("q_minhash_dedup", "q_dedup_incremental", "q_allpairs_jaccard"))
+        Seq("q_minhash_dedup", "q_dedup_incremental", "q_allpairs_jaccard",
+            "q_winnow_neardup"))
       .filter(q => only.forall(_.contains(q)))
       .filterNot(q => rowDone(q, factorsOf(q)))
       .foreach(q =>
@@ -229,7 +230,13 @@ object ScaleProbe {
     // a near-dup of its original, so like q_minhash_dedup its verified-match
     // OUTPUT grows with the duplication factor — probed on the dup-heavy
     // ladder, not the linear one.
-    val dupRows = Seq("q_minhash_dedup", "q_dedup_incremental", "q_allpairs_jaccard")
+    // q_winnow_neardup (r10): the heaviest headline bench row joins the
+    // dup-heavy ladder — every replica is a winnowing near-dup of its
+    // original, so like the rows above its verified-pair OUTPUT grows with
+    // the dup factor; the ladder separates candidate-volume growth from
+    // fingerprint-scan growth.
+    val dupRows = Seq("q_minhash_dedup", "q_dedup_incremental",
+        "q_allpairs_jaccard", "q_winnow_neardup")
       .filter(q => only.forall(_.contains(q))).map { q =>
       q -> dupHeavyFactors.map { f =>
         val v = checkpointed(q, f)(timeDf(SparkEntry.queries(q)(spark, _), dirFor(f)))

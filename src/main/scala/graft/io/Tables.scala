@@ -158,6 +158,21 @@ object Tables {
   def wholeText(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
 
+  /** Spread a NARROW scan across the executor slots before a CPU-heavy
+    * projection. A parquet file is splittable only at row-group boundaries,
+    * so a single-row-group file (the shape of the small test fixtures, or of
+    * any badly-written upstream table) pins the whole scan — and every
+    * per-row expression above it — to ONE task regardless of cores. When the
+    * downstream work is compute-bound (winnowing ≈ 0.35 ms/doc vs ~µs to
+    * shuttle a 2.5 KB row), one id+text repartition is ~100× cheaper than
+    * serial execution. Conditional on purpose: when the source already
+    * splits at least as wide as the executor slots (every healthy table at
+    * real scale), this is a NO-OP — no shuffle is added at 100 TB. */
+  def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= slots) df else df.repartition(slots)
+  }
+
   /** Persist as a bucketed (and per-bucket sorted) catalog table: repeated
     * equi-joins / aggregations on `cols` then run shuffle-free — the storage-
     * level answer to the reference's hand `repartition(n, cols)` hints

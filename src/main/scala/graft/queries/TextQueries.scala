@@ -381,7 +381,7 @@ object TextQueries {
              CAST(f % 4294967296 AS BIGINT) AS fp
       FROM (SELECT doc_id, unnest(fps) AS f FROM sel) u
       ORDER BY doc_id, pos""") { (s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(TextOps.winnow(col("text"), 12, 4)).as("packed"))
         .select(col("doc_id"),
           shiftright(col("packed"), 32).as("pos"),
@@ -489,8 +489,11 @@ object TextQueries {
       // per-doc fingerprint dedup happens MAP-SIDE (array_distinct over the
       // masked hashes before the explode): the previous explode+distinct
       // shuffled every (doc_id, fp) occurrence — one full corpus-fingerprint
-      // shuffle — to deduplicate what is a per-row set to begin with (r10)
-      val fp = Tables.documents(s, d)
+      // shuffle — to deduplicate what is a per-row set to begin with (r10).
+      // spread: winnowing is the most compute-heavy projection in the repo
+      // (~0.35 ms/doc) and a one-row-group fixture pins it to a single task
+      // (Tables.spread scaladoc) — no-op on well-split tables
+      val fp = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           explode(array_distinct(transform(TextOps.winnow(col("text"), 12, 4),
             p => p.bitwiseAND(lit(0xFFFFFFFFL))))).as("fp"))
