@@ -497,6 +497,10 @@ object TextQueries {
         .select(col("doc_id"),
           explode(array_distinct(transform(TextOps.winnow(col("text"), 12, 4),
             p => p.bitwiseAND(lit(0xFFFFFFFFL))))).as("fp"))
+      // NOT persisted (measured r10): with the winnow scan spread across the
+      // slots, the four consumers' recomputes cost ~0.06 s each, while a
+      // MEMORY_AND_DISK cache build serializes the pipeline behind a 7M-row
+      // materialization — benched ~20% slower host-normalized than recompute
       val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("fp")
       val rfp = fp.join(rare, "fp")
