@@ -47,6 +47,10 @@ object CorpusBuild {
   /** The full gated/deduped/decontaminated corpus with split labels.
     * Exposed for the spec; `main` writes its outputs. */
   def build(spark: SparkSession, sfDir: String, cfg: Config = Config()): DataFrame = {
+    // NOT spread (measured r10): the pipeline's stages shuffle early (dedup
+    // sketch band keys, gram explode into broadcast-join), so Tables.spread's
+    // up-front exchange measured slightly WORSE (1.63→1.80 s at sf0.1) than
+    // letting the first shuffle distribute the work
     val docs = Tables.documents(spark, sfDir)
 
     // 1. quality gate (token-count window; the richer rule set is

@@ -1016,6 +1016,9 @@ object PipelineQueries {
              COALESCE(p.n_shared, 0) AS n_shared
       FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
       ORDER BY d.doc_id""") { (s, d) =>
+      // NOT spread (measured r10): unlike winnowing, the window-md5 stage is
+      // cheap enough that Tables.spread's exchange cost exceeded the
+      // parallelism gain at sf0.1 (0.26→0.39 s) — reverted on measurement
       val win = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
         .withColumn("i", explode(when(size(col("t")) >= 20,
