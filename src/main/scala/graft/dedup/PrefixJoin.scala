@@ -80,7 +80,11 @@ object PrefixJoin {
   def allPairs(df: DataFrame, cfg: Config = Config()): DataFrame = {
     val tau = cfg.jaccardThreshold
     require(tau > 0.0 && tau <= 1.0, s"threshold in (0,1]: $tau")
-    val sk = df
+    // spread: shingling + array_sort is winnow-class per-row compute and the
+    // sketch is MATERIALIZED once below (persist), so a one-row-group input
+    // would serialize the whole build on one task (graft.io.Tables.spread
+    // scaladoc; no-op on well-split tables)
+    val sk = graft.io.Tables.spread(df)
       .select(col(cfg.idCol).as("__id"),
         array_sort(MinHashDedup.shingleIds(col(cfg.textCol), cfg.shingleSize))
           .as("__sids"))
