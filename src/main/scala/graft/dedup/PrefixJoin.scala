@@ -163,7 +163,8 @@ object PrefixJoin {
     val exactSurvivors = batch.join(
       corpus.select(md5(col(cfg.textCol).cast("binary")).as("__h")).distinct(),
       md5(col(cfg.textCol).cast("binary")) === col("__h"), "left_anti")
-    def sk(df: DataFrame) = df
+    // spread before the materialized sketch builds — the allPairs rationale
+    def sk(df: DataFrame) = graft.io.Tables.spread(df)
       .select(col(cfg.idCol).as("__id"),
         array_sort(MinHashDedup.shingleIds(col(cfg.textCol), cfg.shingleSize))
           .as("__sids"))
