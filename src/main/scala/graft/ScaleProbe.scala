@@ -124,10 +124,32 @@ object ScaleProbe {
       try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"),
         new java.io.File(".")).!!.trim
       catch { case _: Throwable => "unknown" }
+    // Host-throughput stamp for every row banked this session (r10): the
+    // Bench calibration job (pure-CPU xxhash64 fold, data-independent). Rows
+    // measured in different host epochs — or under transient contention from
+    // a co-tenant process — carry their own denominator, so sec/calib is
+    // comparable across stamps where raw seconds are not. Guarded like the
+    // Bench calib: a failure degrades to 0.0 (no denominator), never kills
+    // the probe.
+    val probeCalib: Double =
+      try (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 400000000L, 1L, 32)
+          .select(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("id")).cast("double")))
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] calib failed (rows stamped 0): ${e.getMessage}")
+        0.0
+      }
+    System.err.println(f"[probe] host calib $probeCalib%.3f s")
     val ckpt = scala.collection.mutable.Map.empty[(String, Int), (Double, Long, ProbeMetrics)]
     val rowEpoch = scala.collection.mutable.Map.empty[(String, Int), String]
     if (ckptFile.exists()) {
-      val re = """\{"label":"(.*?)","f":(\d+),"sec":([0-9.eE+\-]+),"rows":(\d+),"spill":(\d+),"shuffle":(\d+),"gc":(\d+)(?:,"commit":"([^"]*)","dir":"([^"]*)")?\}""".r
+      val re = """\{"label":"(.*?)","f":(\d+),"sec":([0-9.eE+\-]+),"rows":(\d+),"spill":(\d+),"shuffle":(\d+),"gc":(\d+)(?:,"commit":"([^"]*)","dir":"([^"]*)")?(?:,"calib":[0-9.eE+\-]+)?\}""".r
       scala.io.Source.fromFile(ckptFile, "UTF-8").getLines().foreach {
         case re(l, f, s, r, sp, sh, g, commit, _) =>
           val k = (l, f.toInt)
@@ -162,7 +184,7 @@ object ScaleProbe {
           spark.catalog.clearCache()
           val w = new java.io.FileWriter(ckptFile, true)
           try w.write(
-            s"""{"label":"$label","f":$f,"sec":${v._1},"rows":${v._2},"spill":${v._3.spillBytes},"shuffle":${v._3.shuffleWriteBytes},"gc":${v._3.gcMillis},"commit":"$engineCommit","dir":"$base"}\n""")
+            s"""{"label":"$label","f":$f,"sec":${v._1},"rows":${v._2},"spill":${v._3.spillBytes},"shuffle":${v._3.shuffleWriteBytes},"gc":${v._3.gcMillis},"commit":"$engineCommit","dir":"$base","calib":$probeCalib}\n""")
           finally w.close()
           System.err.println(f"[probe] $label @${f}x: ${v._1}%.2f s")
           ckpt((label, f)) = v
@@ -573,7 +595,10 @@ object ScaleProbe {
         sb.append(".\nPer-row stamps live in `/tmp/graft_scaleprobe/rows.jsonl`; delete a\n")
         sb.append("label's lines there to force its re-measure under the current commit.\n")
         sb.append("Rows whose operator code changed since their stamp were re-measured\n")
-        sb.append("this run (their stamp equals the generating commit above).\n\n")
+        sb.append("this run (their stamp equals the generating commit above).\n")
+        sb.append("Rows banked from r10 on also carry a `calib` host-throughput stamp\n")
+        sb.append("(the Bench calibration fold, measured in the same session) — compare\n")
+        sb.append("sec/calib across stamps where raw seconds are epoch-confounded.\n\n")
       }
     }
     sb.append("| query | 1× s | 10× s | 50× s | 100× s | α(10×→100×) |\n")
