@@ -379,6 +379,90 @@ object VectorQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ----- extension: STREAMING ANN INGEST — an IVF index whose corpus
+    // arrives as a file stream. The coarse quantizer is PINNED (the 16
+    // vectors with vec_id < 16, the q_semdedup_exact pinning trick), so no
+    // fit stands between the query and the oracle; each micro-batch routes
+    // its rows to the nearest centroid MAP-SIDE (broadcast centroids, the
+    // same ||v||²+||c||²−2v·c left-fold arithmetic Ivf.search routes probes
+    // with) and APPENDS them to the posting table — no read-modify-write, no
+    // shuffle of previously ingested vectors: one quantizer amortizes across
+    // the whole stream, the production ingest shape at 100 TB. Batch
+    // boundaries cancel by construction (assignment is per-row), so the
+    // drained index searched with Ivf.search must equal the all-at-once
+    // assignment, which DuckDB replays exactly end to end (assignment
+    // argmin → 4-probe routing → exact cosine top-3). Serial: runs a
+    // streaming query.
+    "q_stream_ann_ingest" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cvec FROM t WHERE vec_id < 16),
+      asg0 AS (SELECT t.vec_id, t.v, c.centroid_id,
+                 list_reduce(list_transform(range(1, ${DIM + 1}), i -> t.v[i]*t.v[i]), (x,y)->x+y)
+               + list_reduce(list_transform(range(1, ${DIM + 1}), i -> c.cvec[i]*c.cvec[i]), (x,y)->x+y)
+               - 2.0 * list_reduce(list_transform(range(1, ${DIM + 1}), i -> t.v[i]*c.cvec[i]), (x,y)->x+y) AS d2
+               FROM t CROSS JOIN c),
+      asg AS (SELECT vec_id, v, centroid_id FROM (
+                SELECT vec_id, v, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS arn
+                FROM asg0) WHERE arn = 1),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 50 = 0),
+      pr0 AS (SELECT q.q_id, q.qv, c.centroid_id,
+                 list_reduce(list_transform(range(1, ${DIM + 1}), i -> q.qv[i]*q.qv[i]), (x,y)->x+y)
+               + list_reduce(list_transform(range(1, ${DIM + 1}), i -> c.cvec[i]*c.cvec[i]), (x,y)->x+y)
+               - 2.0 * list_reduce(list_transform(range(1, ${DIM + 1}), i -> q.qv[i]*c.cvec[i]), (x,y)->x+y) AS d2
+              FROM q CROSS JOIN c),
+      pr AS (SELECT q_id, qv, centroid_id FROM (
+               SELECT q_id, qv, centroid_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, centroid_id) AS prn
+               FROM pr0) WHERE prn <= 4),
+      s AS (SELECT pr.q_id, asg.vec_id AS cand_id,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> pr.qv[i]*asg.v[i]), (x,y)->x+y)
+                   / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> pr.qv[i]*pr.qv[i]), (x,y)->x+y))
+                      * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> asg.v[i]*asg.v[i]), (x,y)->x+y))) AS cos
+            FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id AND asg.vec_id <> pr.q_id),
+      r AS (SELECT q_id, cand_id, ROUND(cos, 6) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+            FROM s)
+      SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 3
+      ORDER BY q_id, rn""") { (s, d) =>
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      val cents = t.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("v").as("cvec"))
+      val tag = System.nanoTime()
+      val vecDir = s"/tmp/graft_ann_ingest_vec_$tag"
+      val idxDir = s"/tmp/graft_ann_ingest_idx_$tag"
+      t.repartition(8).write.mode("overwrite").parquet(vecDir)
+      val schema = s.read.parquet(vecDir).schema
+      val route: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) => {
+        val d2 = ArrayOps.norm2sq(col("v")) + ArrayOps.norm2sq(col("cvec")) -
+          lit(2.0) * ArrayOps.dot(col("v"), col("cvec"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(asc("__d2"), asc("centroid_id"))
+        batch.crossJoin(broadcast(cents))
+          .withColumn("__d2", d2)
+          .withColumn("__arn", row_number().over(w))
+          .filter(col("__arn") === 1)
+          .select(col("vec_id"), col("v"), col("centroid_id"))
+          .write.mode("append").parquet(idxDir)
+      }
+      val strm = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(vecDir)
+        .writeStream.foreachBatch(route)
+        .option("checkpointLocation", s"${idxDir}_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      strm.awaitTermination()
+      val index = graft.ann.Ivf.Index(
+        centroids = cents, assigned = s.read.parquet(idxDir))
+      val probes = t.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.ann.Ivf.search(index, probes, "vec_id", "v", topK = 3, nProbe = 4)
+        .select(col("q_id"), col("cand_id"),
+          round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy("q_id", "rn")
+    }.serial,
+
     // PQ is LOSSLESS when every distinct subvector is a codebook centroid
     // (Pq.scala:21-22): sign-quantizing the first 16 dims gives each 4-dim
     // subspace a 16-pattern alphabet ({±1}⁴, all present in the fixture), and
