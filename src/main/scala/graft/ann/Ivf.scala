@@ -43,6 +43,21 @@ object Ivf {
     Index(centroids, assigned)
   }
 
+  /** Persist the index as two parquet tables under one directory (Hadoop-FS
+    * reach: local, HDFS, object stores). Production ANN serving builds ONCE
+    * per corpus generation and loads per session/job instead of refitting —
+    * the [[graft.lsh.LshJoins.saveMinHashIndex]] pattern; [[load]]ed indexes
+    * search identically (AnnPersistenceSpec). Parquet round-trips the double
+    * centroid/embedding values exactly. */
+  def save(index: Index, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
+
   /** Top-K cosine neighbors per probe, searching only the nProbe nearest
     * centroid partitions. `probes` carries (qIdCol, qVecCol); output is
     * (qIdCol, cand_id, cos, rn) with rn 1..topK per probe.

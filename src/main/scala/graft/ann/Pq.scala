@@ -73,6 +73,51 @@ object Pq {
     } finally sliced.unpersist(blocking = false)
   }
 
+  /** Persist the index under one directory: the code table as parquet, the
+    * codebooks as a (subspace, code, centroid) parquet (tiny: m·k·dsub
+    * doubles, exact round-trip), and m/dsub in a JSON sidecar — the
+    * [[graft.lsh.LshJoins.saveMinHashIndex]] layout. [[load]]ed indexes
+    * score identically (AnnPersistenceSpec); saving both a [[Pq]] and an
+    * [[Ivf]] index persists a composed [[IvfPq]] deployment. */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val rows = for {
+      (bj, j) <- index.codebooks.zipWithIndex.toSeq
+      (c, ci) <- bj.zipWithIndex.toSeq
+    } yield (j, ci, c.toSeq)
+    rows.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$path/config.json")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(s"""{"m":${index.m},"dsub":${index.dsub}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/config.json")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    def intOf(key: String): Int =
+      s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"malformed $path/config.json: missing $key"))
+    val (m, dsub) = (intOf("m"), intOf("dsub"))
+    import spark.implicits._
+    // codebooks are driver-side by construction (m·k·dsub doubles)
+    val books = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("code"), col("centroid"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_._2).map(_._3.toArray).toArray
+      }.toArray
+    Index(books, spark.read.parquet(s"$path/codes"), m, dsub)
+  }
+
   /** Per-query ADC table: flat m×k array, T[j*k + c] = ||q_j − book(j)(c)||².
     * Exposed for composition with coarse routing ([[IvfPq]]). */
   private[ann] def adcTableUdf(index: Index) = {
