@@ -1437,14 +1437,24 @@ object Relational {
       val chgDir = s"/tmp/graft_upsert_chg_$tag"
       val snapDir = s"/tmp/graft_upsert_snap_$tag"
       changes.repartition(3, col("op")).write.mode("overwrite").parquet(chgDir)
-      base.write.mode("overwrite").parquet(snapDir)
+      // Ping-pong snapshot sides keyed on batchId PARITY (r10): the previous
+      // tmp-then-promote shape wrote every post-merge snapshot TWICE (tmp
+      // write + promote copy) because a parquet dir can't be overwritten
+      // while a plan still reads it lazily; reading side id%2 and writing
+      // side (id+1)%2 needs one write per batch. Replay-safe: batch id's
+      // read side was last written by committed batch id−1, and its own
+      // partial previous write sat on the side it overwrites cleanly.
+      val sides = Array(s"${snapDir}_a", s"${snapDir}_b")
+      base.write.mode("overwrite").parquet(sides(0))
+      @volatile var lastWritten = 0
       val schema = s.read.parquet(chgDir).schema
       val applyBatch: (DataFrame, Long) => Unit = (batch, id) => {
-        val next = graft.operators.MergeInto(
-          s.read.parquet(snapDir), batch, "o_orderkey")
-        val tmp = s"${snapDir}_b$id"
-        next.write.mode("overwrite").parquet(tmp)
-        s.read.parquet(tmp).write.mode("overwrite").parquet(snapDir)
+        val read = (id % 2).toInt
+        val write = 1 - read
+        graft.operators.MergeInto(
+            s.read.parquet(sides(read)), batch, "o_orderkey")
+          .write.mode("overwrite").parquet(sides(write))
+        lastWritten = write
       }
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(chgDir)
@@ -1453,7 +1463,7 @@ object Relational {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(snapDir)
+      s.read.parquet(sides(lastWritten))
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("price").cast("double").as("price"))
         .orderBy("o_orderkey")
