@@ -1,0 +1,82 @@
+package graft.ann
+
+import graft.similarity.ArrayOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT cosine-threshold self-join over a dense embedding column — every
+  * pair with cosine ≥ t, no sampling, no LSH recall risk: the dense-vector
+  * complement of [[graft.dedup.PrefixJoin]] (exact for sets) and the
+  * certifying twin of the approximate paths (SignLsh buckets, SemDeDup
+  * clusters). Classic metric-space pruning (Burkhard-Keller 1973 pivot
+  * tables; Chávez et al., "Searching in Metric Spaces", 2001):
+  *
+  *  - NORMALIZE: on unit vectors, cos(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ r, r = √(2−2t) —
+  *    cosine becomes the chord METRIC, so the triangle inequality applies.
+  *  - RING (complete): for any pivot p, |d(â,p) − d(b̂,p)| ≤ ‖â−b̂‖ ≤ r, so
+  *    ring indices ⌊d/r⌋ of a qualifying pair differ by AT MOST 1 — values
+  *    within r of each other cannot skip a whole width-r bucket. Each row
+  *    emits keys {ring, ring+1}; the ring equi-join with a key-vs-ring match
+  *    meets every adjacent-or-equal ring pair exactly once.
+  *  - PIVOT FILTERS (cheap, scalar): |d₁a−d₁b| ≤ r and |d₂a−d₂b| ≤ r against
+  *    two FIXED pivots (the e₁/e₂ basis vectors — literals, so an external
+  *    oracle can replay the whole plan) prune before any vector travels.
+  *  - VERIFY: exact cosine on the original vectors for survivors.
+  *
+  * Floating point cannot cost completeness: the ring property is exact for
+  * the computed doubles (both sides of the join see the SAME d values), the
+  * pivot filters carry 1e-9 over-keeping slack, and the verify re-judges
+  * every candidate.
+  *
+  * 100 TB shape: two linear scans (distance projection, ring keys) and ONE
+  * equi-join on the ring id; vectors ride the candidate join only for
+  * survivor verification via id re-joins (the PrefixJoin/MinHashDedup
+  * discipline). Ring population is data-dependent — a corpus collapsed
+  * around one point degenerates toward all-pairs, which is also that
+  * corpus's true answer size (the PrefixJoin argument: output, not the
+  * algorithm, is the floor).
+  */
+object CosineJoin {
+
+  /** All pairs (id1 < id2, cos) with cosine ≥ minCos; `cos` rounded to 6
+    * (threshold applied before rounding). Zero-norm vectors cannot reach any
+    * positive threshold and are dropped up front. */
+  def selfJoin(df: DataFrame, idCol: String, vecCol: String,
+               minCos: Double): DataFrame = {
+    require(minCos > 0.0 && minCos < 1.0, s"minCos in (0,1): $minCos")
+    val r = math.sqrt(2.0 - 2.0 * minCos)
+    // d(v̂, e_i) = √(2 − 2·v̂[i]) without materializing the normalized vector:
+    // v̂[i] = v[i]/‖v‖
+    def pivotDist(i: Int): Column =
+      sqrt(lit(2.0) - lit(2.0) * element_at(col(vecCol), i) /
+        sqrt(ArrayOps.norm2sq(col(vecCol))))
+    val sk = df
+      .filter(ArrayOps.norm2sq(col(vecCol)) > 0.0)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        pivotDist(1).as("__d1"), pivotDist(2).as("__d2"))
+      .withColumn("__ring", floor(col("__d1") / lit(r)).cast("long"))
+    // a joins on its OWN ring; b emits {ring−1, ring, ring+1}: the canonical
+    // order below is by ID, so a's ring can sit EITHER side of b's — a pair
+    // with |ra−rb| ≤ 1 meets on exactly the one emitted key equal to ra
+    val a = sk.select(col("__id").as("__a"), col("__d1").as("__d1a"),
+      col("__d2").as("__d2a"), col("__ring").as("__ka"))
+    val b = sk.select(col("__id").as("__b"), col("__d1").as("__d1b"),
+      col("__d2").as("__d2b"),
+      explode(array(col("__ring") - 1, col("__ring"),
+        col("__ring") + 1)).as("__kb"))
+    val cand = a.join(b,
+        col("__ka") === col("__kb") && col("__a") < col("__b") &&
+        abs(col("__d1a") - col("__d1b")) <= lit(r + 1e-9) &&
+        abs(col("__d2a") - col("__d2b")) <= lit(r + 1e-9))
+      .select(col("__a"), col("__b"))
+      .dropDuplicates("__a", "__b")
+    val vecs = sk.select(col("__id"), col("__v"))
+    cand
+      .join(vecs.select(col("__id").as("__a"), col("__v").as("__va")), "__a")
+      .join(vecs.select(col("__id").as("__b"), col("__v").as("__vb")), "__b")
+      .withColumn("__cos", ArrayOps.cosine(col("__va"), col("__vb")))
+      .filter(col("__cos") >= lit(minCos))
+      .select(col("__a").as("id1"), col("__b").as("id2"),
+        round(col("__cos"), 6).as("cos"))
+  }
+}

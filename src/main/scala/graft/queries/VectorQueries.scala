@@ -379,6 +379,28 @@ object VectorQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ----- extension: EXACT cosine-threshold self-join (metric-space ring
+    // pruning on pinned e1/e2 pivots — graft.ann.CosineJoin scaladoc): the
+    // dense-vector twin of q_allpairs_jaccard, every cos ≥ t pair with zero
+    // recall risk, exact-for-exact against DuckDB brute force. Fixed
+    // 2000-vector slice so the quadratic ORACLE stays replayable at every
+    // soak SF; the operator itself is corpus-scale (ring equi-join).
+    "q_cosine_join_exact" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 2000),
+      p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> a.v[i]*b.v[i]), (x,y)->x+y)
+                   / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> a.v[i]*a.v[i]), (x,y)->x+y))
+                      * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> b.v[i]*b.v[i]), (x,y)->x+y))) AS cos
+            FROM t a JOIN t b ON a.vec_id < b.vec_id)
+      SELECT id1, id2, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.4
+      ORDER BY id1, id2""") { (s, d) =>
+      val t = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      graft.ann.CosineJoin.selfJoin(t, "vec_id", "v", minCos = 0.4)
+        .orderBy("id1", "id2")
+    },
+
     // ----- extension: STREAMING ANN INGEST — an IVF index whose corpus
     // arrives as a file stream. The coarse quantizer is PINNED (the 16
     // vectors with vec_id < 16, the q_semdedup_exact pinning trick), so no
