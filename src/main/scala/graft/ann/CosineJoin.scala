@@ -38,6 +38,48 @@ import org.apache.spark.sql.functions._
   */
 object CosineJoin {
 
+  /** Batch-vs-corpus EXACT incremental form ([[graft.dedup.PrefixJoin]]
+    * .dedupAgainst's contract for embeddings): the rows of `batch` whose
+    * vector matches NOTHING in `corpus` at cosine ≥ minCos — a certifying
+    * ingest gate with zero recall risk. Same ring/pivot pruning; the corpus
+    * rings are a function of the corpus alone, so an ingest loop computes
+    * them once per corpus generation and reuses them per arriving batch. */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, minCos: Double): DataFrame = {
+    require(minCos > 0.0 && minCos < 1.0, s"minCos in (0,1): $minCos")
+    val r = math.sqrt(2.0 - 2.0 * minCos)
+    def sk(df: DataFrame) = df
+      .filter(ArrayOps.norm2sq(col(vecCol)) > 0.0)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        pivotDist(vecCol, 1).as("__d1"), pivotDist(vecCol, 2).as("__d2"))
+      .withColumn("__ring", floor(col("__d1") / lit(r)).cast("long"))
+    val cs = sk(corpus)
+    val bs = sk(batch)
+    val bkeys = bs.select(col("__id").as("__b"), col("__d1").as("__d1b"),
+      col("__d2").as("__d2b"),
+      explode(array(col("__ring") - 1, col("__ring"),
+        col("__ring") + 1)).as("__kb"))
+    val ckeys = cs.select(col("__id").as("__c"), col("__d1").as("__d1c"),
+      col("__d2").as("__d2c"), col("__ring").as("__kc"))
+    val cand = bkeys.join(ckeys,
+        col("__kb") === col("__kc") &&
+        abs(col("__d1b") - col("__d1c")) <= lit(r + 1e-9) &&
+        abs(col("__d2b") - col("__d2c")) <= lit(r + 1e-9))
+      .select(col("__b"), col("__c"))
+      .dropDuplicates("__b", "__c")
+    val dupIds = cand
+      .join(bs.select(col("__id").as("__b"), col("__v").as("__vb")), "__b")
+      .join(cs.select(col("__id").as("__c"), col("__v").as("__vc")), "__c")
+      .filter(ArrayOps.cosine(col("__vb"), col("__vc")) >= lit(minCos))
+      .select(col("__b")).distinct()
+    // zero-norm batch rows can never match at a positive threshold: survivors
+    batch.join(dupIds, batch(idCol) === dupIds("__b"), "left_anti")
+  }
+
+  private def pivotDist(vecCol: String, i: Int): Column =
+    sqrt(lit(2.0) - lit(2.0) * element_at(col(vecCol), i) /
+      sqrt(ArrayOps.norm2sq(col(vecCol))))
+
   /** All pairs (id1 < id2, cos) with cosine ≥ minCos; `cos` rounded to 6
     * (threshold applied before rounding). Zero-norm vectors cannot reach any
     * positive threshold and are dropped up front. */
@@ -45,15 +87,10 @@ object CosineJoin {
                minCos: Double): DataFrame = {
     require(minCos > 0.0 && minCos < 1.0, s"minCos in (0,1): $minCos")
     val r = math.sqrt(2.0 - 2.0 * minCos)
-    // d(v̂, e_i) = √(2 − 2·v̂[i]) without materializing the normalized vector:
-    // v̂[i] = v[i]/‖v‖
-    def pivotDist(i: Int): Column =
-      sqrt(lit(2.0) - lit(2.0) * element_at(col(vecCol), i) /
-        sqrt(ArrayOps.norm2sq(col(vecCol))))
     val sk = df
       .filter(ArrayOps.norm2sq(col(vecCol)) > 0.0)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        pivotDist(1).as("__d1"), pivotDist(2).as("__d2"))
+        pivotDist(vecCol, 1).as("__d1"), pivotDist(vecCol, 2).as("__d2"))
       .withColumn("__ring", floor(col("__d1") / lit(r)).cast("long"))
     // a joins on its OWN ring; b emits {ring−1, ring, ring+1}: the canonical
     // order below is by ID, so a's ring can sit EITHER side of b's — a pair

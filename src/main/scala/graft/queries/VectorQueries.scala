@@ -401,6 +401,34 @@ object VectorQueries {
         .orderBy("id1", "id2")
     },
 
+    // ----- extension: EXACT incremental embedding dedup — the batch-vs-
+    // corpus form of q_cosine_join_exact (CosineJoin.dedupAgainst): arriving
+    // batch rows survive only if NO corpus vector matches at cos ≥ t; the
+    // certifying ingest gate for an embedding store, zero recall risk. Same
+    // fixed slice so the EXISTS oracle stays replayable at every soak SF.
+    "q_embed_dedup_incremental" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 2000),
+      b AS (SELECT * FROM t WHERE vec_id % 17 = 0),
+      c AS (SELECT * FROM t WHERE vec_id % 17 <> 0),
+      p AS (SELECT b.vec_id AS bid,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> b.v[i]*c.v[i]), (x,y)->x+y)
+                   / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> b.v[i]*b.v[i]), (x,y)->x+y))
+                      * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> c.v[i]*c.v[i]), (x,y)->x+y))) AS cos
+            FROM b CROSS JOIN c),
+      m AS (SELECT DISTINCT bid FROM p WHERE cos >= 0.4)
+      SELECT vec_id FROM b WHERE vec_id NOT IN (SELECT bid FROM m)
+      ORDER BY vec_id""") { (s, d) =>
+      val t = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      val batch = t.filter(col("vec_id") % 17 === 0)
+      val corpus = t.filter(col("vec_id") % 17 =!= 0)
+      graft.ann.CosineJoin.dedupAgainst(batch, corpus, "vec_id", "v",
+          minCos = 0.4)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    },
+
     // ----- extension: STREAMING ANN INGEST — an IVF index whose corpus
     // arrives as a file stream. The coarse quantizer is PINNED (the 16
     // vectors with vec_id < 16, the q_semdedup_exact pinning trick), so no

@@ -50,4 +50,17 @@ class CosineJoinSpec extends SparkSpec {
   test("matches driver brute force at a high threshold (tight rings)") {
     assert(joined(0.9) == bruteForce(0.9))
   }
+
+  test("dedupAgainst survivors match driver brute force") {
+    val batch = t.filter(col("vec_id") % 17 === 0)
+    val corpus = t.filter(col("vec_id") % 17 =!= 0)
+    val got = CosineJoin.dedupAgainst(batch, corpus, "vec_id", "v", 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pairs = bruteForce(0.4)
+    val want = vecs.map(_._1).filter(_ % 17 == 0)
+      .filterNot(bid => pairs.exists { case (a, b) =>
+        (a == bid && b % 17 != 0) || (b == bid && a % 17 != 0)
+      }).toSet
+    assert(got == want)
+  }
 }
