@@ -43,7 +43,7 @@ object BillMatch {
 
     // 1. features (clean → tokenize → stopwords → TF-IDF), corpus spread
     //    across partitions (single-file testdata artifact)
-    val docs = Tables.documents(spark, sfDir).repartition(32)
+    val docs = Tables.spread(Tables.documents(spark, sfDir))
     val feats = FeaturePipeline.features(docs, FeatureConfig(numTextFeatures = 1024))
       .select("doc_id", "lang", "n_chars", "features")
       .cache()

@@ -322,7 +322,7 @@ object PipelineQueries {
                  FROM comp c JOIN documents d ON d.doc_id = c.vertex)
       SELECT component, doc_id AS survivor, n_chars, n_members
       FROM ranked WHERE rk = 1 ORDER BY component""") { (s, d) =>
-      val pairs = MinHashDedup.nearDupPairs(Tables.documents(s, d).repartition(32),
+      val pairs = MinHashDedup.nearDupPairs(Tables.spread(Tables.documents(s, d)),
         MinHashDedup.Config(shingleSize = 3, jaccardThreshold = 0.7))
       val comp = graft.graph.GraphOps.connectedComponents(
         pairs.select(col("d1").as("src"), col("d2").as("dst")))

@@ -136,7 +136,7 @@ object VectorQueries {
       // real 100 TB table the scan is already thousands of splits
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.spread)
       val q = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       // bounded per-probe top-5 partial aggregation (r9, the Ivf.search
@@ -191,7 +191,7 @@ object VectorQueries {
       ORDER BY q.q_id""") { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.spread)
       val q = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       def top5(cosCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
@@ -264,7 +264,7 @@ object VectorQueries {
     "q_ann_pq" -> QueryDef.rowsOnly { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-        .repartition(32)
+        .repartition(32) // FIXED fan-out: pinned fit — init sampling must not vary with machine size
       val index = graft.ann.Pq.build(t, "vec_id", "v", m = 8, k = 16)
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -281,7 +281,7 @@ object VectorQueries {
     "q_ann_ivfpq" -> QueryDef.rowsOnly { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-        .repartition(32)
+        .repartition(32) // FIXED fan-out: pinned fit — init sampling must not vary with machine size
       val ivf = graft.ann.Ivf.build(t, "v", k = 16)
       val pq = graft.ann.Pq.build(t, "vec_id", "v", m = 8, k = 16)
       val probes = t.filter(col("vec_id") % 50 === 0)
@@ -295,7 +295,7 @@ object VectorQueries {
     "q_ann_ivf" -> QueryDef.rowsOnly { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-        .repartition(32) // single-file corpus: spread the index/kernel scan
+        .repartition(32) // FIXED fan-out: pinned fit — init sampling must not vary with machine size
       val index = graft.ann.Ivf.build(t, "v", k = 16)
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -370,7 +370,7 @@ object VectorQueries {
       ORDER BY q_id, rn""") { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-        .repartition(32)
+        .transform(Tables.spread)
       val index = graft.ann.Ivf.build(t, "v", k = 16)
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -537,7 +537,7 @@ object VectorQueries {
         .select(col("vec_id"),
           transform(slice(ArrayOps.asDouble(col("embedding")), 1, 16),
             x => when(x >= 0, 1.0).otherwise(-1.0)).as("v"))
-        .repartition(32)
+        .transform(Tables.spread)
       val index = graft.ann.Pq.build(t, "vec_id", "v", m = 4, k = 20)
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -569,7 +569,7 @@ object VectorQueries {
         .select(col("vec_id"),
           transform(slice(ArrayOps.asDouble(col("embedding")), 1, 16),
             x => when(x >= 0, 1.0).otherwise(-1.0)).as("v"))
-        .repartition(32)
+        .transform(Tables.spread)
       val ivf = graft.ann.Ivf.build(t, "v", k = 8)
       val pq = graft.ann.Pq.build(t, "vec_id", "v", m = 4, k = 20)
       val probes = t.filter(col("vec_id") % 50 === 0)
