@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
   *
   *  - NORMALIZE: on unit vectors, cos(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ r, r = √(2−2t) —
   *    cosine becomes the chord METRIC, so the triangle inequality applies.
-  *  - RING (complete): for any pivot p, |d(â,p) − d(b̂,p)| ≤ ‖â−b̂‖ ≤ r, so
+  *  - GRID (complete): for any pivot p, |d(â,p) − d(b̂,p)| ≤ ‖â−b̂‖ ≤ r, so
   *    ring indices ⌊d/r⌋ of a qualifying pair differ by AT MOST 1 — values
-  *    within r of each other cannot skip a whole width-r bucket. Each row
-  *    emits keys {ring, ring+1}; the ring equi-join with a key-vs-ring match
-  *    meets every adjacent-or-equal ring pair exactly once.
-  *  - PIVOT FILTERS (cheap, scalar): |d₁a−d₁b| ≤ r and |d₂a−d₂b| ≤ r against
-  *    two FIXED pivots (the e₁/e₂ basis vectors — literals, so an external
-  *    oracle can replay the whole plan) prune before any vector travels.
+  *    within r of each other cannot skip a whole width-r bucket. With TWO
+  *    fixed pivots (the e₁/e₂ basis vectors — literals, so an external
+  *    oracle can replay the whole plan) the bound holds per dimension:
+  *    cells (⌊d₁/r⌋, ⌊d₂/r⌋) of a qualifying pair are 3×3 neighbors. One
+  *    side joins on its own cell, the other emits its 9 neighbor keys —
+  *    every qualifying pair meets exactly once, and two pivots multiply
+  *    cell selectivity where one ring's population would hot-spot the join.
+  *  - PIVOT FILTERS (cheap, scalar): |d₁a−d₁b| ≤ r and |d₂a−d₂b| ≤ r prune
+  *    inside the join condition before any vector travels.
   *  - VERIFY: exact cosine on the original vectors for survivors.
   *
   * Floating point cannot cost completeness: the ring property is exact for
@@ -52,17 +55,24 @@ object CosineJoin {
       .filter(ArrayOps.norm2sq(col(vecCol)) > 0.0)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         pivotDist(vecCol, 1).as("__d1"), pivotDist(vecCol, 2).as("__d2"))
-      .withColumn("__ring", floor(col("__d1") / lit(r)).cast("long"))
+      .withColumn("__r1", floor(col("__d1") / lit(r)).cast("long"))
+      .withColumn("__r2", floor(col("__d2") / lit(r)).cast("long"))
     val cs = sk(corpus)
     val bs = sk(batch)
+    // the BATCH side (small) explodes to its 3×3 cell neighborhood; the
+    // corpus side keeps one row per vector (selfJoin's grid argument)
+    val off = array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j")))): _*)
     val bkeys = bs.select(col("__id").as("__b"), col("__d1").as("__d1b"),
-      col("__d2").as("__d2b"),
-      explode(array(col("__ring") - 1, col("__ring"),
-        col("__ring") + 1)).as("__kb"))
+      col("__d2").as("__d2b"), col("__r1"), col("__r2"),
+      explode(off).as("__o"))
+      .select(col("__b"), col("__d1b"), col("__d2b"),
+        (col("__r1") + col("__o.i")).as("__kb1"),
+        (col("__r2") + col("__o.j")).as("__kb2"))
     val ckeys = cs.select(col("__id").as("__c"), col("__d1").as("__d1c"),
-      col("__d2").as("__d2c"), col("__ring").as("__kc"))
+      col("__d2").as("__d2c"), col("__r1").as("__kc1"), col("__r2").as("__kc2"))
     val cand = bkeys.join(ckeys,
-        col("__kb") === col("__kc") &&
+        col("__kb1") === col("__kc1") && col("__kb2") === col("__kc2") &&
         abs(col("__d1b") - col("__d1c")) <= lit(r + 1e-9) &&
         abs(col("__d2b") - col("__d2c")) <= lit(r + 1e-9))
       .select(col("__b"), col("__c"))
@@ -91,18 +101,28 @@ object CosineJoin {
       .filter(ArrayOps.norm2sq(col(vecCol)) > 0.0)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         pivotDist(vecCol, 1).as("__d1"), pivotDist(vecCol, 2).as("__d2"))
-      .withColumn("__ring", floor(col("__d1") / lit(r)).cast("long"))
-    // a joins on its OWN ring; b emits {ring−1, ring, ring+1}: the canonical
-    // order below is by ID, so a's ring can sit EITHER side of b's — a pair
-    // with |ra−rb| ≤ 1 meets on exactly the one emitted key equal to ra
+      .withColumn("__r1", floor(col("__d1") / lit(r)).cast("long"))
+      .withColumn("__r2", floor(col("__d2") / lit(r)).cast("long"))
+    // 2-D grid cells (both pivots): the ring bound holds PER PIVOT, so a
+    // qualifying pair's cell coordinates differ by at most 1 in each
+    // dimension — a joins on its OWN cell, b emits its 3×3 neighborhood,
+    // and every |Δr1|≤1 ∧ |Δr2|≤1 pair meets on exactly the one emitted
+    // key equal to a's cell (the canonical order below is by ID, so a can
+    // sit either side of b in either dimension). Two pivots multiply cell
+    // selectivity where one ring's population would hot-spot the join.
     val a = sk.select(col("__id").as("__a"), col("__d1").as("__d1a"),
-      col("__d2").as("__d2a"), col("__ring").as("__ka"))
+      col("__d2").as("__d2a"), col("__r1").as("__ka1"), col("__r2").as("__ka2"))
+    val off = array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j")))): _*)
     val b = sk.select(col("__id").as("__b"), col("__d1").as("__d1b"),
-      col("__d2").as("__d2b"),
-      explode(array(col("__ring") - 1, col("__ring"),
-        col("__ring") + 1)).as("__kb"))
+      col("__d2").as("__d2b"), col("__r1"), col("__r2"),
+      explode(off).as("__o"))
+      .select(col("__b"), col("__d1b"), col("__d2b"),
+        (col("__r1") + col("__o.i")).as("__kb1"),
+        (col("__r2") + col("__o.j")).as("__kb2"))
     val cand = a.join(b,
-        col("__ka") === col("__kb") && col("__a") < col("__b") &&
+        col("__ka1") === col("__kb1") && col("__ka2") === col("__kb2") &&
+        col("__a") < col("__b") &&
         abs(col("__d1a") - col("__d1b")) <= lit(r + 1e-9) &&
         abs(col("__d2a") - col("__d2b")) <= lit(r + 1e-9))
       .select(col("__a"), col("__b"))
