@@ -84,6 +84,40 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} survivors, want ${want.size}")
   }
 
+  test("randomized corpora keep brute-force parity (positional-filter fuzz)") {
+    // r10 added the PPJoin positional filter; this fuzz drives it through
+    // shapes the fixture lacks — tiny docs (1-3 tokens), heavy overlap
+    // clusters, singletons — at thresholds that stress both the prefix and
+    // the overlap-bound ceil() arithmetic. Seeded: reproducible failures.
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val texts = (0L until 80L).map { id =>
+      // cluster seeds every 8 ids; members mutate a few tokens, so true
+      // near-dup pairs exist at several similarity levels
+      val seed = (id / 8) * 8
+      val base = new scala.util.Random(seed + 1).shuffle(vocab)
+        .take(3 + (seed % 12).toInt)
+      val mutated = base.map(w =>
+        if (rnd.nextDouble() < 0.15) vocab(rnd.nextInt(vocab.size)) else w)
+      id -> mutated.mkString(" ")
+    }
+    import spark.implicits._
+    val df = texts.toDF("doc_id", "text")
+    val sets = df
+      .select(col("doc_id"), MinHashDedup.shingleIds(col("text"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for (tau <- Seq(0.3, 0.6, 0.85)) {
+      val got = PrefixJoin.allPairs(df,
+          PrefixJoin.Config(shingleSize = 2, jaccardThreshold = tau))
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = brutePairs(sets, tau).map(t => (t._1, t._2))
+      assert(got == want,
+        s"tau=$tau: got ${got.size} pairs, want ${want.size}; " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("finds every pair the banded MinHash join reports (superset proof)") {
     // MinHashDedup.nearDupPairs is approximate-by-banding with the same
     // exact verify: its survivors are true near-dups, so the exact join
