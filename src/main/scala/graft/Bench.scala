@@ -58,9 +58,10 @@ object Bench {
     "q_quantile_sketch", // mergeable bottom-k quantile sketch
     "q_ewma",            // canonical ring-buffer EWMA (promoted r7)
     "q_jpeg_decode",     // baseline-JPEG pixel decode (batched codec path)
-    // r10 widening: the two new operator families join the per-round gate
+    // r10 widening: the new operator families join the per-round gate
     "q_cosine_join_exact",   // exact cosine threshold join (metric ring prune)
-    "q_stream_ann_ingest")   // streaming IVF ingest + search
+    "q_stream_ann_ingest",   // streaming IVF ingest + search
+    "q_bpe_encode")          // BPE tokenizer training + corpus encode
 
   /** Queries whose first execution fits and memoizes an ML model per
     * (session, dir) — the TF-IDF featurization and the k-means blocking fit.

@@ -27,7 +27,12 @@ object ScaleProbe {
     "q_substring_dedup", "q_rare_bigram", "q_train_order",
     "q_split_stratified", "q_fertility", "q_pipeline_trainset",
     "q_vocab_build", "q_length_trim", "q_dedup_report", "q_table_diff",
-    "q_retrieval_eval", "q_compaction_plan")
+    "q_retrieval_eval", "q_compaction_plan",
+    // BPE: replication multiplies every word count by f but leaves the vocab
+    // (and so the per-iteration work AND the learned merges) unchanged — the
+    // ladder should show the corpus-pass term growing and the 8 iterations
+    // flat
+    "q_bpe_learn", "q_bpe_encode")
   private val linearFactors = Seq(1, 10, 50, 100)
   private val dupHeavyFactors = Seq(1, 2, 5, 10)
 

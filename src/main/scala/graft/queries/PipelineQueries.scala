@@ -797,6 +797,48 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- extension: BPE TOKENIZER TRAINING — learn the first 8 merge
+    // rules over the corpus (the tokenizer-construction step of an LLM
+    // pipeline). The scale decomposition is the textbook one: ONE corpus
+    // pass builds the distinct-word frequency table, and every merge
+    // iteration after that runs over the Zipf-compressed vocab only — a
+    // pair-count aggregation (map-side combine) plus a 1-row driver argmax
+    // (bounded scalar, the k-means-iteration precedent). Merge application
+    // is a literal codegen `replace` on the double-space segmentation string
+    // — provably the exact greedy left-to-right BPE merge (fuzzed vs an
+    // independent array-walk reference in BpeSpec) — and DuckDB's `replace`
+    // has identical leftmost-non-overlapping semantics, so the oracle
+    // replays training end-to-end: tokenize → vocab → 8× (count pairs →
+    // argmax with cnt-desc/pair-asc tiebreak → merge).
+    "q_bpe_learn" -> QueryDef.sql(graft.text.Bpe.learnOracleSql(8)) { (s, d) =>
+      val merges = graft.text.Bpe.learn(
+        graft.text.Bpe.wordCounts(Tables.documents(s, d)), 8)
+      s.createDataFrame(merges).orderBy("merge_rank")
+    },
+
+    // ----- extension: BPE ENCODING under the learned merges — per-document
+    // character and token counts plus the compression ratio (the quantity a
+    // tokenizer-fertility dashboard tracks; q_fertility's complement, with
+    // the vocabulary LEARNED rather than fixed). Each DISTINCT word is
+    // encoded once (8 nested literal replaces, one codegen projection over
+    // the vocab) and equi-joined back to the token stream — the join's
+    // build side is the vocab, not the corpus, so AQE broadcasts it at any
+    // realistic vocab size and the full text never rides a shuffle. Counts
+    // are exact integers; the single ROUND(6) division matches the oracle.
+    "q_bpe_encode" -> QueryDef.sql(graft.text.Bpe.encodeOracleSql(8)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = graft.text.Bpe.wordCounts(docs)
+      val merges = graft.text.Bpe.learn(words, 8)
+      docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+        .join(graft.text.Bpe.encodeWords(words, merges), "word")
+        .groupBy("doc_id")
+        .agg(sum("w_chars").as("n_chars"), sum("w_toks").as("n_tokens"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("compression"))
+        .orderBy("doc_id")
+    },
+
     // ----- extension: type-token ratio per language — corpus-level lexical
     // diversity (the complement of per-doc repetition). One aggregation;
     // the distinct-token count is the same two-shuffle-safe shape as

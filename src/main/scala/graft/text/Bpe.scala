@@ -1,0 +1,175 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer TRAINING (merge-rule learning)
+  * and encoding — the tokenizer-construction step of an LLM data pipeline,
+  * beyond the reference surface (its pipelines consume a fixed vocabulary;
+  * reference `feature/Utils.scala` tokenizes but never learns merges).
+  *
+  * Scale shape (the textbook distributed-BPE decomposition):
+  *  - Training iterates over the DISTINCT-WORD frequency table, not the
+  *    corpus: one corpus pass builds (word, count) — a single map-side-
+  *    combined groupBy — and every merge iteration after that touches only
+  *    the Zipf-compressed vocabulary. At 100 TB the corpus is ~10^13 tokens
+  *    but the vocab is ~10^8 words: per-iteration work is corpus-independent.
+  *  - Each iteration = one pair-count aggregation (map-side combine) + a
+  *    1-row driver argmax (a bounded scalar, the k-means-iteration pattern).
+  *  - Merge application is a literal string `replace` — whole-stage codegen,
+  *    no UDF, no shuffle (a per-row projection over the persisted vocab).
+  *
+  * Segmentation representation (shared with the DuckDB oracle): a word's
+  * symbol list is one string, DOUBLE-space separated and double-space padded
+  * — `"  s1  s2  …  sk  "`. Applying merge (a, b) is then ONE literal
+  * `replace(seg, " a  b ", " ab ")`, and that single pass is EXACTLY the
+  * canonical greedy left-to-right BPE merge: adjacent occurrences each
+  * consume one space of the shared double-space boundary, so the scanner
+  * never skips an overlap (a single-space representation needs the pattern
+  * to consume the whole boundary and provably diverges on same-symbol runs
+  * ≥ 5 — fuzzed in BpeSpec against an independent array-walk reference, and
+  * the replacement restores the double-space invariant so merges compose).
+  * Both Spark's `StringReplace` and DuckDB's `replace` scan leftmost
+  * non-overlapping, so the oracle replays training bit-for-bit.
+  */
+object Bpe {
+
+  /** One learned merge rule: rank-th most frequent adjacent symbol pair at
+    * the time it was learned (count ties broken by ascending pair text). */
+  final case class Merge(merge_rank: Int, sym_left: String, sym_right: String,
+                         pair_cnt: Long)
+
+  /** `"  w o r d  "` — per-character symbols in the double-space form. */
+  def initialSeg(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", " $1 "), lit(" "))
+
+  /** Symbol array of a segmentation string (exact under the invariant:
+    * symbols are separated by exactly two spaces, padded by two). Defined
+    * for NONEMPTY words only — [[TextOps.tokens]] filters empty tokens, so
+    * every word reaching this module has ≥ 1 symbol. */
+  def symbols(seg: Column): Column = split(trim(seg), "  ")
+
+  /** Greedy left-to-right application of merge (left, right) — one codegen
+    * literal replace, see the object doc for why one pass is exact. */
+  def applyMerge(seg: Column, left: String, right: String): Column =
+    replace(seg, lit(s" $left  $right "), lit(s" $left$right "))
+
+  /** Adjacent symbol pairs as `"left right"` strings (symbols never contain
+    * spaces, so the single-space pair separator is unambiguous). Higher-order
+    * transform is interpreted, which is fine here by construction: pair
+    * extraction only ever runs over the vocab-sized word table. */
+  def pairsOf(seg: Column): Column = {
+    val sy = symbols(seg)
+    // the <2-symbol guard matters under ANSI: sequence(1, 0) DESCENDS, and
+    // element_at(sy, 0) then raises instead of returning null
+    when(size(sy) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(sy) - 1),
+        i => concat(element_at(sy, i), lit(" "), element_at(sy, i + 1))))
+  }
+
+  /** (word, wc) frequency table — the ONE corpus-scale pass of training. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Learn up to nMerges merge rules from a (word, wc) table. Per iteration:
+    * pair-count aggregation over the vocab + a 1-row collect (bounded driver
+    * scalar). The word table is persisted for the loop and unpersisted before
+    * returning (the result is a materialized Seq — nothing lazy escapes). */
+  def learn(words: DataFrame, nMerges: Int): Seq[Merge] = {
+    val w = words.persist()
+    try {
+      var seg = w.select(col("wc"), initialSeg(col("word")).as("seg"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      var done = false
+      while (out.size < nMerges && !done) {
+        val top = seg
+          .select(col("wc"), explode(pairsOf(col("seg"))).as("p"))
+          .groupBy("p").agg(sum("wc").as("cnt"))
+          .orderBy(desc("cnt"), asc("p"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val Array(a, b) = top(0).getString(0).split(" ", 2)
+          out += Merge(out.size + 1, a, b, top(0).getLong(1))
+          seg = seg.withColumn("seg", applyMerge(col("seg"), a, b))
+        }
+      }
+      out.toSeq
+    } finally { w.unpersist(); () }
+  }
+
+  /** (word, w_chars, w_toks): each distinct word encoded once — the merge
+    * list folds into ONE codegen projection (nMerges nested literal
+    * replaces), so encoding a 100 TB corpus is a vocab-table map plus an
+    * equi-join back to the token stream. */
+  def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val seg = merges.foldLeft(initialSeg(col("word")))(
+      (c, m) => applyMerge(c, m.sym_left, m.sym_right))
+    words.select(col("word"),
+      length(col("word")).cast("long").as("w_chars"),
+      size(symbols(seg)).cast("long").as("w_toks"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB CTE chain replaying training end-to-end: w/s0 (vocab + initial
+    * segmentation), then per merge k: pair counts pK, argmax mK (same
+    * cnt-desc/pair-asc tiebreak), merged segmentation sK via the identical
+    * double-space literal replace. `chr(1)` is the never-matching pattern
+    * that makes sK a no-op if fewer than k distinct pairs exist. */
+  def oracleCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w AS MATERIALIZED (SELECT word, COUNT(*) AS wc
+        |       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |             FROM documents) GROUP BY word),
+        | s0 AS MATERIALIZED (SELECT word, wc,
+        |          ' ' || regexp_replace(word, '(.)', ' \1 ', 'g') || ' ' AS seg
+        |        FROM w)""".stripMargin)
+    for (k <- 1 to nMerges) {
+      sb.append(s""",
+        | p$k AS MATERIALIZED (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+        |         FROM (SELECT wc, unnest(list_transform(range(1, len(sy)),
+        |                        i -> sy[i] || ' ' || sy[i+1])) AS pair
+        |               FROM (SELECT wc, string_split(trim(seg), '  ') AS sy FROM s${k - 1}))
+        |         GROUP BY pair),
+        | m$k AS MATERIALIZED (SELECT pair, cnt, string_split(pair, ' ')[1] AS a,
+        |                string_split(pair, ' ')[2] AS b
+        |         FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+        | s$k AS MATERIALIZED (SELECT word, wc,
+        |           replace(seg,
+        |             coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM m$k), chr(1)),
+        |             coalesce((SELECT ' ' || a || b || ' ' FROM m$k), chr(1))) AS seg
+        |         FROM s${k - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Full learn-query oracle: the merge table, rank-ordered. */
+  def learnOracleSql(nMerges: Int): String = {
+    val rows = (1 to nMerges).map(k =>
+      s"SELECT $k AS merge_rank, a AS sym_left, b AS sym_right, cnt AS pair_cnt FROM m$k")
+      .mkString("\n      UNION ALL ")
+    s"""WITH ${oracleCtes(nMerges)}
+      SELECT * FROM (
+      $rows)
+      ORDER BY merge_rank"""
+  }
+
+  /** Full encode-query oracle: per-document char/token counts + compression
+    * ratio under the learned merges (exact integer sums; one ROUND on the
+    * final exact-integer division, mirroring the Spark side). */
+  def encodeOracleSql(nMerges: Int): String =
+    s"""WITH ${oracleCtes(nMerges)},
+      enc AS (SELECT word, CAST(length(word) AS BIGINT) AS w_chars,
+                CAST(len(string_split(trim(seg), '  ')) AS BIGINT) AS w_toks
+              FROM s$nMerges),
+      tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              FROM documents)
+      SELECT t.doc_id, CAST(SUM(e.w_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(e.w_toks) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(e.w_chars) AS DOUBLE) / SUM(e.w_toks), 6) AS compression
+      FROM tok t JOIN enc e USING (word)
+      GROUP BY t.doc_id ORDER BY t.doc_id"""
+}

@@ -1,0 +1,109 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE training/encoding semantics ([[Bpe]]).
+  *
+  * The load-bearing claim is the merge-application one: a SINGLE literal
+  * `replace(" a  b ", " ab ")` on the double-space segmentation string is
+  * exactly the canonical greedy left-to-right BPE merge, and the invariant
+  * (symbols separated by exactly two spaces, double-space padded) survives
+  * every merge so merges compose. The fuzz below checks both against an
+  * independent array-walk reference — including the same-symbol-run cases
+  * (`aaaaa` + merge (a,a)) where the single-space representation provably
+  * diverges.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: canonical greedy left-to-right merge. */
+  private def greedy(seq: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < seq.length) {
+      if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += seq(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** Independent reference trainer: vocab-weighted pair counts, argmax with
+    * (count desc, "left right" asc) tiebreak, greedy application. */
+  private def refLearn(words: Map[String, Long], n: Int): List[(String, String, Long)] = {
+    var segs: Map[List[String], Long] =
+      words.groupMapReduce { case (w, _) => w.toList.map(_.toString) }(_._2)(_ + _)
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, c) <- segs; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x + " " + y) }
+        out += ((a, b, c))
+        segs = segs.groupMapReduce { case (s, _) => greedy(s, a, b) }(_._2)(_ + _)
+      }
+    }
+    out.toList
+  }
+
+  test("single-pass replace on the double-space form is exact greedy merge (fuzz)") {
+    val rnd = new scala.util.Random(42)
+    // include long same-symbol runs — the class where one-space forms diverge
+    // words are non-empty by construction everywhere (TextOps.tokens filters
+    // empty tokens) — the symbols() split is only defined for nonempty words
+    val words = (1 to 120).map { _ =>
+      val n = rnd.nextInt(11) + 1
+      (1 to n).map(_ => "abc" (rnd.nextInt(3))).mkString
+    } :+ "aaaaa" :+ "aaaaaa" :+ "ababababab"
+    var expected = words.map(w => w -> w.toList.map(_.toString)).toMap
+    var seg = words.toDF("word")
+      .select(col("word"), Bpe.initialSeg(col("word")).as("seg"))
+    for (_ <- 1 to 8) {
+      val syms = expected.values.flatten.toSeq.distinct.sorted
+      val a = syms(rnd.nextInt(syms.size))
+      val b = syms(rnd.nextInt(syms.size))
+      expected = expected.map { case (w, s) => w -> greedy(s, a, b) }
+      seg = seg.withColumn("seg", Bpe.applyMerge(col("seg"), a, b))
+      val got = seg.select(col("word"), Bpe.symbols(col("seg")))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(got === expected, s"after merge ($a,$b)")
+    }
+  }
+
+  test("learn matches an independent trainer on a classic corpus") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = corpus.mkString(" ")
+    val df = Seq((0L, docs)).toDF("doc_id", "text")
+    val merges = Bpe.learn(Bpe.wordCounts(df), 6)
+    val exp = refLearn(corpus.groupBy(identity).map { case (w, g) => w -> g.size.toLong }, 6)
+    assert(merges.map(m => (m.sym_left, m.sym_right, m.pair_cnt)) === exp)
+    assert(merges.map(_.merge_rank) === (1 to 6))
+  }
+
+  test("learn stops early when the vocabulary runs out of pairs") {
+    val df = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    // "ab": merge 1 = (a,b); then every word is a single symbol — no pairs
+    val merges = Bpe.learn(Bpe.wordCounts(df), 8)
+    assert(merges.map(m => (m.sym_left, m.sym_right)) === Seq(("a", "b")))
+  }
+
+  test("encodeWords: chars are exact, tokens shrink monotonically, never below 1") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val words = Bpe.wordCounts(docs)
+    val merges = Bpe.learn(words, 8)
+    assert(merges.size === 8)
+    val enc = Bpe.encodeWords(words, merges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(enc.nonEmpty)
+    for ((w, chars, toks) <- enc) {
+      assert(chars === w.length.toLong)
+      assert(toks >= 1L && toks <= chars)
+    }
+    // the 8 merges must compress SOMETHING on the real fixture
+    assert(enc.exists { case (_, chars, toks) => toks < chars })
+  }
+}
