@@ -810,9 +810,11 @@ object PipelineQueries {
     // has identical leftmost-non-overlapping semantics, so the oracle
     // replays training end-to-end: tokenize → vocab → 8× (count pairs →
     // argmax with cnt-desc/pair-asc tiebreak → merge).
+    // spread: the one corpus-scale pass (tokenize + word count) serializes
+    // on a single-row-group fixture; no-op on any well-split table
     "q_bpe_learn" -> QueryDef.sql(graft.text.Bpe.learnOracleSql(8)) { (s, d) =>
       val merges = graft.text.Bpe.learn(
-        graft.text.Bpe.wordCounts(Tables.documents(s, d)), 8)
+        graft.text.Bpe.wordCounts(Tables.spread(Tables.documents(s, d))), 8)
       s.createDataFrame(merges).orderBy("merge_rank")
     },
 
@@ -826,11 +828,22 @@ object PipelineQueries {
     // realistic vocab size and the full text never rides a shuffle. Counts
     // are exact integers; the single ROUND(6) division matches the oracle.
     "q_bpe_encode" -> QueryDef.sql(graft.text.Bpe.encodeOracleSql(8)) { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // spread: the tokenize/explode/join path over the corpus is the
+      // compute-heavy stage; single-row-group fixtures otherwise pin it to
+      // one task (measured 7.6 s at 10x vs 3.6 s at 50x on the ladder)
+      val docs = Tables.spread(Tables.documents(s, d))
       val words = graft.text.Bpe.wordCounts(docs)
       val merges = graft.text.Bpe.learn(words, 8)
+      // broadcast the VOCAB side explicitly: left to its own statistics,
+      // Spark estimated the exploded token stream below the aggregate-derived
+      // enc and broadcast the CORPUS side (BuildLeft over the Generate) —
+      // collecting millions of token rows to the driver; the ladder showed
+      // 11 s at 10x vs 2.4 s with the hint. With the hint the join is a
+      // map-side hash probe and nothing corpus-sized ever leaves an executor.
+      // (At an extreme web-scale vocab one would drop the hint and take the
+      // word-keyed shuffle join — the plan AQE already picks at 50x+.)
       docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
-        .join(graft.text.Bpe.encodeWords(words, merges), "word")
+        .join(broadcast(graft.text.Bpe.encodeWords(words, merges)), "word")
         .groupBy("doc_id")
         .agg(sum("w_chars").as("n_chars"), sum("w_toks").as("n_tokens"))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),

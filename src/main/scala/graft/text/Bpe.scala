@@ -75,7 +75,18 @@ object Bpe {
   /** Learn up to nMerges merge rules from a (word, wc) table. Per iteration:
     * pair-count aggregation over the vocab + a 1-row collect (bounded driver
     * scalar). The word table is persisted for the loop and unpersisted before
-    * returning (the result is a materialized Seq — nothing lazy escapes). */
+    * returning (the result is a materialized Seq — nothing lazy escapes).
+    *
+    * Plan-depth trade-off, stated honestly: iteration k's aggregation
+    * recomputes the segmentation from the persisted vocab through k nested
+    * literal replaces (O(nMerges²) total replace work, but each replace is a
+    * codegen scan of a short string over a vocab-sized frame). At the
+    * tokenizer-training scales this engine targets (tens of merges for
+    * corpus analytics) that beats materializing a new vocab-sized cache per
+    * iteration; a production trainer learning a 50k-merge vocabulary would
+    * instead persist each generation (or localCheckpoint to truncate
+    * lineage) and re-segment only the words containing the merged pair —
+    * the same aggregation shape, added bookkeeping, no semantic change. */
   def learn(words: DataFrame, nMerges: Int): Seq[Merge] = {
     val w = words.persist()
     try {
