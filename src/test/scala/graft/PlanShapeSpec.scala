@@ -78,6 +78,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** The BPE encode join must build on the VOCAB side (BuildRight — enc is
+    * the join's right side). Left to statistics, Spark broadcast the exploded
+    * token stream instead (BuildLeft over the Generate): both a Generate and
+    * a post-aggregate frame have fiction for size estimates, and the corpus
+    * side won — 2.5M token rows to the driver, 5× slower at 10× replication
+    * (SCALEPROBE r10). The explicit broadcast(enc) hint pins the build side;
+    * this guard keeps it pinned. */
+  test("q_bpe_encode broadcasts the vocab, never the token stream") {
+    val p = planOf("q_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), "BPE encode join is not broadcast")
+    assert(!p.contains("BuildLeft"),
+      "BPE encode broadcasts its LEFT (corpus/Generate) side")
+    assert(p.contains("BuildRight"), "BPE encode join lost its vocab build side")
+  }
+
   /** Aggregation queries must keep partial (map-side) aggregation — two
     * HashAggregate levels around the exchange. */
   test("partial aggregation present in q1_agg") {
