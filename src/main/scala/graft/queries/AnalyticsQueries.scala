@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.functions.Aggregators
 import graft.io.Tables
 import graft.text.TextOps
 import org.apache.spark.sql.expressions.Window
@@ -540,21 +541,50 @@ object AnalyticsQueries {
              COUNT(*) FILTER (WHERE rel AND rnk <= 10) AS hits_at_10,
              COUNT(*) FILTER (WHERE rel) AS n_rel
       FROM j GROUP BY q ORDER BY q""") { (s, d) =>
+      // No corpus-wide window (rewritten r10): ROW_NUMBER partitioned by the
+      // 3 query terms ran the rank as a 3-TASK global sort — the ladder
+      // showed the superlinear wall (1.5 s at 50×, 4.7 s at 100×: each
+      // term's partition sorts the whole match set on one core). Every
+      // reported metric is recoverable from BOUNDED aggregations instead:
+      //  - hits@10: TopKScored(10) partial aggregation, (tf desc, doc_id
+      //    asc) = its (score desc, id asc); the relevance bit rides the id's
+      //    PARITY (id = 2·doc_id + rel — order-preserving since doc_ids are
+      //    distinct within a term), so no post-join on the winners.
+      //  - first_rel_rank: 1 + |rows strictly better than the best relevant
+      //    row| — a struct-min ((−tf, doc_id) lexicographic) in the same
+      //    aggregation, then one counting pass against the 3-row broadcast.
+      //    Total order (doc_id tiebreak) ⇒ rank arithmetic is exact.
+      // Two 32-way aggregation passes replace one 3-way sort; nothing
+      // rank-materialized ever rides an exchange.
       val terms = Seq("join", "hash", "scan")
-      val tf = Tables.documents(s, d)
+      val docsT = Tables.documents(s, d)
+      val enriched = docsT
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
         .filter(col("t").isin(terms: _*))
         .groupBy(col("t").as("q"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
-      val w = Window.partitionBy("q").orderBy(desc("tf"), asc("doc_id"))
-      tf.withColumn("rnk", row_number().over(w).cast("long"))
-        .join(Tables.documents(s, d).select(col("doc_id"),
+        .join(docsT.select(col("doc_id"),
           (col("lang") === "en").as("rel")), "doc_id")
-        .groupBy("q")
-        .agg(count(lit(1)).as("n_ranked"),
-          coalesce(min(when(col("rel"), col("rnk"))), lit(0L)).as("first_rel_rank"),
-          count(when(col("rel") && col("rnk") <= 10, 1)).as("hits_at_10"),
-          count(when(col("rel"), 1)).as("n_rel"))
+      val key = struct((-col("tf")).as("ntf"), col("doc_id").as("bid"))
+      val best = enriched.groupBy("q").agg(
+        count(lit(1)).as("n_ranked"),
+        count(when(col("rel"), 1)).as("n_rel"),
+        min(when(col("rel"), key)).as("best"),
+        Aggregators.topKScored(10)(col("tf").cast("double"),
+          (col("doc_id") * 2 + when(col("rel"), 1).otherwise(0))
+            .cast("long")).as("top10"))
+      val better = enriched
+        .join(broadcast(best.select(col("q"), col("best"))), "q")
+        .filter(col("best").isNotNull && key < col("best"))
+        .groupBy("q").agg(count(lit(1)).as("n_better"))
+      best.join(better, Seq("q"), "left")
+        .select(col("q"), col("n_ranked"),
+          when(col("best").isNull, lit(0L))
+            .otherwise(coalesce(col("n_better"), lit(0L)) + 1L)
+            .as("first_rel_rank"),
+          size(filter(col("top10"), x => x.getField("_2") % 2 === 1))
+            .cast("long").as("hits_at_10"),
+          col("n_rel"))
         .orderBy("q")
     },
 

@@ -93,6 +93,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BuildRight"), "BPE encode join lost its vocab build side")
   }
 
+  /** Retrieval metrics must come from bounded aggregations: a Window node
+    * here means the rank runs as a #query-terms-task global sort again (3
+    * tasks at any corpus size — the r10 ladder's worst superlinear segment
+    * before the rewrite). */
+  test("q_retrieval_eval plans no window") {
+    val p = planOf("q_retrieval_eval")
+    assert(!p.contains("Window"), "retrieval rank regressed to a window sort")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "top-10 partial aggregation missing")
+  }
+
   /** Aggregation queries must keep partial (map-side) aggregation — two
     * HashAggregate levels around the exchange. */
   test("partial aggregation present in q1_agg") {
