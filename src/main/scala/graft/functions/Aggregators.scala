@@ -161,6 +161,36 @@ object Aggregators {
       ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** Bounded k-smallest-by-(string key, id) aggregation — the deterministic
+    * per-group sample / first-k-postings primitive. Keeps the k smallest
+    * (key, id) pairs under lexicographic (key asc, id asc); buffer is ≤ k
+    * entries, so the map-side partial is O(k) per partition and the merge is
+    * the order-respecting union-take — the bounded replacement for a
+    * ROW_NUMBER window whose partition key has FEW distinct values (a
+    * #groups-task global sort regardless of corpus size, the r10
+    * q_retrieval_eval lesson). finish() returns the pairs ordered. */
+  class BottomKByKey(k: Int) extends
+      Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+    require(k >= 1)
+    private val ord = Ordering.Tuple2[String, Long]
+    def zero: Seq[(String, Long)] = Seq.empty
+    def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] =
+      if (buf.size >= k && ord.lteq(buf.last, in)) buf
+      else (buf :+ in).sorted(ord).take(k)
+    def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf.sorted(ord)
+    def bufferEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** Column function: the k smallest (key, id) pairs per group, key asc /
+    * id asc. */
+  def bottomKByKey(k: Int): UserDefinedFunction =
+    udaf(new BottomKByKey(k), ExpressionEncoder[(String, Long)]())
+
   /** Column function: ids of the k largest scores per group, score desc /
     * id asc. Input: struct(score double, id long). */
   def topK(k: Int): UserDefinedFunction =

@@ -429,18 +429,22 @@ object AnalyticsQueries {
       GROUP BY dfreq.t, dfreq.df ORDER BY term""") { (s, d) =>
       // per-doc token dedup is map-side (array_distinct before the explode):
       // the posting set is a per-row set, so no (doc_id, t) exchange is
-      // needed to deduplicate it (r10 — the q_winnow_neardup rationale)
-      val tok = Tables.documents(s, d)
+      // needed to deduplicate it (r10 — the q_winnow_neardup rationale).
+      // The first-5 postings come from a BOUNDED topK partial aggregation
+      // (score = −doc_id ⇒ doc_id-ascending; exact, ids ≪ 2^53), not a
+      // per-term ROW_NUMBER window: under Zipf the hottest term's window
+      // partition is corpus-sized and sorts on ONE task, while the topK
+      // buffer is 5 entries per partition regardless of df (r10 rewrite).
+      // One aggregation also subsumes the old dfreq+survivors rejoin.
+      Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(TextOps.tokens(col("text")))).as("t"))
-      val w = Window.partitionBy("t").orderBy("doc_id")
-      val r = tok.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-      dfreq.join(r, "t")
-        .groupBy(col("t").as("term"), col("df"))
-        .agg(array_join(
-          transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
-          ",").as("postings"))
+        .groupBy(col("t").as("term"))
+        .agg(count(lit(1)).as("df"),
+          Aggregators.topK(5)((-col("doc_id")).cast("double"), col("doc_id"))
+            .as("top"))
+        .select(col("term"), col("df"),
+          array_join(transform(col("top"), _.cast("string")), ",").as("postings"))
         .orderBy("term")
     },
 
@@ -597,11 +601,19 @@ object AnalyticsQueries {
                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                  FROM documents)
       SELECT doc_id, lang, rn FROM r WHERE rn <= 3 ORDER BY lang, rn""") { (s, d) =>
-      val w = Window.partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      // bounded bottomKByKey aggregation, not a per-lang ROW_NUMBER window:
+      // with a handful of languages the window is a #langs-task global sort
+      // of the corpus; the bottom-k buffer is 3 (md5, id) pairs per
+      // partition. Full-md5 string ordering — identical to the window's
+      // ORDER BY — so the sample is exact, not hash-prefix-approximate.
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
-        .filter(col("rn") <= 3)
+        .groupBy("lang")
+        .agg(Aggregators.bottomKByKey(3)(
+          md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+          .as("bot"))
+        .select(col("lang"), posexplode(col("bot")).as(Seq("pos", "p")))
+        .select(col("p").getField("_2").as("doc_id"), col("lang"),
+          (col("pos") + 1).cast("long").as("rn"))
         .orderBy("lang", "rn")
     },
 

@@ -104,6 +104,15 @@ class PlanShapeSpec extends SparkSpec {
       "top-10 partial aggregation missing")
   }
 
+  /** Same class: per-term postings (Zipf-hot partitions) and per-lang samples
+    * (a #langs-task sort) must stay bounded aggregations, never windows. */
+  test("q_inverted_index / q_sample_pergroup plan no window") {
+    for (q <- Seq("q_inverted_index", "q_sample_pergroup")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q regressed to a window sort")
+    }
+  }
+
   /** Aggregation queries must keep partial (map-side) aggregation — two
     * HashAggregate levels around the exchange. */
   test("partial aggregation present in q1_agg") {

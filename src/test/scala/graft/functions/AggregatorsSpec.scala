@@ -133,4 +133,33 @@ class AggregatorsSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
     assert(got == expected)
   }
+
+  test("bottomKByKey equals the window form across partitions (md5-race shape)") {
+    // 8 partitions force real partial/merge paths; the md5 key reproduces
+    // the q_sample_pergroup hash-race ordering exactly (full string compare)
+    val df = spark.range(0, 4000).repartition(8)
+      .select((col("id") % 5).cast("string").as("g"),
+        md5(col("id").cast("string").cast("binary")).as("h"),
+        col("id").as("id"))
+    val got = df.groupBy("g")
+      .agg(Aggregators.bottomKByKey(3)(col("h"), col("id")).as("bot"))
+      .as[(String, Seq[(String, Long)])].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("h").asc, col("id").asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).orderBy("g", "rn")
+      .as[(String, String, Long, Int)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+    assert(got == expected)
+    assert(got.values.forall(v => v.length == 3 && v == v.sorted))
+  }
+
+  test("bottomKByKey with fewer rows than k returns all, ordered") {
+    val df = Seq(("a", "zz", 1L), ("a", "aa", 2L), ("b", "mm", 3L))
+      .toDF("g", "h", "id")
+    val got = df.groupBy("g")
+      .agg(Aggregators.bottomKByKey(5)(col("h"), col("id")).as("bot"))
+      .as[(String, Seq[(String, Long)])].collect().toMap
+    assert(got == Map("a" -> Seq(("aa", 2L), ("zz", 1L)), "b" -> Seq(("mm", 3L))))
+  }
 }
