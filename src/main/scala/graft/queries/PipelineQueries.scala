@@ -852,6 +852,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- §2.13 STREAMING twin of q_bpe_encode: the merge rules are PINNED
+    // (learned once from the batch corpus — tokenizer training is batch by
+    // nature), and each micro-batch encodes its documents with a pure
+    // narrow map: whole-doc segmentation + 8 codegen literal replaces + one
+    // split (Bpe.docTokenCount — no vocab join, no state, merges provably
+    // never cross the ≥3-space word boundaries). Stateless per-row ⇒ batch
+    // boundaries cancel, so the BATCH oracle replays the streamed output
+    // bit-for-bit.
+    "q_stream_bpe_encode" -> QueryDef.sql(graft.text.Bpe.encodeOracleSql(8)) { (s, d) =>
+      import graft.streaming.Streaming
+      val merges = graft.text.Bpe.learn(
+        graft.text.Bpe.wordCounts(Tables.spread(Tables.documents(s, d))), 8)
+      val enc = Streaming.docStream(s, d)
+        .filter(size(TextOps.tokens(col("text"))) > 0)
+        .select(col("doc_id"),
+          length(translate(col("text"), " ", "")).cast("long").as("n_chars"),
+          graft.text.Bpe.docTokenCount(col("text"), merges).as("n_tokens"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("compression"))
+      Streaming.replayToTable(enc, s"stream_bpe_encode_${System.nanoTime()}",
+        mode = "append")
+        .orderBy("doc_id")
+    }.serial,
+
     // ----- extension: type-token ratio per language — corpus-level lexical
     // diversity (the complement of per-doc repetition). One aggregation;
     // the distinct-token count is the same two-shuffle-safe shape as

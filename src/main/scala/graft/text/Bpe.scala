@@ -122,6 +122,30 @@ object Bpe {
       size(symbols(seg)).cast("long").as("w_toks"))
   }
 
+  /** Whole-DOCUMENT segmentation: every character spaced out, so original
+    * word-separator spaces widen to runs of ≥ 3 spaces between words while
+    * symbols inside a word keep the exact-two-space invariant. A merge
+    * pattern `" a  b "` requires EXACTLY two spaces between its symbols, so
+    * merges apply within words and provably never across a boundary —
+    * whole-doc encoding ≡ per-word encoding (fuzzed in BpeSpec). */
+  def docSeg(text: Column): Column =
+    concat(lit(" "), regexp_replace(text, "(.)", " $1 "), lit(" "))
+
+  /** Post-merge token count of a whole document under a pinned merge list —
+    * a PURE NARROW MAP (nMerges codegen literal replaces + one split), no
+    * vocab join, no shuffle, no state: the shape a stateless streaming
+    * encoder wants. The boundary gaps are variable-width (≥ 3 spaces), so
+    * symbols split on runs of spaces rather than the exact two-space form.
+    * Trade-off vs [[encodeWords]]: the join form amortizes merge work over
+    * DISTINCT words (wins at large merge counts); this form re-merges every
+    * occurrence but touches nothing but the row (wins when stateless
+    * per-row processing is the point). */
+  def docTokenCount(text: Column, merges: Seq[Merge]): Column = {
+    val seg = merges.foldLeft(docSeg(text))(
+      (c, m) => applyMerge(c, m.sym_left, m.sym_right))
+    size(split(trim(seg), " +")).cast("long")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB CTE chain replaying training end-to-end: w/s0 (vocab + initial

@@ -91,6 +91,32 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.sym_left, m.sym_right)) === Seq(("a", "b")))
   }
 
+  test("whole-document encode equals per-word encode (merges never cross word boundaries)") {
+    val rnd = new scala.util.Random(7)
+    // a/b-heavy corpus so same-symbol merges and repeated adjacent words
+    // (the boundary-crossing hazard cases) actually occur
+    val docs = (1 to 60).map { i =>
+      val words = (1 to rnd.nextInt(6) + 1).map(_ =>
+        (1 to rnd.nextInt(8) + 1).map(_ => "ab" (rnd.nextInt(2))).mkString)
+      (i.toLong, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.learn(Bpe.wordCounts(df), 6)
+    assert(merges.nonEmpty)
+    val got = df.select(col("doc_id"),
+        Bpe.docTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def encWord(w: String): Long = {
+      var s = w.toList.map(_.toString)
+      for (m <- merges) s = greedy(s, m.sym_left, m.sym_right)
+      s.length.toLong
+    }
+    val exp = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).map(encWord).sum
+    }.toMap
+    assert(got === exp)
+  }
+
   test("encodeWords: chars are exact, tokens shrink monotonically, never below 1") {
     val docs = graft.io.Tables.documents(spark, sfDir)
     val words = Bpe.wordCounts(docs)
