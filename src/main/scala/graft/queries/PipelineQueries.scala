@@ -1098,25 +1098,39 @@ object PipelineQueries {
       ORDER BY d.doc_id""") { (s, d) =>
       // NOT spread (measured r10): unlike winnowing, the window-md5 stage is
       // cheap enough that Tables.spread's exchange cost exceeded the
-      // parallelism gain at sf0.1 (0.26→0.39 s) — reverted on measurement
-      val win = Tables.documents(s, d)
+      // parallelism gain at sf0.1 (0.26→0.39 s) — reverted on measurement.
+      //
+      // Subtraction shape (r10 rewrite): the old plan joined the FULL
+      // window-hash stream back to the shared-hash set — the largest
+      // intermediate in the ladder (12.6 s at 100×, α=0.71). Neither the
+      // join nor the countDistinct expand is needed:
+      //  - n_windows is ARITHMETIC: max(len(tokens) − 19, 0), no explode;
+      //  - n_shared = n_windows − |occurrences of single-doc hashes|, and a
+      //    hash with nd == 1 attributes ALL its occurrences to min(doc_id)
+      //    in the same aggregation row — so attribution needs no join-back.
+      // The hash stream is touched by exactly two map-side-combined
+      // aggregations, keyed on the 16-byte unhex(md5) (same equality as the
+      // oracle's hex md5, half the shuffle bytes); the hash never rides a
+      // join.
+      val docsT = Tables.documents(s, d)
+      val nw = docsT.select(col("doc_id"),
+        greatest(size(TextOps.tokens(col("text"))) - 19, lit(0))
+          .cast("long").as("n_windows"))
+      val win = docsT
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
         .withColumn("i", explode(when(size(col("t")) >= 20,
           sequence(lit(1), size(col("t")) - 19)).otherwise(array().cast("array<int>"))))
         .select(col("doc_id"),
-          md5(array_join(slice(col("t"), col("i"), lit(20)), " ")
-            .cast("binary")).as("w"))
-      val shared = win.groupBy("w").agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") >= 2).select(col("w"), lit(1L).as("hit"))
-      val per = win.join(shared, Seq("w"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_windows"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
-      Tables.documents(s, d).select("doc_id")
-        .join(per, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+          unhex(md5(array_join(slice(col("t"), col("i"), lit(20)), " ")
+            .cast("binary"))).as("w"))
+      val uniq = win.groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("w").agg(count(lit(1)).as("nd"),
+          min(col("doc_id")).as("doc_id"), sum(col("c")).as("ctot"))
+        .filter(col("nd") === 1)
+        .groupBy("doc_id").agg(sum("ctot").as("n_uniq"))
+      nw.join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          (col("n_windows") - coalesce(col("n_uniq"), lit(0L))).as("n_shared"))
         .orderBy("doc_id")
     },
 
