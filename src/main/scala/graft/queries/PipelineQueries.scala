@@ -784,16 +784,38 @@ object PipelineQueries {
       SELECT doc_id, n_bi, n_rare,
              ROUND(CAST(n_rare AS DOUBLE) / n_bi, 6) AS rare_frac
       FROM per ORDER BY doc_id""") { (s, d) =>
-      val bi = Tables.documents(s, d)
+      // Attribution shape (r10, the q_substring_dedup lesson): the old plan
+      // joined EVERY bigram occurrence back to the corpus counts. Neither
+      // side needs it: n_bi is ARITHMETIC (len(tokens) − 1), and a RARE
+      // gram (corpus count < 3) has ≤ 2 occurrences over ≤ 2 docs, so its
+      // per-doc attribution fits inside ONE per-gram aggregation row with
+      // just (count, min_doc, max_doc): min==max ⇒ all ctot occurrences in
+      // that doc; min≠max ⇒ one occurrence in each. The gram stream feeds a
+      // single aggregation keyed by the gram alone — full map-side combine
+      // (the shuffle carries distinct-grams-per-partition, not occurrences)
+      // — and only the ≤2-row-per-rare-gram attribution frame is
+      // reshuffled. No countDistinct, no join on the occurrence stream.
+      val docsT = Tables.documents(s, d)
+      val base = docsT.select(col("doc_id"),
+          (size(TextOps.tokens(col("text"))) - 1).cast("long").as("n_bi"))
+        .filter(col("n_bi") >= 1)
+      val rare = docsT
         .select(col("doc_id"),
           explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("g"))
-      val cnt = bi.groupBy("g").agg(count(lit(1)).as("c"))
-      bi.join(cnt, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bi"),
-          count(when(col("c") < 3, 1)).as("n_rare"))
-        .select(col("doc_id"), col("n_bi"), col("n_rare"),
-          round(col("n_rare").cast("double") / col("n_bi"), 6).as("rare_frac"))
+        .groupBy("g").agg(count(lit(1)).as("ctot"),
+          min("doc_id").as("d0"), max("doc_id").as("d1"))
+        .filter(col("ctot") < 3)
+        .select(explode(when(col("d0") === col("d1"),
+            array(struct(col("d0").as("doc_id"), col("ctot").as("r"))))
+          .otherwise(array(struct(col("d0").as("doc_id"), lit(1L).as("r")),
+            struct(col("d1").as("doc_id"), lit(1L).as("r"))))).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.r").as("r"))
+        .groupBy("doc_id").agg(sum("r").as("n_rare"))
+      base.join(rare, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bi"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+          round(coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_bi"), 6)
+            .as("rare_frac"))
         .orderBy("doc_id")
     },
 
