@@ -97,7 +97,10 @@ object AnalyticsQueries {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("t").agg(countDistinct("doc_id").as("df"))
+      // df from the tf frame (one row per (doc, term)), not a countDistinct
+      // over the raw token stream: identical values, no distinct expand, and
+      // Catalyst reuses tf's exchange so occurrences aggregate exactly once
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
       tf.join(broadcast(df), "t")
