@@ -113,6 +113,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** The subtraction-shaped dedup scores must keep their aggregation-only
+    * hash paths: an Expand node is the countDistinct marker (the two-phase
+    * distinct expand both rewrites removed), and q_substring_dedup's only
+    * join is the small per-doc left join — the window-hash stream itself
+    * must never ride one (it was the ladder's largest intermediate). */
+  test("q_substring_dedup / q_rare_bigram plan no distinct expand") {
+    for (q <- Seq("q_substring_dedup", "q_rare_bigram")) {
+      val p = planOf(q)
+      assert(!p.contains("Expand"), s"$q regressed to a countDistinct expand")
+      assert(!p.contains("Window"), s"$q plans a window")
+    }
+  }
+
   /** Aggregation queries must keep partial (map-side) aggregation — two
     * HashAggregate levels around the exchange. */
   test("partial aggregation present in q1_agg") {
