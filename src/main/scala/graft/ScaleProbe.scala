@@ -32,7 +32,10 @@ object ScaleProbe {
     // (and so the per-iteration work AND the learned merges) unchanged — the
     // ladder should show the corpus-pass term growing and the 8 iterations
     // flat
-    "q_bpe_learn", "q_bpe_encode")
+    "q_bpe_learn", "q_bpe_encode",
+    // r10 window-audit rewrites: rows measure the bounded-aggregation forms
+    // (per-term topK postings; per-lang bottom-k sample)
+    "q_inverted_index", "q_sample_pergroup")
   private val linearFactors = Seq(1, 10, 50, 100)
   private val dupHeavyFactors = Seq(1, 2, 5, 10)
 
