@@ -1156,6 +1156,67 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- extension: EXACT-SUBSTRING REMOVAL SPANS — the second half of
+    // Lee et al.'s ExactSubstr dedup: q_substring_dedup SCORES documents;
+    // this query emits, per document, the MERGED duplicate-span intervals a
+    // removal pass would cut — span count and covered-token total over the
+    // union of all 20-token windows whose hash occurs in another document.
+    // Because every window has the SAME length and per-doc starts arrive
+    // sorted, interval merging is PAIRWISE arithmetic: consecutive starts
+    // s_j, s_{j+1} belong to one merged span iff s_{j+1} − s_j ≤ 20, so
+    // n_spans = 1 + |gaps| and covered = 20·n_spans + Σ(within-span diffs)
+    // — exact integers over a per-doc array, identical list arithmetic in
+    // DuckDB. Shape: shared-hash detection is the min≠max aggregation (no
+    // countDistinct); recovering POSITIONS genuinely needs the occurrence
+    // stream joined to the shared-hash set — the honest shuffled equi-join
+    // (unlike the scoring query, which subtraction freed of it) — then one
+    // per-doc aggregation whose state is bounded by document length.
+    "q_substring_spans" -> QueryDef.sql("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+                    FROM documents),
+      win AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 18, 1))) AS i, t
+              FROM toks),
+      wh AS (SELECT doc_id, i, md5(array_to_string(t[i:i+19], ' ')) AS w FROM win),
+      sh AS (SELECT w FROM (SELECT w, MIN(doc_id) AS a, MAX(doc_id) AS b
+                            FROM wh GROUP BY w) WHERE a <> b),
+      per AS (SELECT doc_id, list_sort(list(i)) AS a FROM wh
+              WHERE w IN (SELECT w FROM sh) GROUP BY doc_id),
+      c AS (SELECT doc_id, len(a) AS n_shared_windows,
+                   list_transform(range(2, len(a) + 1), j -> a[j] - a[j-1]) AS d
+            FROM per)
+      SELECT doc_id, CAST(n_shared_windows AS BIGINT) AS n_shared_windows,
+             CAST(1 + len(list_filter(d, x -> x > 20)) AS BIGINT) AS n_spans,
+             CAST(20 * (1 + len(list_filter(d, x -> x > 20)))
+                  + COALESCE(list_sum(list_filter(d, x -> x <= 20)), 0)
+               AS BIGINT) AS covered_tokens
+      FROM c ORDER BY doc_id""") { (s, d) =>
+      val wh = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("i", explode(when(size(col("t")) >= 20,
+          sequence(lit(1), size(col("t")) - 19)).otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), col("i"),
+          unhex(md5(array_join(slice(col("t"), col("i"), lit(20)), " ")
+            .cast("binary"))).as("w"))
+      val sh = wh.groupBy("w")
+        .agg(min("doc_id").as("a"), max("doc_id").as("b"))
+        .filter(col("a") =!= col("b")).select("w")
+      val per = wh.join(sh, "w")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("i"))).as("a"))
+      val dcol = zip_with(
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+        slice(col("a"), lit(1), greatest(size(col("a")) - 1, lit(0))),
+        (x, y) => x - y)
+      val gaps = size(filter(dcol, x => x > 20))
+      val within = aggregate(filter(dcol, x => x <= 20),
+        lit(0), (acc, x) => acc + x)
+      per.select(col("doc_id"),
+          size(col("a")).cast("long").as("n_shared_windows"),
+          (gaps + 1).cast("long").as("n_spans"),
+          (lit(20) * (gaps + 1) + within).cast("long").as("covered_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ----- extension: TOKEN-BUDGET SAMPLING — the data-mixing step after
     // quality scoring: within each source, take documents in quality order
     // (longest first, id tiebreak) until the source's token budget is
