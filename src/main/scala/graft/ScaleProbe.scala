@@ -35,7 +35,11 @@ object ScaleProbe {
     "q_bpe_learn", "q_bpe_encode",
     // r10 window-audit rewrites: rows measure the bounded-aggregation forms
     // (per-term topK postings; per-lang bottom-k sample)
-    "q_inverted_index", "q_sample_pergroup")
+    "q_inverted_index", "q_sample_pergroup",
+    // removal spans: the occurrence⋈shared-hash join grows with the
+    // duplication rate — the row prices the honest join the scoring query
+    // avoids
+    "q_substring_spans")
   private val linearFactors = Seq(1, 10, 50, 100)
   private val dupHeavyFactors = Seq(1, 2, 5, 10)
 
