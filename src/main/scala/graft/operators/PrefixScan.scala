@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed two-phase prefix scan — the running-sum primitive whose
+  * window form (`SUM OVER (PARTITION BY group ORDER BY ...)`) serializes on
+  * ONE task per group: with a handful of groups (data sources, shards) that
+  * is a #groups-task global sort no matter how large the corpus. The scan
+  * computes the IDENTICAL exact integer result with parallelism bounded by
+  * the partition count instead:
+  *
+  *  1. range-partition + sort by (group, order...) — a total order in which
+  *     each group occupies a CONTIGUOUS run of partitions;
+  *  2. pass 1: per partition, per group, the local value total — at most
+  *     (#partitions + #groups) boundary entries BECAUSE of that contiguity,
+  *     a bounded driver scalar (the k-means-argmax precedent);
+  *  3. driver: per (partition, group), the offset = that group's totals in
+  *     earlier partitions — broadcast;
+  *  4. pass 2: per partition, a sequential local running sum seeded by the
+  *     broadcast offset. Per-partition imperative iteration is exactly the
+  *     case the RDD escape hatch exists for: no per-row lambda can carry
+  *     running state through Catalyst.
+  *
+  * Exactness: the running sum is a function of the TOTAL ORDER and exact
+  * Long arithmetic only — range-boundary sampling moves partition borders,
+  * never values — so the scan is bit-identical to the window form (fuzzed
+  * against it in PrefixScanSpec) and the DuckDB oracles need no change.
+  *
+  * Lifecycle: the sorted frame persists across the two passes (pass 1's
+  * collect materializes it); the returned frame reads those cached blocks,
+  * so the cache is caller-owned — the MinHashDedup/LshJoins convention.
+  * Group keys must be non-null.
+  */
+object PrefixScan {
+
+  /** EXCLUSIVE per-group running sum of `valueCol` (a Long column) over rows
+    * ordered by `orderCols` within `groupCol`, appended as `outCol`. Row set
+    * and all other columns pass through unchanged (output row order is
+    * whatever the scan's partitioning yields — add a presentation sort
+    * downstream if one is needed). */
+  def exclusivePrefixSum(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+                         valueCol: String, outCol: String,
+                         numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism
+    val keys = org.apache.spark.sql.functions.col(groupCol) +: orderCols
+    val sorted = df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schema = sorted.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val vIdx = schema.fieldIndex(valueCol)
+
+    // pass 1: ordered (group, localTotal) runs per partition
+    val totals: Array[(Int, Seq[(Any, Long)])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+        var cur: Any = null
+        var sum = 0L
+        var has = false
+        it.foreach { r =>
+          val k = r.get(gIdx)
+          if (!has || k != cur) {
+            if (has) runs += ((cur, sum))
+            cur = k; sum = 0L; has = true
+          }
+          sum += r.getLong(vIdx)
+        }
+        if (has) runs += ((cur, sum))
+        Iterator.single((pid, runs.toSeq))
+      }.collect()
+
+    // driver: per (partition, group) the sum of the group's totals in all
+    // EARLIER partitions (groups are contiguous, so linear in the entries)
+    val cumulative = scala.collection.mutable.Map.empty[Any, Long]
+    val offsets = scala.collection.mutable.Map.empty[(Int, Any), Long]
+    for ((pid, runs) <- totals.sortBy(_._1); (g, t) <- runs) {
+      val prior = cumulative.getOrElse(g, 0L)
+      offsets((pid, g)) = prior
+      cumulative(g) = prior + t
+    }
+    val bc = spark.sparkContext.broadcast(offsets.toMap)
+
+    // pass 2: local running sum seeded by the broadcast offset
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Any = null
+      var run = 0L
+      var has = false
+      it.map { r =>
+        val k = r.get(gIdx)
+        if (!has || k != cur) {
+          cur = k; run = bc.value.getOrElse((pid, k), 0L); has = true
+        }
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rows, schema.add(outCol, LongType, nullable = false))
+  }
+}

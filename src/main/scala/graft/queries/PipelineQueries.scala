@@ -358,12 +358,16 @@ object PipelineQueries {
              CAST(FLOOR(cum / 256.0) AS BIGINT) AS bin,
              CAST(cum % 256 AS BIGINT) AS off
       FROM c ORDER BY source, doc_id""") { (s, d) =>
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      // distributed two-phase prefix scan, not a per-source window (r10):
+      // the window form serializes each source's running sum on ONE task —
+      // a #sources-task wall at any corpus size. PrefixScan computes the
+      // bit-identical exclusive sums with parallelism = partition count
+      // (range-sort, per-partition totals, broadcast offsets, local scan).
+      val t = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+      graft.operators.PrefixScan
+        .exclusivePrefixSum(t, "source", Seq(col("doc_id")), "n_tok", "cum")
         .select(col("doc_id"), col("source"), col("n_tok"),
           floor(col("cum") / 256.0).as("bin"),
           (col("cum") % 256).as("off"))
@@ -1236,15 +1240,18 @@ object PipelineQueries {
             FROM t)
       SELECT source, doc_id, CAST(tok AS BIGINT) AS tok, cum
       FROM w WHERE cum - tok < 800 ORDER BY source, doc_id""") { (s, d) =>
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      // two-phase prefix scan instead of the per-source window (r10, same
+      // rationale as q_seq_packing): the inclusive running sum is the
+      // exclusive scan + the row's own tok, bit-identical to the window.
+      val t = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"),
           TextOps.tokenCount(col("text")).cast("long").as("tok"))
-        .withColumn("cum", sum("tok").over(w))
-        .filter(col("cum") - col("tok") < 800)
-        .select("source", "doc_id", "tok", "cum")
+      graft.operators.PrefixScan
+        .exclusivePrefixSum(t, "source",
+          Seq(col("n_chars").desc, col("doc_id").asc), "tok", "excl")
+        .filter(col("excl") < 800)
+        .select(col("source"), col("doc_id"), col("tok"),
+          (col("excl") + col("tok")).as("cum"))
         .orderBy("source", "doc_id")
     },
 

@@ -126,6 +126,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** The per-source running sums run on the two-phase PrefixScan; a Window
+    * node here means the scan regressed to the #sources-task form. */
+  test("q_seq_packing / q_token_budget plan no per-source window") {
+    for (q <- Seq("q_seq_packing", "q_token_budget")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q regressed to a window scan")
+    }
+  }
+
   /** Aggregation queries must keep partial (map-side) aggregation — two
     * HashAggregate levels around the exchange. */
   test("partial aggregation present in q1_agg") {

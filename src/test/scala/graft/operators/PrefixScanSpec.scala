@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[PrefixScan.exclusivePrefixSum]] must be bit-identical to the window
+  * form it replaces — same values under asc and desc orderings, with groups
+  * forced to SPAN partitions (the case the two-phase offset handoff exists
+  * for), including a single-group input (the degenerate all-one-partition
+  * window). */
+class PrefixScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowForm(df: org.apache.spark.sql.DataFrame,
+                         order: Seq[org.apache.spark.sql.Column]) = {
+    val w = Window.partitionBy("g").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum", coalesce(sum("v").over(w), lit(0L)))
+  }
+
+  test("equals the window form across spanning partitions (fuzz, asc)") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 3000).map(i =>
+        (s"src${rnd.nextInt(3)}", i.toLong, rnd.nextInt(100).toLong))
+      .toDF("g", "id", "v")
+    val got = PrefixScan.exclusivePrefixSum(df, "g", Seq(col("id")),
+        "v", "cum", numPartitions = 7)
+      .select("g", "id", "cum").as[(String, Long, Long)].collect()
+      .map { case (g, id, c) => (g, id) -> c }.toMap
+    val exp = windowForm(df, Seq(col("id")))
+      .select("g", "id", "cum").as[(String, Long, Long)].collect()
+      .map { case (g, id, c) => (g, id) -> c }.toMap
+    assert(got.size === 3000)
+    assert(got === exp)
+  }
+
+  test("equals the window form under a desc/tiebreak ordering") {
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 1200).map(i =>
+        (s"s${rnd.nextInt(4)}", i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(50).toLong))
+      .toDF("g", "id", "k", "v")
+    val order = Seq(col("k").desc, col("id").asc)
+    val got = PrefixScan.exclusivePrefixSum(df, "g", order, "v", "cum",
+        numPartitions = 5)
+      .select("g", "id", "cum").as[(String, Long, Long)].collect()
+      .map { case (g, id, c) => (g, id) -> c }.toMap
+    val exp = windowForm(df, order)
+      .select("g", "id", "cum").as[(String, Long, Long)].collect()
+      .map { case (g, id, c) => (g, id) -> c }.toMap
+    assert(got === exp)
+  }
+
+  test("single group spans every partition") {
+    val df = (1 to 500).map(i => ("only", i.toLong, 1L)).toDF("g", "id", "v")
+    val got = PrefixScan.exclusivePrefixSum(df, "g", Seq(col("id")), "v", "cum",
+        numPartitions = 6)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert((1 to 500).forall(i => got(i.toLong) == (i - 1).toLong))
+  }
+}
