@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction planning — the table-maintenance pass that turns a
@@ -9,7 +8,7 @@ import org.apache.spark.sql.functions._
   * approximately `targetBytes` each. At 100 TB the small-file problem IS the
   * scan-performance problem (a million 1 MB files cost more in task setup
   * and footer reads than the data itself), and the planning step must itself
-  * be distributed: this one is a single window pass over the inventory.
+  * be distributed: this one is a prefix scan over the inventory.
   *
   * Packing rule: within each table partition, files are laid out in a
   * deterministic order and assigned to bin floor(prefix / target), where
@@ -19,11 +18,12 @@ import org.apache.spark.sql.functions._
   * partitions, and the assignment is replayable (same inventory + order →
   * same plan) so a retried planning job emits identical rewrite groups.
   *
-  * Scale shape: ONE shuffle on the partition column (the window), no
-  * self-join, no driver-side loop; the inventory rows are (path, bytes)
-  * pairs — never data. Skewed partitions (many files) stay a single window
-  * state per partition, which is exactly the constraint a real compactor
-  * has anyway (its rewrite groups cannot span partitions).
+  * Scale shape: the running sum rides the two-phase distributed
+  * [[PrefixScan]] (r10) rather than a per-partition window — bit-identical
+  * prefix bytes, but a skewed table partition (millions of files) scans in
+  * parallel across data partitions instead of serializing on one window
+  * task. No self-join, no driver-side loop beyond the scan's bounded
+  * offset collect; the inventory rows are (path, bytes) pairs — never data.
   */
 object Compaction {
 
@@ -33,11 +33,10 @@ object Compaction {
   def plan(files: DataFrame, partCol: String, sizeCol: Column,
            orderCol: Column, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val w = Window.partitionBy(partCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    files
-      .withColumn("prefix_bytes",
-        coalesce(sum(sizeCol.cast("long")).over(w), lit(0L)))
+    PrefixScan.exclusivePrefixSum(
+        files.withColumn("__bytes", sizeCol.cast("long")),
+        partCol, Seq(orderCol), "__bytes", "prefix_bytes")
+      .drop("__bytes")
       .withColumn("bin", floor(col("prefix_bytes") / targetBytes))
   }
 
