@@ -172,7 +172,21 @@ object Aggregators {
   class BottomKByKey(k: Int) extends
       Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
     require(k >= 1)
-    private val ord = Ordering.Tuple2[String, Long]
+    // keys compare as UNSIGNED UTF-8 BYTES — the ordering Spark's UTF8String
+    // (and DuckDB's default collation) give a string ORDER BY. Scala's
+    // String ordering compares UTF-16 code units, which disagrees beyond the
+    // BMP (U+10000 sorts before U+FFFF in UTF-16, after it in UTF-8), so a
+    // window replaced by this aggregator would silently return a different
+    // k-smallest set on supplementary-plane keys.
+    private val keyOrd: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+    }
+    private val ord = Ordering.Tuple2(keyOrd, Ordering.Long)
     def zero: Seq[(String, Long)] = Seq.empty
     def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] =
       if (buf.size >= k && ord.lteq(buf.last, in)) buf

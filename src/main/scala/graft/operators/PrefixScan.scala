@@ -27,11 +27,17 @@ import org.apache.spark.sql.types.LongType
   * never values — so the scan is bit-identical to the window form (fuzzed
   * against it in PrefixScanSpec) and the DuckDB oracles need no change.
   *
-  * Lifecycle: the sorted frame persists across the two passes (pass 1's
-  * collect materializes it); the returned frame reads those cached blocks,
-  * so the cache is caller-owned — the MinHashDedup/LshJoins convention.
-  * Group keys must be non-null.
-  */
+  * Lifecycle: the sorted frame MUST stay persisted across the two passes —
+  * pass 2's broadcast offsets are keyed by partition id, and re-running the
+  * range partitioner would resample different boundaries — and the returned
+  * frame still reads those cached blocks lazily, so this operator cannot
+  * unpersist and the entry outlives the call (a long-lived session issuing
+  * many scans should `spark.catalog.clearCache()` between them, the
+  * MinHashDedup/LshJoins convention; ScaleProbe already does). The bound is
+  * benign by construction: callers pass the NARROW projection (group, order
+  * keys, one Long), never document text, and the blocks are spill-safe.
+  * Group keys must be non-null; null VALUES count as 0, matching the
+  * null-skipping window sum this replaces. */
 object PrefixScan {
 
   /** EXCLUSIVE per-group running sum of `valueCol` (a Long column) over rows
@@ -66,7 +72,10 @@ object PrefixScan {
             if (has) runs += ((cur, sum))
             cur = k; sum = 0L; has = true
           }
-          sum += r.getLong(vIdx)
+          // null value ≡ 0: the window-sum form this replaces skips nulls,
+          // which leaves the running sum unchanged — identical semantics,
+          // no NPE (the ZOrder null-key lesson, ADVICE r9)
+          if (!r.isNullAt(vIdx)) sum += r.getLong(vIdx)
         }
         if (has) runs += ((cur, sum))
         Iterator.single((pid, runs.toSeq))
@@ -94,7 +103,7 @@ object PrefixScan {
           cur = k; run = bc.value.getOrElse((pid, k), 0L); has = true
         }
         val out = Row.fromSeq(r.toSeq :+ run)
-        run += r.getLong(vIdx)
+        if (!r.isNullAt(vIdx)) run += r.getLong(vIdx)
         out
       }
     }

@@ -858,7 +858,10 @@ object PipelineQueries {
       // compute-heavy stage; single-row-group fixtures otherwise pin it to
       // one task (measured 7.6 s at 10x vs 3.6 s at 50x on the ladder)
       val docs = Tables.spread(Tables.documents(s, d))
-      val words = graft.text.Bpe.wordCounts(docs)
+      // persisted HERE (caller-owned): learn materializes it for its 8
+      // iterations and the vocab-side broadcast join then reuses the cache —
+      // without this the "one corpus pass" would run twice (review r10)
+      val words = graft.text.Bpe.wordCounts(docs).persist()
       val merges = graft.text.Bpe.learn(words, 8)
       // broadcast the VOCAB side explicitly: left to its own statistics,
       // Spark estimated the exploded token stream below the aggregate-derived

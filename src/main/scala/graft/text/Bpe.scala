@@ -39,9 +39,13 @@ object Bpe {
   final case class Merge(merge_rank: Int, sym_left: String, sym_right: String,
                          pair_cnt: Long)
 
-  /** `"  w o r d  "` — per-character symbols in the double-space form. */
+  /** `"  w o r d  "` — per-character symbols in the double-space form.
+    * `(?s)` makes Java's `.` match line terminators (\r, U+2028…), which
+    * RE2's `.` handles differently (excludes only \n) — the oracle uses the
+    * matching `s` flag, so a token carrying a stray control character
+    * segments identically on both engines instead of silently diverging. */
   def initialSeg(word: Column): Column =
-    concat(lit(" "), regexp_replace(word, "(.)", " $1 "), lit(" "))
+    concat(lit(" "), regexp_replace(word, "(?s)(.)", " $1 "), lit(" "))
 
   /** Symbol array of a segmentation string (exact under the invariant:
     * symbols are separated by exactly two spaces, padded by two). Defined
@@ -88,7 +92,12 @@ object Bpe {
     * lineage) and re-segment only the words containing the merged pair —
     * the same aggregation shape, added bookkeeping, no semantic change. */
   def learn(words: DataFrame, nMerges: Int): Seq[Merge] = {
-    val w = words.persist()
+    // persist only when the caller hasn't: a caller that reuses the word
+    // table after training (q_bpe_encode's vocab-side join) persists it
+    // itself and keeps ownership — otherwise learn's finally-unpersist
+    // would force the encode join to recompute the corpus pass from scratch
+    val callerOwned = words.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val w = if (callerOwned) words else words.persist()
     try {
       var seg = w.select(col("wc"), initialSeg(col("word")).as("seg"))
       val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -107,7 +116,7 @@ object Bpe {
         }
       }
       out.toSeq
-    } finally { w.unpersist(); () }
+    } finally { if (!callerOwned) { w.unpersist(); () } }
   }
 
   /** (word, w_chars, w_toks): each distinct word encoded once — the merge
@@ -129,7 +138,7 @@ object Bpe {
     * merges apply within words and provably never across a boundary —
     * whole-doc encoding ≡ per-word encoding (fuzzed in BpeSpec). */
   def docSeg(text: Column): Column =
-    concat(lit(" "), regexp_replace(text, "(.)", " $1 "), lit(" "))
+    concat(lit(" "), regexp_replace(text, "(?s)(.)", " $1 "), lit(" "))
 
   /** Post-merge token count of a whole document under a pinned merge list —
     * a PURE NARROW MAP (nMerges codegen literal replaces + one split), no
@@ -160,7 +169,7 @@ object Bpe {
         |       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
         |             FROM documents) GROUP BY word),
         | s0 AS MATERIALIZED (SELECT word, wc,
-        |          ' ' || regexp_replace(word, '(.)', ' \1 ', 'g') || ' ' AS seg
+        |          ' ' || regexp_replace(word, '(.)', ' \1 ', 'gs') || ' ' AS seg
         |        FROM w)""".stripMargin)
     for (k <- 1 to nMerges) {
       sb.append(s""",

@@ -154,6 +154,24 @@ class AggregatorsSpec extends SparkSpec {
     assert(got.values.forall(v => v.length == 3 && v == v.sorted))
   }
 
+  test("bottomKByKey orders keys as UTF-8 bytes, like a string ORDER BY") {
+    // U+10000 (4-byte F0 90 80 80) sorts AFTER U+FFFF (EF BF BF) in UTF-8
+    // binary order but BEFORE it in UTF-16 code-unit order — the window
+    // (UTF8String compare) and the aggregator must agree on the former
+    val df = Seq(("g", "𐀀", 1L), ("g", "￿", 2L), ("g", "a", 3L))
+      .toDF("g", "h", "id")
+    val got = df.groupBy("g")
+      .agg(Aggregators.bottomKByKey(2)(col("h"), col("id")).as("bot"))
+      .as[(String, Seq[(String, Long)])].collect().head._2
+    val exp = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("h").asc, col("id").asc)))
+      .filter(col("rn") <= 2).orderBy("rn")
+      .as[(String, String, Long, Int)].collect().toSeq.map(r => (r._2, r._3))
+    assert(got === exp)
+    assert(got.map(_._2) === Seq(3L, 2L)) // "a", then U+FFFF; U+10000 last
+  }
+
   test("bottomKByKey with fewer rows than k returns all, ordered") {
     val df = Seq(("a", "zz", 1L), ("a", "aa", 2L), ("b", "mm", 3L))
       .toDF("g", "h", "id")

@@ -51,6 +51,21 @@ class PrefixScanSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("null values count as zero, matching the null-skipping window sum") {
+    val df = Seq(("a", 1L, Some(5L)), ("a", 2L, None), ("a", 3L, Some(7L)),
+      ("b", 1L, None), ("b", 2L, Some(3L)))
+      .toDF("g", "id", "v")
+    val got = PrefixScan.exclusivePrefixSum(df, "g", Seq(col("id")), "v", "cum",
+        numPartitions = 3)
+      .select("g", "id", "cum").as[(String, Long, Long)].collect()
+      .map { case (g, id, c) => (g, id) -> c }.toMap
+    val exp = windowForm(df, Seq(col("id")))
+      .select("g", "id", "cum").as[(String, Long, Long)].collect()
+      .map { case (g, id, c) => (g, id) -> c }.toMap
+    assert(got === exp)
+    assert(got(("a", 3L)) === 5L) // the null row left the running sum alone
+  }
+
   test("single group spans every partition") {
     val df = (1 to 500).map(i => ("only", i.toLong, 1L)).toDF("g", "id", "v")
     val got = PrefixScan.exclusivePrefixSum(df, "g", Seq(col("id")), "v", "cum",

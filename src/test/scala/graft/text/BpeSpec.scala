@@ -84,6 +84,17 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(_.merge_rank) === (1 to 6))
   }
 
+  test("line terminators inside a token segment like any other character") {
+    // Java '.' without (?s) skips \r (and U+2028 etc.) while RE2's '.'
+    // skips only \n — the (?s)/'s' pair keeps engine and oracle identical
+    val df = Seq(("a\rb", "x y")).toDF("w1", "w2")
+    val r = df.select(Bpe.symbols(Bpe.initialSeg(col("w1"))).as("s1"),
+        Bpe.symbols(Bpe.initialSeg(col("w2"))).as("s2"))
+      .collect().head
+    assert(r.getSeq[String](0) === Seq("a", "\r", "b"))
+    assert(r.getSeq[String](1) === Seq("x", " ", "y"))
+  }
+
   test("learn stops early when the vocabulary runs out of pairs") {
     val df = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
     // "ab": merge 1 = (a,b); then every word is a single symbol — no pairs
