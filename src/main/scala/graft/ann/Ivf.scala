@@ -26,14 +26,37 @@ object Ivf {
   /** `centroids`: (centroid_id, cvec); `assigned`: input + centroid_id. */
   final case class Index(centroids: DataFrame, assigned: DataFrame)
 
+  /** @param fitOrderCol when set, the coarse-quantizer k-means trains on a
+    *        DETERMINISTICALLY ORDERED single-partition sample (ascending
+    *        `fitOrderCol`, first `fitSampleRows` rows) instead of the full
+    *        distributed frame: a distributed fit's float reductions follow
+    *        task completion order, so repeated builds can disagree in the
+    *        last ulp and occasionally move a centroid (the r10 q_ann_pq
+    *        gate-flake class). Pinned gates pass the id column here; the
+    *        bounded single-task fit is also the production shape — k
+    *        centroids need thousands of training points, not the corpus.
+    *        Assignment (`transform`) stays fully distributed either way. */
   def build(df: DataFrame, vecCol: String, k: Int,
-            seed: Long = 12345L, maxIter: Int = 20): Index = {
+            seed: Long = 12345L, maxIter: Int = 20,
+            fitOrderCol: Option[String] = None,
+            fitSampleRows: Int = 1 << 17): Index = {
     val spark = df.sparkSession
     import spark.implicits._
     val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__mlvec").setPredictionCol("__centroid")
-      .fit(withVec)
+    val model = fitOrderCol match {
+      case Some(ord) =>
+        val fitInput = withVec.sort(ord).limit(fitSampleRows).coalesce(1)
+          .cache()
+        fitInput.count()
+        try new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("__mlvec").setPredictionCol("__centroid")
+          .fit(fitInput)
+        finally fitInput.unpersist(blocking = false)
+      case None =>
+        new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("__mlvec").setPredictionCol("__centroid")
+          .fit(withVec)
+    }
     val assigned = model.transform(withVec)
       .withColumnRenamed("__centroid", "centroid_id")
       .drop("__mlvec")

@@ -35,12 +35,27 @@ object Pq {
 
   /** Train subspace codebooks and encode the corpus.
     *
+    * The codebook fit is DETERMINISTIC by construction: each subspace
+    * k-means runs over a single-partition slice sample in ascending-id
+    * order (`sort(id).limit(fitSampleRows).coalesce(1)`), so the seeded
+    * init sampling and every float accumulation see one fixed operand
+    * order — a distributed fit's task-completion-order reduction drift
+    * occasionally moved a centroid enough to flip which top-5 candidates
+    * `search` reports (the r10 q_ann_pq gate flake). This is also the
+    * standard production shape: PQ codebooks are conventionally trained on
+    * a bounded sample (m·k centroids need ~thousands of points, not the
+    * corpus), so the single-task fit costs O(fitSampleRows·k·maxIter)
+    * regardless of corpus size while ENCODING stays fully distributed.
+    *
     * @param df     corpus; `vecCol` is array<double> of uniform length d
     * @param m      number of subspaces; must divide d
     * @param k      centroids per subspace (code alphabet size)
+    * @param fitSampleRows codebook training sample bound (smallest ids win
+    *                      — deterministic, not a random sample)
     */
   def build(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
-            seed: Long = 12345L, maxIter: Int = 20): Index = {
+            seed: Long = 12345L, maxIter: Int = 20,
+            fitSampleRows: Int = 1 << 17): Index = {
     val spark = df.sparkSession
     import spark.implicits._
     val d = df.select(size(col(vecCol))).as[Int].head()
@@ -55,11 +70,16 @@ object Pq {
             .as(s"__sub$j"))): _*)
       .cache()
     try {
-      val models = (0 until m).map { j =>
-        new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
-          .setFeaturesCol(s"__sub$j").setPredictionCol(s"__code$j")
-          .fit(sliced)
-      }
+      val fitInput = sliced.sort("__id").limit(fitSampleRows).coalesce(1)
+        .cache()
+      fitInput.count() // materialize once; all m fits scan this partition
+      val models = try {
+        (0 until m).map { j =>
+          new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+            .setFeaturesCol(s"__sub$j").setPredictionCol(s"__code$j")
+            .fit(fitInput)
+        }
+      } finally fitInput.unpersist(blocking = false)
       val encoded = models.zipWithIndex
         .foldLeft(sliced) { case (acc, (model, _)) => model.transform(acc) }
         .select(col("__id"),

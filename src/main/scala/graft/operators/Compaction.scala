@@ -29,7 +29,13 @@ object Compaction {
 
   /** Per-file bin assignment: input columns + `bin` (0-based within the
     * partition) + `prefix_bytes` (exclusive running sum used for the
-    * assignment, exposed for audit). */
+    * assignment, exposed for audit).
+    *
+    * Resource note: the scan persists its sorted inventory (narrow: partition
+    * key, order key, one Long per file) for the result's lifetime; the blocks
+    * are ContextCleaner-released when the returned frame is dropped, so a
+    * long-lived planner loop holds at most the plans it still references
+    * ([[PrefixScan]] lifecycle scaladoc). */
   def plan(files: DataFrame, partCol: String, sizeCol: Column,
            orderCol: Column, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")

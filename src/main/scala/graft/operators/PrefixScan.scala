@@ -29,15 +29,20 @@ import org.apache.spark.sql.types.LongType
   *
   * Lifecycle: the sorted frame MUST stay persisted across the two passes —
   * pass 2's broadcast offsets are keyed by partition id, and re-running the
-  * range partitioner would resample different boundaries — and the returned
-  * frame still reads those cached blocks lazily, so this operator cannot
-  * unpersist and the entry outlives the call (a long-lived session issuing
-  * many scans should `spark.catalog.clearCache()` between them, the
-  * MinHashDedup/LshJoins convention; ScaleProbe already does). The bound is
-  * benign by construction: callers pass the NARROW projection (group, order
-  * keys, one Long), never document text, and the blocks are spill-safe.
-  * Group keys must be non-null; null VALUES count as 0, matching the
-  * null-skipping window sum this replaces. */
+  * range partitioner would resample different boundaries. The persist is at
+  * the RDD level, NOT `DataFrame.persist`: an SQL-level cache registers a
+  * session-lifetime CacheManager entry no caller could release, whereas a
+  * persisted RDD is tracked by Spark's ContextCleaner and is unpersisted
+  * automatically once the returned frame (whose lineage is the only
+  * reference) becomes unreachable — a long-lived service planning
+  * compactions in a loop (ADVICE r10) leaks nothing once it drops each
+  * result. The bound while live is benign by construction: callers pass the
+  * NARROW projection (group, order keys, one Long), never document text,
+  * and the blocks are spill-safe (MEMORY_AND_DISK).
+  * Group keys must be non-null ATOMIC values (validated): array/binary/
+  * struct keys would compare by reference in the run detection and silently
+  * misplace boundaries. Null VALUES count as 0, matching the null-skipping
+  * window sum this replaces. */
 object PrefixScan {
 
   /** EXCLUSIVE per-group running sum of `valueCol` (a Long column) over rows
@@ -52,16 +57,32 @@ object PrefixScan {
     val n = if (numPartitions > 0) numPartitions
             else spark.sparkContext.defaultParallelism
     val keys = org.apache.spark.sql.functions.col(groupCol) +: orderCols
-    val sorted = df.repartitionByRange(n, keys: _*)
+    val sortedDf = df.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val schema = sorted.schema
+    val schema = sortedDf.schema
     val gIdx = schema.fieldIndex(groupCol)
     val vIdx = schema.fieldIndex(valueCol)
+    // group keys are compared with Any.!= in the run detection below and
+    // used as driver map / broadcast keys — reference-equality types would
+    // silently produce wrong run boundaries (ADVICE r10)
+    schema(gIdx).dataType match {
+      case _: org.apache.spark.sql.types.BinaryType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType =>
+        throw new IllegalArgumentException(
+          s"group column '$groupCol' must be an atomic value type, got " +
+            schema(gIdx).dataType.simpleString)
+      case _ =>
+    }
+    // one RDD instance shared by both passes; ContextCleaner unpersists it
+    // when the returned frame is garbage collected (see scaladoc)
+    val sorted = sortedDf.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // pass 1: ordered (group, localTotal) runs per partition
     val totals: Array[(Int, Seq[(Any, Long)])] =
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      sorted.mapPartitionsWithIndex { (pid, it) =>
         val runs = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
         var cur: Any = null
         var sum = 0L
@@ -93,7 +114,7 @@ object PrefixScan {
     val bc = spark.sparkContext.broadcast(offsets.toMap)
 
     // pass 2: local running sum seeded by the broadcast offset
-    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = sorted.mapPartitionsWithIndex { (pid, it) =>
       var cur: Any = null
       var run = 0L
       var has = false

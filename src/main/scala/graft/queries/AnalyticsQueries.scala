@@ -589,7 +589,11 @@ object AnalyticsQueries {
           when(col("best").isNull, lit(0L))
             .otherwise(coalesce(col("n_better"), lit(0L)) + 1L)
             .as("first_rel_rank"),
-          size(filter(col("top10"), x => x.getField("_2") % 2 === 1))
+          // pmod, not %: Spark's % returns -1 for negative ids, which would
+          // silently drop relevant rows if doc_ids ever went negative
+          // (ADVICE r10); the 2·doc_id+rel encoding itself stays
+          // order-preserving for any integer doc_id
+          size(filter(col("top10"), x => pmod(x.getField("_2"), lit(2)) === 1))
             .cast("long").as("hits_at_10"),
           col("n_rel"))
         .orderBy("q")
