@@ -41,8 +41,8 @@ object Bench {
     "q_cosine_topk",     // brute-force ANN baseline
     "q_ann_lsh",         // bucketed ANN
     "q_tfidf_features",  // ML feature pipeline
-    "q_kmeans_blocks",   // k-means blocking fit (shared with q_billmatch)
-    "q_billmatch",       // flagship end-to-end pipeline
+    "q_kmeans_blocks",   // k-means blocking fit
+    "q_billmatch",       // flagship end-to-end pipeline (pinned-label [sql] form, r11)
     "q_pagerank",        // iterative graph
     "q_triangles",       // GraphX triangle count
     // r7 widening (VERDICT r6 #4): the heaviest ladder entries join the
@@ -69,8 +69,10 @@ object Bench {
     * operator, so for these every rep first drops the memoized fit (and its
     * InMemoryRelation) — each rep re-runs the full fit and the min is a fair
     * steady-state of the fit cost. The caches are re-primed by the final rep,
-    * so downstream reusers (q_billmatch) still share the fit exactly like the
-    * reference's persisted features parquet. */
+    * so any downstream fit reuser still shares it exactly like the
+    * reference's persisted features parquet (q_billmatch moved to the
+    * pinned-label featurizedCounts pass in r11 — its first rep pays that
+    * featurization, later reps reuse it, the persisted-features semantics). */
   private val fitsOnce = Set("q_tfidf_features", "q_kmeans_blocks")
 
   /** One timed execution (prepare runs outside the timed region — e.g. drop
@@ -149,8 +151,9 @@ object Bench {
     * chunks, default 4 queries) each in its OWN child JVM — same classpath,
     * same JVM flags, same reps/guard logic (the child is this very main,
     * gated by SPARK_GRAFT_BENCH_CHILD). Families keep the headline order so
-    * intentional cache-sharing neighbours (q_kmeans_blocks → q_billmatch)
-    * stay co-resident, exactly like the reference's persisted-features reuse.
+    * intentional cache-sharing neighbours (featurization memo → its
+    * downstream consumers) stay co-resident, exactly like the reference's
+    * persisted-features reuse.
     * Knobs: SPARK_GRAFT_BENCH_ISOLATE=0 disables; SPARK_GRAFT_BENCH_FAMILY
     * sizes the chunks; SPARK_GRAFT_BENCH_CHILD_TIMEOUT (sec) bounds a child.
     * A child failure degrades to the in-set number for its queries — it can

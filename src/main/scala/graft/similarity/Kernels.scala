@@ -169,4 +169,12 @@ object Kernels {
 
   /** UDF over two VectorUDT columns for the named measure. */
   def udfFor(name: String): UserDefinedFunction = udf(byName(name))
+
+  /** Raw sparse dot product as a UDF — exposed for oracle-replayable
+    * compositions: over integer-valued count vectors every product and the
+    * running sum are exact in a double (≤ 2^53), so the result is
+    * order-insensitive and a SQL `SUM(a.c*b.c)` replays it bit-for-bit
+    * (the [[cosine]] measure's Float×100 presentation is kept out so the
+    * caller controls rounding). */
+  def dotUdf: UserDefinedFunction = udf((v1: Vector, v2: Vector) => dot(v1, v2))
 }
