@@ -844,6 +844,21 @@ object PipelineQueries {
       s.createDataFrame(merges).orderBy("merge_rank")
     },
 
+    // ----- production-scale BPE trainer (VERDICT r10 #6): Bpe.learnScalable
+    // materializes the segmentation every few merges (fresh LogicalRDD root,
+    // one persisted generation at a time) so replace work is linear in the
+    // merge count, not quadratic. SAME 8-merge DuckDB training replay as
+    // q_bpe_learn — materializeEvery = 3 forces two generation cutovers
+    // INSIDE the gate, so the re-rooting itself is what's hash-checked;
+    // learn ≡ learnScalable equality is additionally fuzzed in BpeSpec and
+    // the merge-count crossover is priced on the SCALEPROBE merge ladder.
+    "q_bpe_learn_scalable" -> QueryDef.sql(graft.text.Bpe.learnOracleSql(8)) { (s, d) =>
+      val merges = graft.text.Bpe.learnScalable(
+        graft.text.Bpe.wordCounts(Tables.spread(Tables.documents(s, d))), 8,
+        materializeEvery = 3)
+      s.createDataFrame(merges).orderBy("merge_rank")
+    },
+
     // ----- extension: BPE ENCODING under the learned merges — per-document
     // character and token counts plus the compression ratio (the quantity a
     // tokenizer-fertility dashboard tracks; q_fertility's complement, with

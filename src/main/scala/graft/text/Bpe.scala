@@ -87,10 +87,9 @@ object Bpe {
     * codegen scan of a short string over a vocab-sized frame). At the
     * tokenizer-training scales this engine targets (tens of merges for
     * corpus analytics) that beats materializing a new vocab-sized cache per
-    * iteration; a production trainer learning a 50k-merge vocabulary would
-    * instead persist each generation (or localCheckpoint to truncate
-    * lineage) and re-segment only the words containing the merged pair —
-    * the same aggregation shape, added bookkeeping, no semantic change. */
+    * iteration; for hundreds-to-thousands of merges use [[learnScalable]],
+    * which materializes each generation and keeps replace work linear in
+    * the merge count — identical merges, fuzz-proven. */
   def learn(words: DataFrame, nMerges: Int): Seq[Merge] = {
     // persist only when the caller hasn't: a caller that reuses the word
     // table after training (q_bpe_encode's vocab-side join) persists it
@@ -117,6 +116,71 @@ object Bpe {
       }
       out.toSeq
     } finally { if (!callerOwned) { w.unpersist(); () } }
+  }
+
+  /** Production-scale trainer: IDENTICAL merges to [[learn]] (same pair
+    * aggregation, same cnt-desc/pair-asc argmax, fuzz-proven equal in
+    * BpeSpec) but with the plan-depth trade [[learn]]'s scaladoc documents
+    * resolved: every `materializeEvery` merges the segmentation frame is
+    * MATERIALIZED to a persisted RDD and re-rooted as a fresh LogicalRDD
+    * frame, so iteration k plans at most `materializeEvery` literal
+    * replaces over the latest generation instead of k nested replaces over
+    * the raw vocab — total replace work O(nMerges·vocab), not O(nMerges²).
+    * Only one generation is persisted at a time (the previous is unpersisted
+    * as soon as its successor is materialized; MEMORY_AND_DISK, so an
+    * oversized vocab spills instead of OOMing). applyMerge is already a
+    * no-op on rows not containing the merged pair, so "re-segment only the
+    * affected words" needs no explicit split — the rewrite touches exactly
+    * the hit rows' bytes either way.
+    *
+    * [[learn]] stays the right call at analytics merge counts (tens): it
+    * skips the per-generation materialization jobs entirely. This is the
+    * trainer for hundreds-to-thousands of merges — the SCALEPROBE merge
+    * ladder prices the crossover. */
+  def learnScalable(words: DataFrame, nMerges: Int,
+                    materializeEvery: Int = 8): Seq[Merge] = {
+    require(materializeEvery >= 1, "materializeEvery must be >= 1")
+    val spark = words.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("wc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType)))
+    def materialize(df: DataFrame,
+                    prev: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]])
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.select(col("wc").cast("long"), col("seg")).rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count() // materialize BEFORE dropping the generation it reads from
+      prev.foreach(_.unpersist(blocking = false))
+      (spark.createDataFrame(rdd, schema), rdd)
+    }
+    var (seg, gen) = materialize(
+      words.select(col("wc"), initialSeg(col("word")).as("seg")), None)
+    var pending = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    try {
+      while (out.size < nMerges && !done) {
+        val top = seg
+          .select(col("wc"), explode(pairsOf(col("seg"))).as("p"))
+          .groupBy("p").agg(sum("wc").as("cnt"))
+          .orderBy(desc("cnt"), asc("p"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val Array(a, b) = top(0).getString(0).split(" ", 2)
+          out += Merge(out.size + 1, a, b, top(0).getLong(1))
+          seg = seg.withColumn("seg", applyMerge(col("seg"), a, b))
+          pending += 1
+          if (pending >= materializeEvery && out.size < nMerges) {
+            val (s2, g2) = materialize(seg, Some(gen))
+            seg = s2; gen = g2; pending = 0
+          }
+        }
+      }
+      out.toSeq
+    } finally gen.unpersist(blocking = false)
   }
 
   /** (word, w_chars, w_toks): each distinct word encoded once — the merge

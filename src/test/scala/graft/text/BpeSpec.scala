@@ -95,6 +95,36 @@ class BpeSpec extends SparkSpec {
     assert(r.getSeq[String](1) === Seq("x", " ", "y"))
   }
 
+  test("learnScalable is merge-for-merge identical to learn (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    // random corpora over a 3-letter alphabet (heavy pair ties — the argmax
+    // tie-break is the part a divergent trainer gets wrong first), plus the
+    // classic corpus; materializeEvery below nMerges so generation cutovers
+    // happen mid-training
+    for (trial <- 1 to 3) {
+      val words = (1 to 80).map { _ =>
+        val n = rnd.nextInt(9) + 1
+        (1 to n).map(_ => "abc" (rnd.nextInt(3))).mkString
+      }
+      val df = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      val wc = Bpe.wordCounts(df)
+      val a = Bpe.learn(wc, 10)
+      val b = Bpe.learnScalable(wc, 10, materializeEvery = 3)
+      assert(b === a, s"trial $trial")
+    }
+    val classic = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = Seq((0L, classic.mkString(" "))).toDF("doc_id", "text")
+    assert(Bpe.learnScalable(Bpe.wordCounts(df), 6, materializeEvery = 2) ===
+      Bpe.learn(Bpe.wordCounts(df), 6))
+  }
+
+  test("learnScalable stops early when the vocabulary runs out of pairs") {
+    val df = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.learnScalable(Bpe.wordCounts(df), 8, materializeEvery = 2)
+    assert(merges.map(m => (m.sym_left, m.sym_right)) === Seq(("a", "b")))
+  }
+
   test("learn stops early when the vocabulary runs out of pairs") {
     val df = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
     // "ab": merge 1 = (a,b); then every word is a single symbol — no pairs
