@@ -541,6 +541,53 @@ object Relational {
         .orderBy("lang")
     },
 
+    // ----- S5/S8 widening (r11): ORC source+sink round-trip through Spark's
+    // built-in columnar ORC connector (orc-core is on the offline classpath)
+    // — the second columnar format next to Parquet, same pushdown/pruning
+    // contract, the format a reader migrating an existing ORC lake would
+    // use. Write → read → aggregate equal to the oracle's direct parquet
+    // aggregation proves both directions value-faithful. Per-run temp dir,
+    // same as q_avro_roundtrip.
+    "q_orc_roundtrip" -> QueryDef.sql("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val dir = s"/tmp/graft_orc_${System.nanoTime()}"
+      Tables.documents(s, d).write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("lang")
+    },
+
+    // ----- S5/S8 widening (r11): CSV source+sink round-trip (header +
+    // explicit schema on read — never inferSchema at scale: inference is a
+    // full extra pass). CSV is the interchange/ingest format; the gate
+    // hashes a checksum that covers EVERY column including the text body
+    // (order-independent sum of per-row 60-bit md5 prefixes mod 2³¹−1, the
+    // q_minhash_sig replay pattern — a quoting/escaping fault on ANY row
+    // shifts it), not just the numeric columns.
+    "q_csv_roundtrip" -> QueryDef.sql("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                      % 2147483647) AS BIGINT) AS text_sum
+      FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val dir = s"/tmp/graft_csv_${System.nanoTime()}"
+      val docs = Tables.documents(s, d)
+      docs.write.mode("overwrite").option("header", "true").csv(dir)
+      val rowHash = pmod(
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(2147483647L))
+      s.read.schema(docs.schema).option("header", "true").csv(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(rowHash).cast("long").as("text_sum"))
+        .orderBy("lang")
+    },
+
     // ----- S7 + §2.13: the SAME Avro directory consumed as a MICRO-BATCH
     // STREAM — AvroLite's file-arrival stream (offset = consumed-file count
     // over the name-sorted listing; admission-controlled 2 files/trigger;
