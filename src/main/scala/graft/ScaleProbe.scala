@@ -199,8 +199,11 @@ object ScaleProbe {
           System.err.println(s"[probe] measuring $label @${f}x ...")
           val v = compute
           // drop every cached/persisted frame a query left behind (LSH
-          // indexes, fit features): rows must not inherit heap pressure
+          // indexes, fit features): rows must not inherit heap pressure.
+          // PrefixScan persists at the RDD level since r11 (outside the SQL
+          // CacheManager) — release those explicitly too.
           spark.catalog.clearCache()
+          graft.operators.PrefixScan.releaseAll()
           val w = new java.io.FileWriter(ckptFile, true)
           try w.write(
             s"""{"label":"$label","f":$f,"sec":${v._1},"rows":${v._2},"spill":${v._3.spillBytes},"shuffle":${v._3.shuffleWriteBytes},"gc":${v._3.gcMillis},"commit":"$engineCommit","dir":"$base","calib":$probeCalib}\n""")
@@ -555,9 +558,14 @@ object ScaleProbe {
           // skipped and rendered "—" instead of wedging the probe
           var giveUp = false
           s"q_bpe_merge_ladder($variant)" -> bpeMergeCounts.map { m =>
-            m -> (if (giveUp) skipped else
+            val label = s"q_bpe_merge_ladder($variant)"
+            // a cell already in the bank always renders, and a value merely
+            // REPLAYED from the bank never arms the guard — giveUp protects
+            // only fresh measurement time in THIS run (r11 self-review)
+            val wasBanked = ckpt.contains((label, m))
+            m -> (if (giveUp && !wasBanked) skipped else
               try {
-                val v = checkpointed(s"q_bpe_merge_ladder($variant)", m) {
+                val v = checkpointed(label, m) {
                   val reps = if (m >= 512) 1 else 2
                   (1 to reps).map { _ =>
                     metrics.reset()
@@ -568,7 +576,7 @@ object ScaleProbe {
                     (dt, learned, metrics.snapshot())
                   }.minBy(_._1)
                 }
-                if (v._1 > 600) giveUp = true
+                if (!wasBanked && v._1 > 600) giveUp = true
                 v
               } catch { case e: Throwable =>
                 // thrown INSIDE checkpointed's compute → nothing was banked;

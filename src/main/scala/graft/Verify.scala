@@ -148,8 +148,15 @@ object Verify {
                 if (got != pinned)
                   sys.error(s"gate expectation: checksum=$got, pinned $pinned")
               }
-              // in-session repeat gate: fresh builds must agree with the pin
+              // in-session repeat gate: fresh builds must agree with the pin.
+              // Fit memos are dropped before each repetition — without this
+              // a memoized fit (q_kmeans_blocks' clustered8) would be
+              // re-counted, not re-trained, and the repeat gate would be
+              // vacuous for exactly the seeded-fit class it exists to catch
+              // (r11 self-review). Concurrent pool queries sharing the memo
+              // recompute from deterministic lineage — slower, never wrong.
               (2 to pinRepeats).foreach { i =>
+                graft.queries.MlQueries.clearFitCaches()
                 val dfi = qd.fn(spark, sfDir)
                 val rowsI = dfi.count()
                 if (rowsI != e.rows)

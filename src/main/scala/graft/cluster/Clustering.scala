@@ -17,24 +17,53 @@ object Clustering {
   /** K-means blocking (reference feature/Utils.scala:129-149). Returns the
     * input plus a `prediction` column, and the model (for WSSSE =
     * summary.trainingCost, the Spark-4 home of computeCost). */
+  /** When `fitOrderCol` is set, the model trains on a DETERMINISTICALLY
+    * ORDERED single-partition sample (ascending order column, first
+    * `fitSampleRows` rows) while `transform` stays fully distributed: a
+    * distributed fit's float reductions follow task completion order, so
+    * repeated seeded fits can land on different local optima — Verify's
+    * real-refit repeat gate caught q_kmeans_blocks doing exactly that
+    * (r11; the q_ann_pq class). Pinned gates pass the id column; this is
+    * also the production blocking-fit shape — k blocking centroids need
+    * thousands of training rows, not the corpus (the Pq/Ivf.build
+    * convention). */
+  private def fitFrame(df: DataFrame, fitOrderCol: Option[String],
+                       fitSampleRows: Int): DataFrame =
+    fitOrderCol match {
+      case Some(ord) => df.sort(ord).limit(fitSampleRows).coalesce(1)
+      case None => df
+    }
+
   def kmeans(df: DataFrame, k: Int, maxIter: Int = 40, seed: Long = 12345L,
              featuresCol: String = "features",
-             initMode: String = "k-means||"): (KMeansModel, DataFrame) = {
-    val model = new KMeans()
-      .setK(k).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
-      .setFeaturesCol(featuresCol)
-      .fit(df)
+             initMode: String = "k-means||",
+             fitOrderCol: Option[String] = None,
+             fitSampleRows: Int = 1 << 17): (KMeansModel, DataFrame) = {
+    val fitIn = fitFrame(df, fitOrderCol, fitSampleRows)
+    if (fitOrderCol.isDefined) { fitIn.cache(); () }
+    val model = try {
+      new KMeans()
+        .setK(k).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
+        .setFeaturesCol(featuresCol)
+        .fit(fitIn)
+    } finally { if (fitOrderCol.isDefined) fitIn.unpersist(blocking = false); () }
     (model, model.transform(df))
   }
 
   /** Bisecting k-means — the reference's commented alternative blocker
     * (feature/Utils.scala:138). Same contract as [[kmeans]]. */
   def bisectingKmeans(df: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 12345L,
-                      featuresCol: String = "features"): (BisectingKMeansModel, DataFrame) = {
-    val model = new BisectingKMeans()
-      .setK(k).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol(featuresCol)
-      .fit(df)
+                      featuresCol: String = "features",
+                      fitOrderCol: Option[String] = None,
+                      fitSampleRows: Int = 1 << 17): (BisectingKMeansModel, DataFrame) = {
+    val fitIn = fitFrame(df, fitOrderCol, fitSampleRows)
+    if (fitOrderCol.isDefined) { fitIn.cache(); () }
+    val model = try {
+      new BisectingKMeans()
+        .setK(k).setMaxIter(maxIter).setSeed(seed)
+        .setFeaturesCol(featuresCol)
+        .fit(fitIn)
+    } finally { if (fitOrderCol.isDefined) fitIn.unpersist(blocking = false); () }
     (model, model.transform(df))
   }
 
@@ -42,11 +71,17 @@ object Clustering {
     * (describeTopics, logLikelihood/logPerplexity) and the input plus
     * `topicDistribution`; `prediction` = argmax topic as blocking label. */
   def lda(df: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 12345L,
-          featuresCol: String = "features"): (LDAModel, DataFrame) = {
-    val model = new LDA()
-      .setK(k).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol(featuresCol)
-      .fit(df)
+          featuresCol: String = "features",
+          fitOrderCol: Option[String] = None,
+          fitSampleRows: Int = 1 << 17): (LDAModel, DataFrame) = {
+    val fitIn = fitFrame(df, fitOrderCol, fitSampleRows)
+    if (fitOrderCol.isDefined) { fitIn.cache(); () }
+    val model = try {
+      new LDA()
+        .setK(k).setMaxIter(maxIter).setSeed(seed)
+        .setFeaturesCol(featuresCol)
+        .fit(fitIn)
+    } finally { if (fitOrderCol.isDefined) fitIn.unpersist(blocking = false); () }
     val withTopics = model.transform(df)
     val argmax = udf((v: Vector) => v.argmax)
     (model, withTopics.withColumn("prediction", argmax(col("topicDistribution"))))

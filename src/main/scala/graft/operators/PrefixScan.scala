@@ -45,6 +45,22 @@ import org.apache.spark.sql.types.LongType
   * window sum this replaces. */
 object PrefixScan {
 
+  // Weak registry of live persisted scan RDDs: spark.catalog.clearCache()
+  // releases SQL-level caches only, so harnesses that previously relied on
+  // it for between-measurement hygiene (ScaleProbe) call [[releaseAll]]
+  // instead. Weak keys — the registry never delays the ContextCleaner path.
+  private val live = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.rdd.RDD[Row], java.lang.Boolean]())
+
+  /** Eagerly unpersist every scan frame still alive (results computed from
+    * released blocks recompute from their deterministic shuffle lineage —
+    * slower, never wrong). For measurement harnesses and long-lived
+    * services that want deterministic release instead of GC-driven. */
+  def releaseAll(): Unit = live.synchronized {
+    live.forEach(r => { r.unpersist(blocking = false); () })
+    live.clear()
+  }
+
   /** EXCLUSIVE per-group running sum of `valueCol` (a Long column) over rows
     * ordered by `orderCols` within `groupCol`, appended as `outCol`. Row set
     * and all other columns pass through unchanged (output row order is
@@ -76,9 +92,11 @@ object PrefixScan {
       case _ =>
     }
     // one RDD instance shared by both passes; ContextCleaner unpersists it
-    // when the returned frame is garbage collected (see scaladoc)
+    // when the returned frame is garbage collected (see scaladoc), and
+    // releaseAll() offers the deterministic path
     val sorted = sortedDf.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    live.synchronized { live.add(sorted); () }
 
     // pass 1: ordered (group, localTotal) runs per partition
     val totals: Array[(Int, Seq[(Any, Long)])] =

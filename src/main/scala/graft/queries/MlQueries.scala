@@ -108,7 +108,8 @@ object MlQueries {
     * vectors (measured 6× slower). */
   private def clustered8(s: SparkSession, d: String): DataFrame =
     kmeansCache.getOrElseUpdate((s, d),
-      Clustering.kmeans(featurized(s, d), k = 8, maxIter = 10)._2)
+      Clustering.kmeans(featurized(s, d), k = 8, maxIter = 10,
+        fitOrderCol = Some("doc_id"))._2)
 
   /** The testdata ships one small parquet file per table = ONE input split,
     * which would serialize every per-row featurization map on a single core.
@@ -215,25 +216,27 @@ object MlQueries {
       val clustered = clustered8(s, d)
       clustered.groupBy("prediction").agg(count(lit(1)).as("n"))
         .orderBy("prediction")
-    }.expectAtGate(8L, "5395641291522992234"),
+    }.expectAtGate(8L, "5695612789456296967"),
 
     // ----- M8 alternative: bisecting k-means blocking (the reference's
     // commented alternative, feature/Utils.scala:138)
     "q_bisecting_blocks" -> QueryDef.rowsOnly { (s, d) =>
-      val (_, clustered) = Clustering.bisectingKmeans(featurized(s, d), k = 8)
+      val (_, clustered) = Clustering.bisectingKmeans(featurized(s, d), k = 8,
+        fitOrderCol = Some("doc_id"))
       clustered.groupBy("prediction").agg(count(lit(1)).as("n"))
         .orderBy("prediction")
-    }.expectAtGate(8L, "3323792983499825215"),
+    }.expectAtGate(8L, "5459506461477739356"),
 
     // ----- M9: LDA topics (reference LDAAnalyzer.scala:85-116)
     // Scalar columns only: the driver's pandas compare cannot sort array
     // cells (round-1 q_lda_topics crash), so explode term indices to rows.
     "q_lda_topics" -> QueryDef.rowsOnly { (s, d) =>
-      val (model, _) = Clustering.lda(featurized(s, d), k = 5, maxIter = 10)
+      val (model, _) = Clustering.lda(featurized(s, d), k = 5, maxIter = 10,
+        fitOrderCol = Some("doc_id"))
       model.describeTopics(5)
         .select(col("topic"), posexplode(col("termIndices")).as(Seq("pos", "term_index")))
         .orderBy("topic", "pos")
-    }.expectAtGate(25L, "11710550364679592077"),
+    }.expectAtGate(25L, "13855982525126751898"),
 
     // ----- workflow-3 end to end: LDA topic label as the BLOCKING key — the
     // reference's third workflow (LDAAnalyzer.scala:109-116 assigns argmax
@@ -243,7 +246,8 @@ object MlQueries {
     // and differ on lang, cosine kernel, global top-K. rows-only (LDA fit not
     // SQL-replayable); the block-partitioning invariant is ClusteringSpec's.
     "q_lda_candidates" -> QueryDef.rowsOnly { (s, d) =>
-      val (_, topical) = Clustering.lda(featurized(s, d), k = 5, maxIter = 10)
+      val (_, topical) = Clustering.lda(featurized(s, d), k = 5, maxIter = 10,
+        fitOrderCol = Some("doc_id"))
       val blocked = topical.select(
         col("doc_id"), col("lang"), col("prediction"), col("features"))
       val pairs = Candidates.pairs(blocked, CandidateConfig(
@@ -867,12 +871,16 @@ object MlQueries {
     // labels (doc_id mod 8) instead of the k-means prediction, so the whole
     // J2/J9 composition — not just q_pairs_blocked's two-column shape — is
     // replayed as one DuckDB self-join with identical IEEE ratio arithmetic.
+    // Block labels use ((x % 8) + 8) % 8 in SQL — DuckDB's % follows the
+    // dividend's sign where the engine's pmod is always non-negative, and
+    // the oracle must not silently diverge if ids ever go negative.
     // The seeded k-means BLOCKER itself stays gated by the q_kmeans_blocks
     // pin and the seeded-blocker composition by q_lda_candidates (r11:
     // q_billmatch and q_candidates_budget moved to pinned labels too); the
     // physical plan here is the same shuffled equi-join on the block label.
     "q_candidates" -> QueryDef.sql("""
-      WITH t AS (SELECT doc_id, lang, n_chars, doc_id % 8 AS prediction
+      WITH t AS (SELECT doc_id, lang, n_chars,
+                        ((doc_id % 8) + 8) % 8 AS prediction
                  FROM documents)
       SELECT a.doc_id AS pk1, b.doc_id AS pk2
       FROM t a JOIN t b
@@ -915,7 +923,8 @@ object MlQueries {
       terms AS (SELECT DISTINCT term FROM toks),
       ${graft.text.Murmur3.oracleSqlCtes("terms", 1024, words = 8)},
       db AS (SELECT DISTINCT t.doc_id, h.bucket FROM toks t JOIN mm_hash h USING (term)),
-      meta AS (SELECT doc_id, lang, n_chars, doc_id % 8 AS blk FROM documents),
+      meta AS (SELECT doc_id, lang, n_chars,
+               ((doc_id % 8) + 8) % 8 AS blk FROM documents),
       bn AS (SELECT blk, COUNT(*) AS n FROM meta GROUP BY blk),
       exact AS (
         SELECT a.doc_id AS pk1, b.doc_id AS pk2
@@ -1037,7 +1046,7 @@ object MlQueries {
     // on the candidate set the top-50 is cut from.
     "q_billmatch" -> QueryDef.sql(s"""
       WITH toks AS (
-        SELECT doc_id, lang, doc_id % 8 AS blk, UNNEST(list_filter(
+        SELECT doc_id, lang, ((doc_id % 8) + 8) % 8 AS blk, UNNEST(list_filter(
           regexp_split_to_array(
             regexp_replace(regexp_replace(lower(text), '(\\d|,|:|;|\\?|!)', '', 'g'),
                            '\\b\\w{1,2}\\b', '', 'g'), '\\W'),
@@ -1146,7 +1155,7 @@ object MlQueries {
         emb.select(col("vec_id"),
           org.apache.spark.ml.functions.array_to_vector(col("embedding"))
             .as("features")),
-        k = 16)
+        k = 16, fitOrderCol = Some("vec_id"))
       val t = clustered.select(col("vec_id"), col("prediction"))
         .join(emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v")),
           "vec_id")
@@ -1162,7 +1171,7 @@ object MlQueries {
       t.select("vec_id", "prediction")
         .join(drop, t("vec_id") === drop("vertex"), "left_anti")
         .orderBy("vec_id")
-    }.expectAtGate(400L, "227118589474776967215"),
+    }.expectAtGate(398L, "225251218008991563223"),
 
     // ----- SemDeDup exact twin (VERDICT r7 #4a): the SAME pipeline shape —
     // cluster-partition → within-cluster cosine pairs → connected components

@@ -576,11 +576,24 @@ object Relational {
       FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
       val dir = s"/tmp/graft_csv_${System.nanoTime()}"
       val docs = Tables.documents(s, d)
-      docs.write.mode("overwrite").option("header", "true").csv(dir)
+      // lossless options (r11 self-review): the writer's whitespace-trim
+      // defaults would silently drop leading/trailing spaces in text, and
+      // the reader needs multiLine for quoted embedded newlines. multiLine
+      // costs input splittability (whole-file records) — acceptable for an
+      // interchange gate; a splittable high-volume ingest should guarantee
+      // single-line records upstream instead.
+      docs.write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(dir)
       val rowHash = pmod(
         conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
           .cast("long"), lit(2147483647L))
-      s.read.schema(docs.schema).option("header", "true").csv(dir)
+      s.read.schema(docs.schema).option("header", "true")
+        .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(dir)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("sum_chars"),

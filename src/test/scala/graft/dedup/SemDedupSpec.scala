@@ -18,16 +18,17 @@ class SemDedupSpec extends SparkSpec {
   private lazy val survivors =
     SparkEntry.defs("q_semdedup").fn(spark, sfDir).cache()
 
-  /** Same clustering as the query (same k/seed, same repartition(32) ahead
-    * of the fit — k-means|| init samples per partition, so the layout is
-    * part of the seed) + all within-cluster pairs. */
+  /** Same clustering as the query (same k/seed, same repartition(32), and —
+    * r11 — the same deterministic sorted-sample fit via fitOrderCol: the
+    * query's fit input order is part of its identity now) + all
+    * within-cluster pairs. */
   private lazy val withinClusterCos = {
     val emb = Tables.embeddings(spark, sfDir).repartition(32)
     val (_, clustered) = Clustering.kmeans(
       emb.select(col("vec_id"),
         org.apache.spark.ml.functions.array_to_vector(col("embedding"))
           .as("features")),
-      k = 16)
+      k = 16, fitOrderCol = Some("vec_id"))
     val t = clustered.select(col("vec_id"), col("prediction"))
       .join(emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v")),
         "vec_id")
