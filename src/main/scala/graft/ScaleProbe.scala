@@ -559,9 +559,11 @@ object ScaleProbe {
           var giveUp = false
           s"q_bpe_merge_ladder($variant)" -> bpeMergeCounts.map { m =>
             val label = s"q_bpe_merge_ladder($variant)"
-            // a cell already in the bank always renders, and a value merely
-            // REPLAYED from the bank never arms the guard — giveUp protects
-            // only fresh measurement time in THIS run (r11 self-review)
+            // a cell already in the bank always renders; slow evidence arms
+            // the guard whether banked or fresh (a 650 s bank row is exactly
+            // the signal not to freshly attempt the 16× larger cell), but
+            // the guard only ever SKIPS cells that would need fresh
+            // measurement (r11 self-review, two passes)
             val wasBanked = ckpt.contains((label, m))
             m -> (if (giveUp && !wasBanked) skipped else
               try {
@@ -576,7 +578,7 @@ object ScaleProbe {
                     (dt, learned, metrics.snapshot())
                   }.minBy(_._1)
                 }
-                if (!wasBanked && v._1 > 600) giveUp = true
+                if (v._1 > 600) giveUp = true
                 v
               } catch { case e: Throwable =>
                 // thrown INSIDE checkpointed's compute → nothing was banked;

@@ -149,14 +149,17 @@ object Verify {
                   sys.error(s"gate expectation: checksum=$got, pinned $pinned")
               }
               // in-session repeat gate: fresh builds must agree with the pin.
-              // Fit memos are dropped before each repetition — without this
-              // a memoized fit (q_kmeans_blocks' clustered8) would be
-              // re-counted, not re-trained, and the repeat gate would be
-              // vacuous for exactly the seeded-fit class it exists to catch
-              // (r11 self-review). Concurrent pool queries sharing the memo
-              // recompute from deterministic lineage — slower, never wrong.
+              // For fit-MEMOIZING queries (QueryDef.refitGate) the memos are
+              // dropped before each repetition — without this a memoized fit
+              // (q_kmeans_blocks' clustered8) would be re-counted, not
+              // re-trained, and the repeat gate would be vacuous for exactly
+              // the seeded-fit class it exists to catch (r11 self-review;
+              // this gate-with-real-refits is what caught q_kmeans_blocks).
+              // Scoped to flagged queries: an unconditional clear evicted
+              // the shared TF-IDF cache out from under concurrent pool
+              // queries ~26× per gate run for no gain on fresh-fit pins.
               (2 to pinRepeats).foreach { i =>
-                graft.queries.MlQueries.clearFitCaches()
+                if (qd.refitsMemoizedFit) graft.queries.MlQueries.clearFitCaches()
                 val dfi = qd.fn(spark, sfDir)
                 val rowsI = dfi.count()
                 if (rowsI != e.rows)

@@ -43,19 +43,12 @@ object Ivf {
     val spark = df.sparkSession
     import spark.implicits._
     val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol)))
-    val model = fitOrderCol match {
-      case Some(ord) =>
-        val fitInput = withVec.sort(ord).limit(fitSampleRows).coalesce(1)
-          .cache()
-        fitInput.count()
-        try new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-          .setFeaturesCol("__mlvec").setPredictionCol("__centroid")
-          .fit(fitInput)
-        finally fitInput.unpersist(blocking = false)
-      case None =>
-        new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-          .setFeaturesCol("__mlvec").setPredictionCol("__centroid")
-          .fit(withVec)
+    // one shared deterministic sample-fit harness engine-wide (r11)
+    val model = graft.cluster.Clustering.sampleFit(
+        withVec, fitOrderCol, fitSampleRows) { fitIn =>
+      new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("__mlvec").setPredictionCol("__centroid")
+        .fit(fitIn)
     }
     val assigned = model.transform(withVec)
       .withColumnRenamed("__centroid", "centroid_id")

@@ -70,16 +70,16 @@ object Pq {
             .as(s"__sub$j"))): _*)
       .cache()
     try {
-      val fitInput = sliced.sort("__id").limit(fitSampleRows).coalesce(1)
-        .cache()
-      fitInput.count() // materialize once; all m fits scan this partition
-      val models = try {
+      // one shared deterministic sample-fit harness engine-wide (r11);
+      // all m fits scan the same materialized partition
+      val models = graft.cluster.Clustering.sampleFit(
+          sliced, Some("__id"), fitSampleRows) { fitInput =>
         (0 until m).map { j =>
           new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
             .setFeaturesCol(s"__sub$j").setPredictionCol(s"__code$j")
             .fit(fitInput)
         }
-      } finally fitInput.unpersist(blocking = false)
+      }
       val encoded = models.zipWithIndex
         .foldLeft(sliced) { case (acc, (model, _)) => model.transform(acc) }
         .select(col("__id"),

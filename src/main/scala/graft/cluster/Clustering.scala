@@ -27,11 +27,23 @@ object Clustering {
     * also the production blocking-fit shape — k blocking centroids need
     * thousands of training rows, not the corpus (the Pq/Ivf.build
     * convention). */
-  private def fitFrame(df: DataFrame, fitOrderCol: Option[String],
-                       fitSampleRows: Int): DataFrame =
+  /** THE deterministic sample-fit harness — every seeded fit in the engine
+    * (k-means/bisecting/LDA here, Ivf/Pq.build in graft.ann) goes through
+    * this one body so a future determinism tweak cannot silently miss a
+    * copy. Some(order): sort → bounded sample → ONE partition, cached and
+    * materialized before the fit (every iteration then reads the same
+    * cached partition in the same order), released after. None: the fit
+    * runs on `df` as given (distributed — the caller accepts
+    * reduction-order drift). */
+  private[graft] def sampleFit[M](df: DataFrame, fitOrderCol: Option[String],
+                                  fitSampleRows: Int)(fit: DataFrame => M): M =
     fitOrderCol match {
-      case Some(ord) => df.sort(ord).limit(fitSampleRows).coalesce(1)
-      case None => df
+      case Some(ord) =>
+        val fitIn = df.sort(ord).limit(fitSampleRows).coalesce(1).cache()
+        fitIn.count()
+        try fit(fitIn)
+        finally { fitIn.unpersist(blocking = false); () }
+      case None => fit(df)
     }
 
   def kmeans(df: DataFrame, k: Int, maxIter: Int = 40, seed: Long = 12345L,
@@ -39,14 +51,12 @@ object Clustering {
              initMode: String = "k-means||",
              fitOrderCol: Option[String] = None,
              fitSampleRows: Int = 1 << 17): (KMeansModel, DataFrame) = {
-    val fitIn = fitFrame(df, fitOrderCol, fitSampleRows)
-    if (fitOrderCol.isDefined) { fitIn.cache(); () }
-    val model = try {
+    val model = sampleFit(df, fitOrderCol, fitSampleRows) { fitIn =>
       new KMeans()
         .setK(k).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
         .setFeaturesCol(featuresCol)
         .fit(fitIn)
-    } finally { if (fitOrderCol.isDefined) fitIn.unpersist(blocking = false); () }
+    }
     (model, model.transform(df))
   }
 
@@ -56,14 +66,12 @@ object Clustering {
                       featuresCol: String = "features",
                       fitOrderCol: Option[String] = None,
                       fitSampleRows: Int = 1 << 17): (BisectingKMeansModel, DataFrame) = {
-    val fitIn = fitFrame(df, fitOrderCol, fitSampleRows)
-    if (fitOrderCol.isDefined) { fitIn.cache(); () }
-    val model = try {
+    val model = sampleFit(df, fitOrderCol, fitSampleRows) { fitIn =>
       new BisectingKMeans()
         .setK(k).setMaxIter(maxIter).setSeed(seed)
         .setFeaturesCol(featuresCol)
         .fit(fitIn)
-    } finally { if (fitOrderCol.isDefined) fitIn.unpersist(blocking = false); () }
+    }
     (model, model.transform(df))
   }
 
@@ -74,14 +82,12 @@ object Clustering {
           featuresCol: String = "features",
           fitOrderCol: Option[String] = None,
           fitSampleRows: Int = 1 << 17): (LDAModel, DataFrame) = {
-    val fitIn = fitFrame(df, fitOrderCol, fitSampleRows)
-    if (fitOrderCol.isDefined) { fitIn.cache(); () }
-    val model = try {
+    val model = sampleFit(df, fitOrderCol, fitSampleRows) { fitIn =>
       new LDA()
         .setK(k).setMaxIter(maxIter).setSeed(seed)
         .setFeaturesCol(featuresCol)
         .fit(fitIn)
-    } finally { if (fitOrderCol.isDefined) fitIn.unpersist(blocking = false); () }
+    }
     val withTopics = model.transform(df)
     val argmax = udf((v: Vector) => v.argmax)
     (model, withTopics.withColumn("prediction", argmax(col("topicDistribution"))))

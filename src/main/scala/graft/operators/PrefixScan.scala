@@ -52,10 +52,16 @@ object PrefixScan {
   private val live = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[org.apache.spark.rdd.RDD[Row], java.lang.Boolean]())
 
-  /** Eagerly unpersist every scan frame still alive (results computed from
-    * released blocks recompute from their deterministic shuffle lineage —
-    * slower, never wrong). For measurement harnesses and long-lived
-    * services that want deterministic release instead of GC-driven. */
+  /** Eagerly unpersist every scan frame still alive. A released-then-reread
+    * result recomputes from the shuffle lineage; that replay is
+    * value-identical ONLY when (group, orderCols) is a UNIQUE key per row —
+    * with duplicate keys, shuffle fetch order can permute tied rows between
+    * materializations and the running sum lands on different tied rows
+    * (the window form this operator replaces has the same tie ambiguity).
+    * Every engine caller orders by a unique id; callers with ties should
+    * either add a tiebreaker column or not re-read after release. For
+    * measurement harnesses and long-lived services that want deterministic
+    * release instead of GC-driven. */
   def releaseAll(): Unit = live.synchronized {
     live.forEach(r => { r.unpersist(blocking = false); () })
     live.clear()

@@ -148,13 +148,19 @@ object MlQueries {
   /** Drop the memoized feature frames + k-means fit (and unpersist the
     * cached features so Spark's CacheManager cannot plan-match a rebuilt
     * lineage onto the old InMemoryRelation). Benchmark hook: lets Bench
-    * re-measure the FIT cost on every repetition instead of the cache hit. */
+    * re-measure the FIT cost on every repetition instead of the cache hit;
+    * also Verify's repeat-gate hook for fit-memoizing pins.
+    * Entries are removed one-by-one with the atomic (key, value) remove —
+    * a sweep-then-clear() would silently drop (never unpersist) a frame a
+    * concurrent getOrElseUpdate inserted between the two steps (r11
+    * self-review); with per-entry removal a racing insert simply survives
+    * with its cache intact. */
   def clearFitCaches(): Unit = {
-    featCache.values.foreach(df => scala.util.Try(df.unpersist(blocking = true)))
-    featCache.clear()
-    featCountCache.values.foreach(df => scala.util.Try(df.unpersist(blocking = true)))
-    featCountCache.clear()
-    kmeansCache.clear()
+    for ((k, df) <- featCache.toSeq if featCache.remove(k, df))
+      { scala.util.Try(df.unpersist(blocking = true)); () }
+    for ((k, df) <- featCountCache.toSeq if featCountCache.remove(k, df))
+      { scala.util.Try(df.unpersist(blocking = true)); () }
+    kmeansCache.toSeq.foreach { case (k, v) => kmeansCache.remove(k, v); () }
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -216,7 +222,7 @@ object MlQueries {
       val clustered = clustered8(s, d)
       clustered.groupBy("prediction").agg(count(lit(1)).as("n"))
         .orderBy("prediction")
-    }.expectAtGate(8L, "5695612789456296967"),
+    }.expectAtGate(8L, "5695612789456296967").refitGate,
 
     // ----- M8 alternative: bisecting k-means blocking (the reference's
     // commented alternative, feature/Utils.scala:138)

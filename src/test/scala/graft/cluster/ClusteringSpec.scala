@@ -25,6 +25,25 @@ class ClusteringSpec extends SparkSpec {
     assert(c2.select("pk", "prediction").as[(String, Int)].collect().toMap == labels)
   }
 
+  test("fitOrderCol makes the fit partition-layout-invariant (r11)") {
+    // the deterministic sample fit must produce BIT-IDENTICAL centers no
+    // matter how the input happens to be partitioned — the property the
+    // repeat gate enforces end-to-end and the q_kmeans_blocks flake lacked.
+    // Keys here sort lexicographically; a real corpus passes its id column.
+    val embedded = graft.io.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        org.apache.spark.ml.functions.array_to_vector(col("embedding"))
+          .as("features"))
+    def centers(df: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] = {
+      val (m, _) = Clustering.kmeans(df, k = 4, maxIter = 10,
+        fitOrderCol = Some("vec_id"))
+      m.clusterCenters.toSeq.map(_.toArray.toSeq)
+    }
+    val a = centers(embedded.repartition(32))
+    val b = centers(embedded.repartition(3).sortWithinPartitions(desc("vec_id")))
+    assert(a == b, "sample-fit centers differ across input layouts")
+  }
+
   test("kmeans model exposes WSSSE via summary.trainingCost") {
     val (model, _) = Clustering.kmeans(blobs, k = 2, maxIter = 10)
     assert(model.summary.trainingCost >= 0.0)
