@@ -74,11 +74,15 @@ object Verify {
   /** The dump+gate body, callable with an injected session (main owns the
     * session lifecycle; RepinDryRunSpec drives this against a perturbed
     * fixture copy to exercise the regen→repin.json→repin.py loop end to
-    * end without stopping the shared test session). */
+    * end without stopping the shared test session) and an injected
+    * registry (RepeatGateSpec proves the repeat gate FAILS a
+    * nondeterministic pinned query — impossible to stage with the real
+    * defs, whose pins are deterministic by construction). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          only: Option[Set[String]], printChecks: Boolean): Unit = {
+          only: Option[Set[String]], printChecks: Boolean,
+          defs: Map[String, QueryDef] = SparkEntry.defs): Unit = {
     new java.io.File(outDir).mkdirs()
-    val selected = SparkEntry.defs
+    val selected = defs
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // gate expectations are pinned at the driver's sf0.01 verify scale only
     val atGate = sfDir.replaceAll("/+$", "").endsWith("sf0.01")
