@@ -80,7 +80,9 @@ object Verify {
     * defs, whose pins are deterministic by construction). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           only: Option[Set[String]], printChecks: Boolean,
-          defs: Map[String, QueryDef] = SparkEntry.defs): Unit = {
+          defs: Map[String, QueryDef] = SparkEntry.defs,
+          pinRepeats: Int = math.max(1,
+            sys.env.getOrElse("SPARK_GRAFT_PIN_REPEATS", "3").toInt)): Unit = {
     new java.io.File(outDir).mkdirs()
     val selected = defs
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -96,13 +98,15 @@ object Verify {
         "as rows-only, not enforced — re-pin with SPARK_GRAFT_PRINT_CHECKS=1")
     val checkResults = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val repinResults = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    // pinned queries are RE-RUN this many times at the gate (fresh plan +
+    // pinned queries are RE-RUN pinRepeats times at the gate (fresh plan +
     // fresh fit each repetition, not a cached re-count): a seeded-fit pin
     // that is exposed to run-to-run nondeterminism (the r10 q_ann_pq flake —
     // distributed float-reduction order shifting a k-means centroid) fails
-    // the repeat agreement HERE instead of 1-in-N driver runs later
-    val pinRepeats = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_PIN_REPEATS", "3").toInt)
+    // the repeat agreement HERE instead of 1-in-N driver runs later. An
+    // explicit parameter (defaulting to the env var) so RepeatGateSpec's
+    // failure-path proof is hermetic — an ambient SPARK_GRAFT_PIN_REPEATS=1
+    // would otherwise skip the second build the spec's injected query needs
+    // (ADVICE r11).
     def run(name: String, qd: QueryDef): Unit = {
       // dump FIRST, gate SECOND: a failing pin must still leave the query's
       // real rows in the artifact — in r10 the one failing pin's row silently
@@ -159,11 +163,17 @@ object Verify {
               // re-trained, and the repeat gate would be vacuous for exactly
               // the seeded-fit class it exists to catch (r11 self-review;
               // this gate-with-real-refits is what caught q_kmeans_blocks).
-              // Scoped to flagged queries: an unconditional clear evicted
-              // the shared TF-IDF cache out from under concurrent pool
-              // queries ~26× per gate run for no gain on fresh-fit pins.
+              // Scoped to flagged queries AND to the fit memo alone
+              // (MlQueries.clearFitMemo): this body runs inside the
+              // concurrent batch pool, so clearing the shared feature
+              // caches here would unpersist them out from under other
+              // running pool queries — and a racing getOrElseUpdate could
+              // double-evaluate, orphaning an InMemoryRelation (ADVICE
+              // r11). The gate's target is the seeded FIT; the feature
+              // input is deterministic and stays cached.
               (2 to pinRepeats).foreach { i =>
-                if (qd.refitsMemoizedFit) graft.queries.MlQueries.clearFitCaches()
+                if (qd.refitsMemoizedFit)
+                  graft.queries.MlQueries.clearFitMemo(spark, sfDir)
                 val dfi = qd.fn(spark, sfDir)
                 val rowsI = dfi.count()
                 if (rowsI != e.rows)

@@ -163,6 +163,22 @@ object MlQueries {
     kmeansCache.toSeq.foreach { case (k, v) => kmeansCache.remove(k, v); () }
   }
 
+  /** Drop ONLY the memoized seeded FIT for this (session, dir) — Verify's
+    * repeat-gate hook (QueryDef.refitGate). The repeat gate must re-TRAIN
+    * the seeded model, not re-count a memo, but it must NOT evict the
+    * shared feature caches: Verify runs pinned queries inside a concurrent
+    * batch pool, and a full [[clearFitCaches]] there unpersisted
+    * featCache/featCountCache out from under concurrently running pool
+    * queries (repeated evictions per gate run — exactly the cost the
+    * pool-scoping comment says the design avoids) while a racing
+    * getOrElseUpdate could double-evaluate and orphan an InMemoryRelation
+    * (ADVICE r11). The fit memo's value is an UNcached frame
+    * (model.transform over the cached features — see [[clustered8]]), so
+    * removal needs no unpersist and a racing re-insert leaks nothing. */
+  def clearFitMemo(s: SparkSession, d: String): Unit = {
+    kmeansCache.remove((s, d)); ()
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- M1/M2/M5/M7: clean→tokenize→stopwords→HashingTF→IDF.

@@ -27,10 +27,13 @@ class RepeatGateSpec extends SparkSpec {
       val n = if (builds.incrementAndGet() == 1) 5 else 6
       s.range(n).select(col("id"))
     }.expectAtGate(5L)
-    // the REAL sf0.01 dir: atGate + fingerprint-enforceable, like the driver
+    // the REAL sf0.01 dir: atGate + fingerprint-enforceable, like the driver.
+    // pinRepeats passed EXPLICITLY (not inherited from the env): an ambient
+    // SPARK_GRAFT_PIN_REPEATS=1 would never build the injected query a
+    // second time and fail this spec spuriously (ADVICE r11).
     Verify.run(spark, "/root/testdata/sf0.01", out,
       Some(Set("q_test_nondet")), printChecks = false,
-      defs = Map("q_test_nondet" -> nondet))
+      defs = Map("q_test_nondet" -> nondet), pinRepeats = 3)
     val checks = new String(
       Files.readAllBytes(Paths.get(s"$out/gate_checks.json")), "UTF-8")
     assert(checks.contains("\"q_test_nondet\""))
@@ -49,7 +52,7 @@ class RepeatGateSpec extends SparkSpec {
     }.expectAtGate(5L)
     Verify.run(spark, "/root/testdata/sf0.01", out,
       Some(Set("q_test_stable")), printChecks = false,
-      defs = Map("q_test_stable" -> stable))
+      defs = Map("q_test_stable" -> stable), pinRepeats = 3)
     val checks = new String(
       Files.readAllBytes(Paths.get(s"$out/gate_checks.json")), "UTF-8")
     assert(checks.contains("\"ok\":true") && checks.contains("\"repeats\":"),

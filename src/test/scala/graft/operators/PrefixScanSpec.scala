@@ -73,4 +73,23 @@ class PrefixScanSpec extends SparkSpec {
       .select("id", "cum").as[(Long, Long)].collect().toMap
     assert((1 to 500).forall(i => got(i.toLong) == (i - 1).toLong))
   }
+
+  test("a non-atomic group key fails fast with a clear error") {
+    // binary (and array/map/struct) group keys compare by REFERENCE in the
+    // run detection, which would silently misplace run boundaries — the
+    // guard must reject them before any job runs (ADVICE r10/r11)
+    val binDf = Seq((Array[Byte](1, 2), 1L, 5L), (Array[Byte](1, 2), 2L, 7L))
+      .toDF("g", "id", "v")
+    val binErr = intercept[IllegalArgumentException] {
+      PrefixScan.exclusivePrefixSum(binDf, "g", Seq(col("id")), "v", "cum")
+    }
+    assert(binErr.getMessage.contains("'g'") &&
+      binErr.getMessage.contains("atomic"), binErr.getMessage)
+
+    val arrDf = Seq((Seq(1, 2), 1L, 5L)).toDF("g", "id", "v")
+    val arrErr = intercept[IllegalArgumentException] {
+      PrefixScan.exclusivePrefixSum(arrDf, "g", Seq(col("id")), "v", "cum")
+    }
+    assert(arrErr.getMessage.contains("atomic"), arrErr.getMessage)
+  }
 }
