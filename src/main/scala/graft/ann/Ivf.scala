@@ -59,6 +59,49 @@ object Ivf {
     Index(centroids, assigned)
   }
 
+  /** Build an index from EXPLICIT centroids — no fit. `centroids` is a
+    * (centroid_id int, cvec array<double>) frame, bounded by contract (a
+    * coarse quantizer is k·dim doubles — driver-scale by construction; the
+    * rows are collected and broadcast). Assignment is ONE NARROW MAP over
+    * the corpus: each row takes the argmin of
+    * ||v||² + ||c||² − 2·v·c over the broadcast centroid array (ascending
+    * index folds — the [[search]] routing arithmetic and the DuckDB
+    * list_reduce fold order, so an oracle replays assignments
+    * bit-for-bit), ties to the smaller centroid_id. No shuffle, no join:
+    * this is the production ingest shape (q_stream_ann_ingest routes each
+    * micro-batch with the same arithmetic) and the pinned-quantizer shape
+    * the [sql] ANN gates replay end to end — the k-means fit itself stays
+    * gated by the q_kmeans_blocks pin. */
+  def fromCentroids(df: DataFrame, vecCol: String, centroids: DataFrame): Index = {
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("centroid_id").cast("int"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val assign = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)._2
+        var nv = 0.0; var nc = 0.0; var dp = 0.0
+        var j = 0
+        while (j < c.length) {
+          nv += v(j) * v(j); nc += c(j) * c(j); dp += v(j) * c(j); j += 1
+        }
+        val d = nv + nc - 2.0 * dp
+        // strict <: ties keep the FIRST (= smallest centroid_id, the array
+        // is id-sorted) — the oracle's ORDER BY d2, centroid_id
+        if (d < bestD) { bestD = d; best = cs(i)._1 }
+        i += 1
+      }
+      best
+    }
+    Index(centroids, df.withColumn("centroid_id", assign(col(vecCol))))
+  }
+
   /** Persist the index as two parquet tables under one directory (Hadoop-FS
     * reach: local, HDFS, object stores). Production ANN serving builds ONCE
     * per corpus generation and loads per session/job instead of refitting —

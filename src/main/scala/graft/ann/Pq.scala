@@ -93,6 +93,54 @@ object Pq {
     } finally sliced.unpersist(blocking = false)
   }
 
+  /** Build an index from EXPLICIT codebooks — no fit. `codebooks(j)(c)` is
+    * centroid c of subspace j (every subspace the same alphabet size, every
+    * centroid length dsub). Encoding is ONE NARROW MAP over the corpus: per
+    * subspace the argmin of Σᵢ(v[j·dsub+i] − cent[i])² over the broadcast
+    * codebook (ascending-index folds — the [[adcTableUdf]] arithmetic and
+    * the DuckDB list_reduce fold order, so an oracle replays every code
+    * bit-for-bit), ties to the smaller code. No shuffle, no fit job: the
+    * pinned-codebook shape the [sql] PQ gates replay end to end — the
+    * seeded codebook FIT stays gated by the q_kmeans_blocks pin (and
+    * [[build]]'s deterministic sample fit). */
+  def fromCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                    codebooks: Array[Array[Array[Double]]]): Index = {
+    val m = codebooks.length
+    require(m > 0 && codebooks.forall(_.length == codebooks(0).length),
+      "codebooks must be non-empty with a uniform alphabet size")
+    val dsub = codebooks(0)(0).length
+    val bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    val encode = udf { (v: Seq[Double]) =>
+      val books = bc.value
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val bj = books(j)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < bj.length) {
+          val cent = bj(c)
+          var s = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = v(j * dsub + i) - cent(i); s += diff * diff; i += 1
+          }
+          // strict <: ties keep the smaller code — the oracle's
+          // ORDER BY d, code
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        codes(j) = best
+        j += 1
+      }
+      codes
+    }
+    Index(codebooks,
+      df.select(col(idCol).as("__id"), encode(col(vecCol)).as("codes")),
+      m, dsub)
+  }
+
   /** Persist the index under one directory: the code table as parquet, the
     * codebooks as a (subspace, code, centroid) parquet (tiny: m·k·dsub
     * doubles, exact round-trip), and m/dsub in a JSON sidecar — the

@@ -1168,24 +1168,50 @@ object MlQueries {
     // all-pairs), cosine >= τ pairs feed connected components and each
     // near-dup group keeps its min-id representative. τ=0.35 matches the
     // synthetic corpus's cosine range (real embedding spaces use ~0.95+).
-    // rows-only: the seeded k-means fit is not SQL-replayable; the gate
-    // pins rows + checksum.
-    "q_semdedup" -> QueryDef.rowsOnly { (s, d) =>
+    // FULL [sql] gate since r12 (VERDICT r11 #1, the q_candidates r9 /
+    // b1f5664 q_billmatch recipe): the cluster label is PINNED (vec_id mod
+    // 16) instead of the seeded k-means prediction, so DuckDB replays the
+    // COMPLETE pipeline — bucketed within-cluster pair generation, the
+    // cosine-≥τ edge set (identical fold arithmetic, one ROUND(6) both
+    // sides), the connected-components closure, and the min-id
+    // representative anti-join — retiring the former rows+checksum pin.
+    // The seeded blocking FIT stays gated by the q_kmeans_blocks pin, and
+    // the fit→assign composition by q_semdedup_exact (pinned explicit
+    // centroids + 0-iteration argmax assignment).
+    "q_semdedup" -> QueryDef.sql {
+      def cosSql(a: String, b: String): String = {
+        def dotS(x: String, y: String) =
+          s"list_reduce(list_transform(range(1, 65), i -> $x[i]*$y[i]), (x,y)->x+y)"
+        s"(${dotS(a, b)} / (SQRT(${dotS(a, a)}) * SQRT(${dotS(b, b)})))"
+      }
+      s"""
+      WITH RECURSIVE t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                                  ((vec_id % 16) + 16) % 16 AS prediction
+                           FROM embeddings),
+      e AS (SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM t a JOIN t b
+              ON a.prediction = b.prediction AND b.vec_id > a.vec_id
+            WHERE ROUND(${cosSql("a.v", "b.v")}, 6) >= 0.35),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      reach AS (
+        SELECT src AS vertex, src AS root FROM sym
+        UNION
+        SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.vertex),
+      comp AS (SELECT vertex, MIN(root) AS component
+               FROM reach GROUP BY vertex)
+      SELECT vec_id, prediction FROM t
+      WHERE vec_id NOT IN (SELECT vertex FROM comp WHERE vertex <> component)
+      ORDER BY vec_id"""
+    } { (s, d) =>
       import graft.similarity.ArrayOps
-      val emb = spread(Tables.embeddings(s, d))
-      val (_, clustered) = Clustering.kmeans(
-        emb.select(col("vec_id"),
-          org.apache.spark.ml.functions.array_to_vector(col("embedding"))
-            .as("features")),
-        k = 16, fitOrderCol = Some("vec_id"))
-      val t = clustered.select(col("vec_id"), col("prediction"))
-        .join(emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v")),
-          "vec_id")
+      val t = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), pmod(col("vec_id"), lit(16)).as("prediction"),
+          ArrayOps.asDouble(col("embedding")).as("v"))
       val a = t.select(col("prediction"), col("vec_id").as("id1"), col("v").as("v1"))
       val b = t.select(col("prediction"), col("vec_id").as("id2"), col("v").as("v2"))
       val pairs = a.join(b, Seq("prediction"))
         .filter(col("id2") > col("id1") &&
-          ArrayOps.cosine(col("v1"), col("v2")) >= 0.35)
+          round(ArrayOps.cosine(col("v1"), col("v2")), 6) >= 0.35)
         .select(col("id1").as("src"), col("id2").as("dst"))
       val drop = graft.graph.GraphOps.connectedComponents(pairs)
         .filter(col("vertex") =!= col("component"))
@@ -1193,7 +1219,7 @@ object MlQueries {
       t.select("vec_id", "prediction")
         .join(drop, t("vec_id") === drop("vertex"), "left_anti")
         .orderBy("vec_id")
-    }.expectAtGate(398L, "225251218008991563223"),
+    },
 
     // ----- SemDeDup exact twin (VERDICT r7 #4a): the SAME pipeline shape —
     // cluster-partition → within-cluster cosine pairs → connected components

@@ -253,61 +253,199 @@ object VectorQueries {
         .orderBy("d1", "d2")
     },
 
-    // ----- extension: IVF ANN — k-means coarse quantizer, probe the nProbe
-    // nearest partitions (the data-adaptive scale path next to sign-LSH).
-    // Centroids depend on the k-means fit, so the gate check is rows-only;
-    // IvfSpec pins exact brute-force equivalence at nProbe == k.
     // ----- extension: product-quantization ANN — 8 codes per vector (32×
     // compression of the float32 embedding), query answered via asymmetric
-    // distance tables (m lookups per candidate). Model-dependent (per-subspace
-    // k-means) → rows-only; lossless-case equivalence pinned in PqSpec.
-    "q_ann_pq" -> QueryDef.rowsOnly { (s, d) =>
+    // distance tables (m lookups per candidate). FULL [sql] gate since r12
+    // (VERDICT r11 #1, the b1f5664 q_billmatch recipe): the codebooks are
+    // PINNED — subspace j's 16 centroids are the j-th 8-dim slices of the 16
+    // embeddings with vec_id < 16 — so DuckDB replays EVERY stage:
+    // per-subspace argmin encoding (Pq.fromCodebooks' narrow-map UDF, same
+    // ascending diff²-fold as the list_reduce), the per-query ADC table, the
+    // m-lookup candidate score (list(td ORDER BY j) left-fold ≡
+    // adcScoreUdf's j-ascending sum), and the global per-probe top-5 with
+    // cand_id tie-break. The seeded codebook FIT (Pq.build) stays gated by
+    // q_ann_pq_exact's lossless-alphabet hash gate + PqSpec; this retires
+    // the former rows+checksum pin.
+    "q_ann_pq" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pin AS (SELECT vec_id AS code, v FROM t WHERE vec_id < 16),
+      cb AS (SELECT r.j, pin.code, pin.v[r.j*8+1 : r.j*8+8] AS cv
+             FROM pin CROSS JOIN range(8) r(j)),
+      enc0 AS (SELECT t.vec_id, cb.j, cb.code,
+                 list_reduce(list_transform(range(1, 9),
+                   i -> (t.v[cb.j*8+i]-cb.cv[i])*(t.v[cb.j*8+i]-cb.cv[i])), (x,y)->x+y) AS d
+               FROM t CROSS JOIN cb),
+      enc AS (SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS ern
+                FROM enc0) WHERE ern = 1),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 50 = 0),
+      adc AS (SELECT q.q_id, cb.j, cb.code,
+                list_reduce(list_transform(range(1, 9),
+                  i -> (q.qv[cb.j*8+i]-cb.cv[i])*(q.qv[cb.j*8+i]-cb.cv[i])), (x,y)->x+y) AS td
+              FROM q CROSS JOIN cb),
+      sc AS (SELECT adc.q_id, enc.vec_id AS cand_id,
+               list_reduce(list(adc.td ORDER BY adc.j), (x,y)->x+y) AS d2
+             FROM enc JOIN adc ON adc.j = enc.j AND adc.code = enc.code
+             WHERE enc.vec_id <> adc.q_id
+             GROUP BY adc.q_id, enc.vec_id),
+      r AS (SELECT q_id, cand_id, ROUND(d2, 6) AS approx_d2,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand_id) AS rn
+            FROM sc)
+      SELECT q_id, cand_id, approx_d2, rn FROM r WHERE rn <= 5
+      ORDER BY q_id, rn""") { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-        .repartition(32) // FIXED fan-out: pinned fit — init sampling must not vary with machine size
-      val index = graft.ann.Pq.build(t, "vec_id", "v", m = 8, k = 16)
+        .transform(Tables.spread)
+      // pinned codebooks: the 16 smallest-id embeddings, sliced — a bounded
+      // driver scalar (16×64 doubles), code c = pinned vector c
+      val pin = t.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      val books = Array.tabulate(8, 16)((j, c) => pin(c).slice(j * 8, j * 8 + 8))
+      val index = graft.ann.Pq.fromCodebooks(t, "vec_id", "v", books)
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       graft.ann.Pq.search(index, probes, topK = 5)
         .select(col("q_id"), col("cand_id"), round(col("approx_d2"), 6).as("approx_d2"),
           col("rn"))
         .orderBy("q_id", "rn")
-    }.expectAtGate(50L, "30412967349320403665"),
+    },
 
     // ----- extension: IVF-PQ — the composed index (coarse routing bounds the
     // scan, product-quantization codes bound the memory; Jégou et al. 2011).
-    // Doubly model-dependent (coarse + subspace k-means) → rows-only;
-    // IvfPqSpec pins exact-L2 equivalence at nProbe==k with lossless codes.
-    "q_ann_ivfpq" -> QueryDef.rowsOnly { (s, d) =>
+    // FULL [sql] gate since r12 (VERDICT r11 #1): BOTH halves pinned — coarse
+    // centroids are the embeddings with vec_id 100..115 (the q_ann_ivf
+    // quantizer), codebooks the vec_id < 16 slices (the q_ann_pq alphabet) —
+    // so the oracle replays assignment, 4-probe routing, ADC tables, the
+    // bucket-bounded candidate join and the per-probe top-5 end to end
+    // through IvfPq.search's real approximate path. Seeded-fit composition
+    // stays gated by q_ann_ivfpq_exact (nProbe==k + lossless codes).
+    "q_ann_ivfpq" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cvec FROM t
+            WHERE vec_id BETWEEN 100 AND 115),
+      asg0 AS (SELECT t.vec_id, c.centroid_id,
+                 list_reduce(list_transform(range(1, ${DIM + 1}), i -> t.v[i]*t.v[i]), (x,y)->x+y)
+               + list_reduce(list_transform(range(1, ${DIM + 1}), i -> c.cvec[i]*c.cvec[i]), (x,y)->x+y)
+               - 2.0 * list_reduce(list_transform(range(1, ${DIM + 1}), i -> t.v[i]*c.cvec[i]), (x,y)->x+y) AS d2
+               FROM t CROSS JOIN c),
+      asg AS (SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS arn
+                FROM asg0) WHERE arn = 1),
+      pin AS (SELECT vec_id AS code, v FROM t WHERE vec_id < 16),
+      cb AS (SELECT r.j, pin.code, pin.v[r.j*8+1 : r.j*8+8] AS cv
+             FROM pin CROSS JOIN range(8) r(j)),
+      enc0 AS (SELECT t.vec_id, cb.j, cb.code,
+                 list_reduce(list_transform(range(1, 9),
+                   i -> (t.v[cb.j*8+i]-cb.cv[i])*(t.v[cb.j*8+i]-cb.cv[i])), (x,y)->x+y) AS d
+               FROM t CROSS JOIN cb),
+      enc AS (SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS ern
+                FROM enc0) WHERE ern = 1),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 50 = 0),
+      pr0 AS (SELECT q.q_id, q.qv, c.centroid_id,
+                 list_reduce(list_transform(range(1, ${DIM + 1}), i -> q.qv[i]*q.qv[i]), (x,y)->x+y)
+               + list_reduce(list_transform(range(1, ${DIM + 1}), i -> c.cvec[i]*c.cvec[i]), (x,y)->x+y)
+               - 2.0 * list_reduce(list_transform(range(1, ${DIM + 1}), i -> q.qv[i]*c.cvec[i]), (x,y)->x+y) AS d2
+              FROM q CROSS JOIN c),
+      pr AS (SELECT q_id, qv, centroid_id FROM (
+               SELECT q_id, qv, centroid_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, centroid_id) AS prn
+               FROM pr0) WHERE prn <= 4),
+      adc AS (SELECT pr.q_id, cb.j, cb.code,
+                list_reduce(list_transform(range(1, 9),
+                  i -> (pr.qv[cb.j*8+i]-cb.cv[i])*(pr.qv[cb.j*8+i]-cb.cv[i])), (x,y)->x+y) AS td
+              FROM (SELECT DISTINCT q_id, qv FROM pr) pr CROSS JOIN cb),
+      cand AS (SELECT pr.q_id, asg.vec_id AS cand_id
+               FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+               WHERE asg.vec_id <> pr.q_id),
+      sc AS (SELECT cand.q_id, cand.cand_id,
+               list_reduce(list(adc.td ORDER BY adc.j), (x,y)->x+y) AS d2
+             FROM cand
+             JOIN enc ON enc.vec_id = cand.cand_id
+             JOIN adc ON adc.q_id = cand.q_id AND adc.j = enc.j AND adc.code = enc.code
+             GROUP BY cand.q_id, cand.cand_id),
+      r AS (SELECT q_id, cand_id, ROUND(d2, 6) AS approx_d2,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand_id) AS rn
+            FROM sc)
+      SELECT q_id, cand_id, approx_d2, rn FROM r WHERE rn <= 5
+      ORDER BY q_id, rn""") { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-        .repartition(32) // FIXED fan-out: pinned fit — init sampling must not vary with machine size
-      // fitOrderCol: both fits train on a sorted single-partition sample so
-      // the pinned checksum cannot flake on float-reduction order (r11)
-      val ivf = graft.ann.Ivf.build(t, "v", k = 16, fitOrderCol = Some("vec_id"))
-      val pq = graft.ann.Pq.build(t, "vec_id", "v", m = 8, k = 16)
+        .transform(Tables.spread)
+      val cents = t.filter(col("vec_id").between(100, 115))
+        .select(col("vec_id").cast("int").as("centroid_id"), col("v").as("cvec"))
+      val ivf = graft.ann.Ivf.fromCentroids(t, "v", cents)
+      val pin = t.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      val books = Array.tabulate(8, 16)((j, c) => pin(c).slice(j * 8, j * 8 + 8))
+      val pq = graft.ann.Pq.fromCodebooks(t, "vec_id", "v", books)
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       graft.ann.IvfPq.search(ivf, pq, probes, "vec_id", topK = 5, nProbe = 4)
         .select(col("q_id"), col("cand_id"),
           round(col("approx_d2"), 6).as("approx_d2"), col("rn"))
         .orderBy("q_id", "rn")
-    }.expectAtGate(50L, "23417283749408044718"),
+    },
 
-    "q_ann_ivf" -> QueryDef.rowsOnly { (s, d) =>
+    // ----- extension: IVF ANN — coarse quantizer routing, probe the nProbe
+    // nearest partitions (the data-adaptive scale path next to sign-LSH).
+    // FULL [sql] gate since r12 (VERDICT r11 #1): the quantizer is PINNED
+    // (the 16 embeddings with vec_id 100..115 — deliberately a different
+    // set from q_stream_ann_ingest's vec_id < 16, so the two gates pin
+    // different routings), assignment is Ivf.fromCentroids' narrow-map
+    // argmin (same ||v||²+||c||²−2v·c left-folds as the oracle's
+    // list_reduce), and the REAL approximate search path (nProbe 4 of 16 —
+    // routing genuinely prunes) replays in DuckDB end to end. The seeded
+    // quantizer FIT stays gated by q_ann_ivf_exact (nProbe==k cancels
+    // centroid placement) + the q_kmeans_blocks pin.
+    "q_ann_ivf" -> QueryDef.sql(s"""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cvec FROM t
+            WHERE vec_id BETWEEN 100 AND 115),
+      asg0 AS (SELECT t.vec_id, t.v, c.centroid_id,
+                 list_reduce(list_transform(range(1, ${DIM + 1}), i -> t.v[i]*t.v[i]), (x,y)->x+y)
+               + list_reduce(list_transform(range(1, ${DIM + 1}), i -> c.cvec[i]*c.cvec[i]), (x,y)->x+y)
+               - 2.0 * list_reduce(list_transform(range(1, ${DIM + 1}), i -> t.v[i]*c.cvec[i]), (x,y)->x+y) AS d2
+               FROM t CROSS JOIN c),
+      asg AS (SELECT vec_id, v, centroid_id FROM (
+                SELECT vec_id, v, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS arn
+                FROM asg0) WHERE arn = 1),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 50 = 0),
+      pr0 AS (SELECT q.q_id, q.qv, c.centroid_id,
+                 list_reduce(list_transform(range(1, ${DIM + 1}), i -> q.qv[i]*q.qv[i]), (x,y)->x+y)
+               + list_reduce(list_transform(range(1, ${DIM + 1}), i -> c.cvec[i]*c.cvec[i]), (x,y)->x+y)
+               - 2.0 * list_reduce(list_transform(range(1, ${DIM + 1}), i -> q.qv[i]*c.cvec[i]), (x,y)->x+y) AS d2
+              FROM q CROSS JOIN c),
+      pr AS (SELECT q_id, qv, centroid_id FROM (
+               SELECT q_id, qv, centroid_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, centroid_id) AS prn
+               FROM pr0) WHERE prn <= 4),
+      s AS (SELECT pr.q_id, asg.vec_id AS cand_id,
+                   list_reduce(list_transform(range(1, ${DIM + 1}), i -> pr.qv[i]*asg.v[i]), (x,y)->x+y)
+                   / (SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> pr.qv[i]*pr.qv[i]), (x,y)->x+y))
+                      * SQRT(list_reduce(list_transform(range(1, ${DIM + 1}), i -> asg.v[i]*asg.v[i]), (x,y)->x+y))) AS cos
+            FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id AND asg.vec_id <> pr.q_id),
+      r AS (SELECT q_id, cand_id, ROUND(cos, 6) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+            FROM s)
+      SELECT q_id, cand_id, cos, rn FROM r WHERE rn <= 3
+      ORDER BY q_id, rn""") { (s, d) =>
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-        .repartition(32) // FIXED fan-out: pinned fit — init sampling must not vary with machine size
-      // fitOrderCol: sorted single-partition fit sample — the pinned checksum
-      // cannot flake on distributed float-reduction order (r11, the q_ann_pq
-      // gate-flake class)
-      val index = graft.ann.Ivf.build(t, "v", k = 16, fitOrderCol = Some("vec_id"))
+        .transform(Tables.spread)
+      val cents = t.filter(col("vec_id").between(100, 115))
+        .select(col("vec_id").cast("int").as("centroid_id"), col("v").as("cvec"))
+      val index = graft.ann.Ivf.fromCentroids(t, "v", cents)
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       graft.ann.Ivf.search(index, probes, "vec_id", "v", topK = 3, nProbe = 4)
         .select(col("q_id"), col("cand_id"), round(col("cos"), 6).as("cos"), col("rn"))
         .orderBy("q_id", "rn")
-    }.expectAtGate(30L, "18196390412878619532"),
+    },
 
     // ----- extension: sign-LSH bucketed ANN — same probe set, but the join is
     // bucket-equality instead of a cross product; md5-derived hyperplanes make

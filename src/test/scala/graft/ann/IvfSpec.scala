@@ -40,6 +40,27 @@ class IvfSpec extends SparkSpec {
     assert(ivfTop(k = 8, nProbe = 8) == bruteTop)
   }
 
+  test("fromCentroids matches the column-expression argmin and is exact at nProbe==k") {
+    val cents = t.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("v").as("cvec"))
+    val index = Ivf.fromCentroids(t, "v", cents)
+    // column-expression twin of the narrow-map assignment (the Ivf.search
+    // routing arithmetic) — every row must agree, ties included
+    val d2 = ArrayOps.norm2sq(col("v")) + ArrayOps.norm2sq(col("cvec")) -
+      lit(2.0) * ArrayOps.dot(col("v"), col("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("centroid_id"))
+    val twin = t.crossJoin(broadcast(cents)).withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val got = index.assigned.select(col("vec_id"), col("centroid_id"))
+    assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty)
+    // a pinned quantizer cancels out of the result entirely at nProbe == k
+    val full = Ivf.search(index, probes, "vec_id", "v", topK = 5, nProbe = 8)
+      .select(col("q_id"), col("cand_id"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == bruteTop)
+  }
+
   test("partial probing returns topK per probe with plausible recall") {
     val got = ivfTop(k = 8, nProbe = 2)
     val nProbes = probes.count()

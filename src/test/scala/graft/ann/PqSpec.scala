@@ -45,6 +45,39 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("fromCodebooks encodes by per-subspace argmin — lossless on a covering alphabet") {
+    val patterns = Seq(Seq(0.0, 1.0), Seq(5.0, 2.0), Seq(-3.0, 4.0))
+    val vecs = (0 until 60).map { i =>
+      val v = (0 until 4).flatMap(j => patterns((i / (j + 1)) % 3))
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "v").repartition(4)
+    // explicit codebooks that cover every distinct subvector exactly —
+    // encoding must hit each pattern at distance 0, so PQ == exact L2
+    val books = Array.tabulate(4, 3)((_, c) => patterns(c).toArray)
+    val index = Pq.fromCodebooks(df, "vec_id", "v", books)
+    // each code must name the exact source pattern
+    val decoded = index.codes.as[(Long, Seq[Int])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val rebuilt = decoded(id).toSeq.flatMap(c => patterns(c))
+      assert(rebuilt == v, s"fromCodebooks mis-encoded vec $id")
+    }
+    val probes = df.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val got = Pq.search(index, probes, topK = 5)
+      .select("q_id", "rn", "cand_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val all = vecs.toMap
+    (0L until 5L).foreach { q =>
+      val qv = all(q)
+      val exact = vecs.filter(_._1 != q).map { case (id, v) =>
+        (id, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, d2) => (d2, id) }.take(5).map(_._1)
+      assert(got(q) == exact, s"fromCodebooks ranking differs for q=$q")
+    }
+  }
+
   test("codes are m small ints; recall on real embeddings is nontrivial") {
     val t = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
