@@ -28,7 +28,9 @@ object Ivf {
 
   /** @param fitOrderCol when set, the coarse-quantizer k-means trains on a
     *        DETERMINISTICALLY ORDERED single-partition sample (ascending
-    *        `fitOrderCol`, first `fitSampleRows` rows) instead of the full
+    *        `xxhash64(fitOrderCol)` — decorrelated from id order, see
+    *        Clustering.sampleFit — first `fitSampleRows` rows) instead of
+    *        the full
     *        distributed frame: a distributed fit's float reductions follow
     *        task completion order, so repeated builds can disagree in the
     *        last ulp and occasionally move a centroid (the r10 q_ann_pq

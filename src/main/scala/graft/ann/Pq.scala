@@ -36,22 +36,25 @@ object Pq {
   /** Train subspace codebooks and encode the corpus.
     *
     * The codebook fit is DETERMINISTIC by construction: each subspace
-    * k-means runs over a single-partition slice sample in ascending-id
-    * order (`sort(id).limit(fitSampleRows).coalesce(1)`), so the seeded
-    * init sampling and every float accumulation see one fixed operand
+    * k-means runs over a single-partition slice sample in ascending
+    * xxhash64(id) order (Clustering.sampleFit), so the seeded init
+    * sampling and every float accumulation see one fixed operand
     * order — a distributed fit's task-completion-order reduction drift
     * occasionally moved a centroid enough to flip which top-5 candidates
-    * `search` reports (the r10 q_ann_pq gate flake). This is also the
-    * standard production shape: PQ codebooks are conventionally trained on
-    * a bounded sample (m·k centroids need ~thousands of points, not the
-    * corpus), so the single-task fit costs O(fitSampleRows·k·maxIter)
-    * regardless of corpus size while ENCODING stays fully distributed.
+    * `search` reports (the r10 q_ann_pq gate flake). Hash order, not raw
+    * id order: an id-prefix sample is biased when ids correlate with
+    * content (ADVICE r11); the hash sample is deterministic AND
+    * decorrelated. This is also the standard production shape: PQ
+    * codebooks are conventionally trained on a bounded sample (m·k
+    * centroids need ~thousands of points, not the corpus), so the
+    * single-task fit costs O(fitSampleRows·k·maxIter) regardless of
+    * corpus size while ENCODING stays fully distributed.
     *
     * @param df     corpus; `vecCol` is array<double> of uniform length d
     * @param m      number of subspaces; must divide d
     * @param k      centroids per subspace (code alphabet size)
-    * @param fitSampleRows codebook training sample bound (smallest ids win
-    *                      — deterministic, not a random sample)
+    * @param fitSampleRows codebook training sample bound (smallest
+    *                      xxhash64(id) wins — deterministic, decorrelated)
     */
   def build(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
             seed: Long = 12345L, maxIter: Int = 20,

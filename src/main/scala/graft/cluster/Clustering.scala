@@ -18,9 +18,9 @@ object Clustering {
     * input plus a `prediction` column, and the model (for WSSSE =
     * summary.trainingCost, the Spark-4 home of computeCost). */
   /** When `fitOrderCol` is set, the model trains on a DETERMINISTICALLY
-    * ORDERED single-partition sample (ascending order column, first
-    * `fitSampleRows` rows) while `transform` stays fully distributed: a
-    * distributed fit's float reductions follow task completion order, so
+    * ORDERED single-partition sample (ascending `xxhash64(order column)`,
+    * first `fitSampleRows` rows) while `transform` stays fully distributed:
+    * a distributed fit's float reductions follow task completion order, so
     * repeated seeded fits can land on different local optima — Verify's
     * real-refit repeat gate caught q_kmeans_blocks doing exactly that
     * (r11; the q_ann_pq class). Pinned gates pass the id column; this is
@@ -30,16 +30,28 @@ object Clustering {
   /** THE deterministic sample-fit harness — every seeded fit in the engine
     * (k-means/bisecting/LDA here, Ivf/Pq.build in graft.ann) goes through
     * this one body so a future determinism tweak cannot silently miss a
-    * copy. Some(order): sort → bounded sample → ONE partition, cached and
-    * materialized before the fit (every iteration then reads the same
+    * copy. Some(order): hash-sort → bounded sample → ONE partition, cached
+    * and materialized before the fit (every iteration then reads the same
     * cached partition in the same order), released after. None: the fit
     * runs on `df` as given (distributed — the caller accepts
-    * reduction-order drift). */
+    * reduction-order drift).
+    *
+    * The sample is ordered by `xxhash64(order column)` (raw column as the
+    * collision tiebreak), NOT by the raw column: taking the first
+    * `fitSampleRows` rows of a raw-id sort trains on the corpus's
+    * smallest-id PREFIX, which is a biased slice whenever ids correlate
+    * with content — time-ordered crawls, sharded sources (ADVICE r11).
+    * The hash order is equally deterministic (same rows → same sample →
+    * same fit, machine-independent) but decorrelated from insertion/time
+    * order — a uniform pseudo-random sample with a replayable seed. At
+    * gate scale the sample is the whole corpus either way; the ordering
+    * choice exists for the 100 TB bound. */
   private[graft] def sampleFit[M](df: DataFrame, fitOrderCol: Option[String],
                                   fitSampleRows: Int)(fit: DataFrame => M): M =
     fitOrderCol match {
       case Some(ord) =>
-        val fitIn = df.sort(ord).limit(fitSampleRows).coalesce(1).cache()
+        val fitIn = df.sort(xxhash64(col(ord)), col(ord))
+          .limit(fitSampleRows).coalesce(1).cache()
         fitIn.count()
         try fit(fitIn)
         finally { fitIn.unpersist(blocking = false); () }

@@ -238,7 +238,7 @@ object MlQueries {
       val clustered = clustered8(s, d)
       clustered.groupBy("prediction").agg(count(lit(1)).as("n"))
         .orderBy("prediction")
-    }.expectAtGate(8L, "5695612789456296967").refitGate,
+    }.expectAtGate(8L, "4460179844691033791").refitGate,
 
     // ----- M8 alternative: bisecting k-means blocking (the reference's
     // commented alternative, feature/Utils.scala:138)
@@ -258,7 +258,7 @@ object MlQueries {
       model.describeTopics(5)
         .select(col("topic"), posexplode(col("termIndices")).as(Seq("pos", "term_index")))
         .orderBy("topic", "pos")
-    }.expectAtGate(25L, "13855982525126751898"),
+    }.expectAtGate(25L, "14615294557994870357"),
 
     // ----- workflow-3 end to end: LDA topic label as the BLOCKING key — the
     // reference's third workflow (LDAAnalyzer.scala:109-116 assigns argmax

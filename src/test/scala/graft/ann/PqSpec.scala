@@ -107,12 +107,17 @@ class PqSpec extends SparkSpec {
       pqTop(q).intersect(ex).size.toDouble / ex.size
     }
     val mean = recalls.sum / recalls.size
+    info(s"mean recall@10 = $mean")
     // "nontrivial" bar: chance recall@10 over ~500 candidates is ~0.02; the
-    // 8×16 codebook lands ~0.29-0.33 on these synthetic embeddings (the r11
-    // deterministic sample fit sits at 0.29, the old distributed fit at
-    // 0.31 — same quality class, different local optimum; extra Lloyd
-    // iterations don't move it). 0.2 asserts an order of magnitude above
-    // chance without pinning a specific local optimum.
+    // 8×16 codebook lands ~0.28-0.33 on these synthetic embeddings (the
+    // r12 hash-ordered deterministic sample fit sits at 0.28, the r11
+    // id-prefix sample at 0.29, the old distributed fit at 0.31 — same
+    // quality class, different local optimum; extra Lloyd iterations don't
+    // move it, and on these uniform synthetic vectors the sample ORDER only
+    // picks among optima — the hash order exists to kill the id-content
+    // correlation bias a prefix sample has on real corpora, ADVICE r11).
+    // 0.2 asserts an order of magnitude above chance without pinning a
+    // specific local optimum.
     assert(mean > 0.2, s"mean recall@10 too low: $mean (per-probe: $recalls)")
   }
 }
