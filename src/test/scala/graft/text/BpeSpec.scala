@@ -119,6 +119,26 @@ class BpeSpec extends SparkSpec {
       Bpe.learn(Bpe.wordCounts(df), 6))
   }
 
+  test("learn steers to learnScalable above the threshold (identical merges)") {
+    // past scalableLearnThreshold merges, learn IS learnScalable — the
+    // steering default (VERDICT r11 #4). A vocab rich enough to supply
+    // threshold+2 merges: distinct long words over a 4-letter alphabet.
+    val rnd = new scala.util.Random(11)
+    val words = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(12) + 4).map(_ => "abcd" (rnd.nextInt(4))).mkString
+    }
+    val df = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(df).persist()
+    try {
+      val n = Bpe.scalableLearnThreshold + 2
+      val viaLearn = Bpe.learn(wc, n)
+      val direct = Bpe.learnScalable(wc, n)
+      assert(viaLearn === direct)
+      assert(viaLearn.size > Bpe.scalableLearnThreshold,
+        "corpus too poor to cross the steering threshold")
+    } finally { wc.unpersist(); () }
+  }
+
   test("learnScalable stops early when the vocabulary runs out of pairs") {
     val df = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
     val merges = Bpe.learnScalable(Bpe.wordCounts(df), 8, materializeEvery = 2)
