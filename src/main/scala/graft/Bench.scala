@@ -216,6 +216,69 @@ object Bench {
     m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
 
+  /** Cross-round noise bands (VERDICT r11 #5): per query, the [min, max]
+    * envelope of the canonical seconds across every committed
+    * BENCH_r*.json artifact in `dir`. Sub-second headline rows swing ±40%
+    * with host epoch while nothing in their code changes (r10→r11:
+    * q_cosine_topk 0.78→1.10 matching its r07 value exactly) — the band
+    * makes that classifiable at BANK time instead of leaving every future
+    * reader to re-derive it from round archaeology. Tolerates both artifact
+    * shapes — the raw contract line and the driver's pretty-printed wrapper
+    * (whose canonical map lives under a multi-line "queries" key; the
+    * wrapper's "tail" echo is escaped, so the unescaped key is unique) — and
+    * a malformed round file contributes nothing. */
+  private[graft] def loadRoundBands(dir: java.io.File = new java.io.File("."))
+      : Map[String, (Double, Double)] = {
+    val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    val Pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r
+    val maps = files.toSeq.flatMap { f =>
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val at = txt.indexOf("\"queries\"")
+        if (at < 0) None
+        else {
+          val open = txt.indexOf('{', at)
+          val close = txt.indexOf('}', open)
+          if (open < 0 || close < 0) None
+          else {
+            val m = Pair.findAllMatchIn(txt.substring(open + 1, close))
+              .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+            if (m.isEmpty) None else Some(m)
+          }
+        }
+      } catch { case _: Throwable => None }
+    }
+    maps.flatten.groupBy(_._1).map { case (k, vs) =>
+      val ds = vs.map(_._2)
+      k -> (ds.min, ds.max)
+    }
+  }
+
+  private def jsonBands(bands: Map[String, (Double, Double)],
+                        names: Seq[String]): String =
+    names.flatMap(n => bands.get(n).map { case (lo, hi) =>
+      "\"" + n + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
+    }).mkString("{", ",", "}")
+
+  /** Names whose fresh measurement left its historical band (with 5%
+    * slack), flagged on stderr at bank time (VERDICT r11 #8) — an epoch
+    * outlier is caught when it is MEASURED, not judged a round later. The
+    * band is evidence context, never a gate: a real regression must still
+    * land in the artifact. */
+  private def flagOutOfBand(canonical: Seq[(String, Double)],
+                            bands: Map[String, (Double, Double)]): Seq[String] =
+    canonical.flatMap { case (k, v) =>
+      bands.get(k).collect {
+        case (lo, hi) if v > hi * 1.05 || v < lo * 0.95 =>
+          System.err.println(
+            f"[bench] OUT-OF-BAND $k%-22s $v%8.2f s vs rounds envelope " +
+              f"[$lo%.2f, $hi%.2f] — classify (epoch vs engine) before banking")
+          k
+      }
+    }
+
   /** The harness that collects BENCH_r{N}.json keeps only the LAST ~2000
     * characters of stdout and parses the {"metric":...} line out of that
     * window. Round 9's line carried four per-query maps (~2.3 KB), so the
@@ -356,8 +419,14 @@ object Bench {
     if (!isolate) {
       val total = results.map(_._2).sum
       val calibField = if (isChild) "" else f""","calib":$calib%.3f"""
-      if (!isChild && calib > 0.0) writeDetail(
-        s"""{"queries_in_set":${jsonMap(results)},"queries_normalized":${jsonMap(results.map { case (k, v) => k -> v / calib })},"calib":$calib,"sf":"$sfDir"}""")
+      if (!isChild && calib > 0.0) {
+        val bands = loadRoundBands()
+        val oob = flagOutOfBand(results, bands)
+        val oobField = oob.map("\"" + _ + "\"")
+          .mkString(""","out_of_band":[""", ",", "]")
+        writeDetail(
+          s"""{"queries_in_set":${jsonMap(results)},"queries_normalized":${jsonMap(results.map { case (k, v) => k -> v / calib })},"bands":${jsonBands(bands, results.map(_._1))}$oobField,"calib":$calib,"sf":"$sfDir"}""")
+      }
       printContract(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)}%s$calibField%s,"sf":"$sfDir%s"}""")
       spark.stop()
       return
@@ -389,8 +458,14 @@ object Bench {
     val normField =
       if (calib <= 0.0) ""
       else s""","queries_normalized":${jsonMap(canonical.map { case (k, v) => k -> v / calib })}"""
+    // bands + out-of-band flags ride the SIDECAR only — the contract line
+    // must stay inside the harness tail window
+    val bands = loadRoundBands()
+    val oob = flagOutOfBand(canonical, bands)
+    val oobField = oob.map("\"" + _ + "\"")
+      .mkString(""","out_of_band":[""", ",", "]")
     writeDetail(
-      s"""{"queries":${jsonMap(canonical)},"queries_in_set":${jsonMap(results)},"queries_isolated":${jsonMap(isoSeq)}$isoFailedField$normField,"isolation":"fresh-jvm-family-$familySize","calib":$calib,"sf":"$sfDir"}""")
+      s"""{"queries":${jsonMap(canonical)},"queries_in_set":${jsonMap(results)},"queries_isolated":${jsonMap(isoSeq)}$isoFailedField$normField,"bands":${jsonBands(bands, canonical.map(_._1))}$oobField,"isolation":"fresh-jvm-family-$familySize","calib":$calib,"sf":"$sfDir"}""")
     printContract(contractLine(total, canonical, isoFailedField, familySize,
       calib, sfDir))
     spark.stop()

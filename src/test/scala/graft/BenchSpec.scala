@@ -67,4 +67,24 @@ trailer"""
     assert(m == Map("q1_agg" -> 0.4, "q_wordcount" -> 0.834))
     assert(Bench.parseQueriesJson("no json here") == Map.empty)
   }
+
+  test("cross-round bands are the per-query [min,max] envelope of BENCH_r*.json") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        body.getBytes("UTF-8"))
+    write("BENCH_r01.json",
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1_agg":0.400,"q_ewma":0.580},"sf":"/x"}""")
+    write("BENCH_r02.json",
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1_agg":0.300,"q_ewma":0.400},"sf":"/x"}""")
+    write("BENCH_r03.json", "corrupted — contributes nothing")
+    write("BENCH_r09_builder.json", // non-round artifact names are excluded
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1_agg":99.0},"sf":"/x"}""")
+    val bands = Bench.loadRoundBands(dir)
+    assert(bands("q1_agg") == ((0.3, 0.4)))
+    assert(bands("q_ewma") == ((0.4, 0.58)))
+    // the band envelope for this repo's real artifacts parses non-empty
+    val real = Bench.loadRoundBands()
+    assert(real.contains("q1_agg") && real("q1_agg")._1 <= real("q1_agg")._2)
+  }
 }
