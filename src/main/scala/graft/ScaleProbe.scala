@@ -681,6 +681,31 @@ object ScaleProbe {
         }.toMap
       }
 
+    // ---- budget-guard all-LSH branch ladder (r12, VERDICT r11 #6): the
+    // q_candidates_budget registry query routes EVERY mod-8 block through
+    // pairsWithBudget's banded-LSH branch at sf0.1 (block size ~625 ≫ cap
+    // 40) — the 100 TB operating point, where no block fits a quadratic
+    // budget. Replicas are near-dups of their originals, so like the
+    // dup-heavy rows above the verified candidate OUTPUT grows
+    // ~quadratically in the factor; the ladder's question is whether the
+    // branch MACHINERY (support-minhash signatures, 16-band slicing, the
+    // id-only bucket join, the constraint verify) stays banded — read the
+    // spill/shuffle columns against the rows column. timeDf's first rep
+    // pays the memoized count-featurization; the best-of-3 min measures
+    // the branch over cached features (the persisted-features production
+    // shape).
+    val budgetKey = "q_candidates_budget(all-LSH)"
+    val budgetRows: Seq[(String, Map[Int, (Double, Long, ProbeMetrics)])] =
+      if (only.forall(_.exists(e => budgetKey.startsWith(e))))
+        Seq(budgetKey -> dupHeavyFactors.map { f =>
+          f -> checkpointed(budgetKey, f)(
+            timeDf(SparkEntry.queries("q_candidates_budget")(spark, _),
+              dirFor(f)))
+        }.toMap)
+      else Nil
+    // drop the per-dir feature memos the ladder primed (4 corpus dirs)
+    if (budgetRows.nonEmpty) graft.queries.MlQueries.clearFitCaches()
+
     // deadline-skipped rows render as "—" (measured numbers only, never a
     // guess); α needs both the 10× and 100× points
     def fmt(d: Double): String = if (d.isNaN) "—" else f"$d%.2f"
@@ -862,6 +887,44 @@ object ScaleProbe {
         "is exactly the memory shape the banded join avoids. The measured 1×\n" +
         "point and the dedup twin's full ladder above carry the scale\n" +
         "conclusion; a later probe run fills the gaps from the checkpoint.\n")
+    if (budgetRows.nonEmpty) {
+      sb.append("\n## Budget-guard all-LSH branch ladder (r12)\n\n")
+      sb.append("q_candidates_budget with pinned mod-8 blocks: at sf0.1 every\n")
+      sb.append("block is ~625 docs ≫ the 40-pair budget cap, so 100% of the\n")
+      sb.append("corpus takes pairsWithBudget's banded-LSH branch (the 100 TB\n")
+      sb.append("operating point — at scale no block fits a quadratic budget;\n")
+      sb.append("310 915 candidate rows at 1×, SCALE.md). Replicas are near-dups\n")
+      sb.append("of their originals, so candidate OUTPUT grows ~quadratically in\n")
+      sb.append("the dup factor by construction (the q_minhash_dedup ladder's\n")
+      sb.append("semantics); the branch machinery — support-minhash signatures,\n")
+      sb.append("16-band slicing, the id-only bucket join, the length/lang\n")
+      sb.append("verify — must stay banded: spill/shuffle should track output\n")
+      sb.append("volume, never blocksize². α(2×→10×) fits t ≈ c·fᵅ on the dup\n")
+      sb.append("grid; compare it against the rows column's own growth before\n")
+      sb.append("reading it as machinery cost.\n\n")
+      sb.append("| query | f | s | out rows | spill MB | shuffle-write MB | GC s |\n")
+      sb.append("|---|---|---|---|---|---|---|\n")
+      budgetRows.foreach { case (label, t) =>
+        dupHeavyFactors.foreach { f =>
+          val (s, rows, m) = t(f)
+          if (s.isNaN)
+            sb.append(s"| $label | ${f}x | — | — | — | — | — |\n")
+          else
+            sb.append(f"| $label | ${f}x | $s%.2f | $rows | ${m.spillBytes / 1e6}%.0f " +
+              f"| ${m.shuffleWriteBytes / 1e6}%.0f | ${m.gcMillis / 1e3}%.1f |\n")
+        }
+        val (t2, t10) = (t(2)._1, t(10)._1)
+        if (!t2.isNaN && !t10.isNaN) {
+          val alphaT = math.log(t10 / t2) / math.log(5.0)
+          val (r2, r10) = (t(2)._2, t(10)._2)
+          val alphaR = if (r2 > 0 && r10 > 0)
+            f"${math.log(r10.toDouble / r2) / math.log(5.0)}%.2f" else "—"
+          sb.append(f"\nα(2×→10×) time = $alphaT%.2f; output rows grow at α = $alphaR%s —\n")
+          sb.append("time under the output exponent means the banded join is\n")
+          sb.append("output-floored, not blocksize-quadratic.\n")
+        }
+      }
+    }
     if (tailRows.nonEmpty) {
       sb.append("\n## Tail diagnosis: q_winnow / q_ngram_count / q_substring_spans presentation sorts\n\n")
       sb.append("`(full)` = the registry query; `(no-sort)` = the same plan minus the\n")
