@@ -26,12 +26,12 @@ import scala.sys.process._
 class RepinDryRunSpec extends SparkSpec {
 
   /** Two cheap pinned (no-oracle) queries. The stemmer wordcounts that
-    * originally played this role gained golden VALUES oracles in r8 and the
-    * LSH pins that replaced them became full SQL gates in r9, so the dry
-    * run now fires on the seeded-fit pins — the k-means blocking fit over
-    * the featurized documents (the step-1 perturbation shifts its input)
-    * and the IVF index over embeddings. */
-  private val pins = Set("q_kmeans_blocks", "q_ann_ivf")
+    * originally played this role gained golden VALUES oracles in r8, the
+    * LSH pins that replaced them became full SQL gates in r9, and the ANN
+    * pins became pinned-model [sql] gates in r12 — so the dry run fires on
+    * two of the five remaining seeded block fits, both over the featurized
+    * documents (the step-1 perturbation shifts their input). */
+  private val pins = Set("q_kmeans_blocks", "q_bisecting_blocks")
 
   private val base = Paths.get("/tmp/graft_repin_dryrun")
 

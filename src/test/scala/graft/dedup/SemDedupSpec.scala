@@ -1,7 +1,6 @@
 package graft.dedup
 
 import graft.{SparkEntry, SparkSpec}
-import graft.cluster.Clustering
 import graft.io.Tables
 import graft.similarity.ArrayOps
 import org.apache.spark.sql.functions._
@@ -18,25 +17,21 @@ class SemDedupSpec extends SparkSpec {
   private lazy val survivors =
     SparkEntry.defs("q_semdedup").fn(spark, sfDir).cache()
 
-  /** Same clustering as the query (same k/seed, same repartition(32), and —
-    * r11 — the same deterministic sorted-sample fit via fitOrderCol: the
-    * query's fit input order is part of its identity now) + all
-    * within-cluster pairs. */
+  /** Same clustering as the query — the PINNED vec_id mod 16 label since
+    * r12 (the conversion that made q_semdedup a full [sql] gate; the
+    * seeded-fit blocking variant stays covered by q_kmeans_blocks and
+    * q_semdedup_exact) — same ROUND(6) edge arithmetic, all within-cluster
+    * pairs. */
   private lazy val withinClusterCos = {
     val emb = Tables.embeddings(spark, sfDir).repartition(32)
-    val (_, clustered) = Clustering.kmeans(
-      emb.select(col("vec_id"),
-        org.apache.spark.ml.functions.array_to_vector(col("embedding"))
-          .as("features")),
-      k = 16, fitOrderCol = Some("vec_id"))
-    val t = clustered.select(col("vec_id"), col("prediction"))
-      .join(emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v")),
-        "vec_id")
+    val t = emb.select(col("vec_id"),
+      pmod(col("vec_id"), lit(16)).as("prediction"),
+      ArrayOps.asDouble(col("embedding")).as("v"))
     val a = t.select(col("prediction"), col("vec_id").as("id1"), col("v").as("v1"))
     val b = t.select(col("prediction"), col("vec_id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("prediction")).filter(col("id2") > col("id1"))
       .select(col("prediction"), col("id1"), col("id2"),
-        ArrayOps.cosine(col("v1"), col("v2")).as("cos"))
+        round(ArrayOps.cosine(col("v1"), col("v2")), 6).as("cos"))
       .cache()
   }
 
