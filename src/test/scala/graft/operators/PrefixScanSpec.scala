@@ -74,6 +74,27 @@ class PrefixScanSpec extends SparkSpec {
     assert((1 to 500).forall(i => got(i.toLong) == (i - 1).toLong))
   }
 
+  test("release-then-reread reproduces identical values on unique keys") {
+    // releaseAll() drops the persisted scan RDD; a later read recomputes
+    // through the shuffle lineage. With (group, orderCols) UNIQUE per row —
+    // the documented precondition every engine caller meets — the replay
+    // must be value-identical (ADVICE r11: with duplicate keys tied rows
+    // could permute between materializations; unique keys close that).
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 2000).map(i =>
+        (s"g${rnd.nextInt(4)}", i.toLong, rnd.nextInt(100).toLong))
+      .toDF("g", "id", "v")
+    val scanned = PrefixScan.exclusivePrefixSum(df, "g", Seq(col("id")),
+      "v", "cum", numPartitions = 6)
+    val first = scanned.select("g", "id", "cum")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    PrefixScan.releaseAll()
+    val reread = scanned.select("g", "id", "cum")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(reread === first,
+      "post-release recompute diverged on a unique-key input")
+  }
+
   test("a non-atomic group key fails fast with a clear error") {
     // binary (and array/map/struct) group keys compare by REFERENCE in the
     // run detection, which would silently misplace run boundaries — the
