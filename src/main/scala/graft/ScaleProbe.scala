@@ -409,6 +409,20 @@ object ScaleProbe {
         graft.ann.Ivf.search(idx, annProbes(t), "vec_id", "v",
           topK = 3, nProbe = 4)
       },
+      // r12: the pinned-model path (Ivf.fromCentroids — NO fit job):
+      // assignment is one narrow broadcast-argmin map over the corpus, so
+      // the row isolates ingest+search from k-means cost — the amortized
+      // production ingest shape the r12 [sql] ANN gates pin (and the
+      // q_stream_ann_ingest per-micro-batch shape, measured batch-side)
+      "q_ann_ivf(pinned16,p4)" -> { dir =>
+        val t = annCorpus(dir)
+        val cents = t.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("centroid_id"),
+            col("v").as("cvec"))
+        val idx = graft.ann.Ivf.fromCentroids(t, "v", cents)
+        graft.ann.Ivf.search(idx, annProbes(t), "vec_id", "v",
+          topK = 3, nProbe = 4)
+      },
       // √N-scaled coarse quantizer (k ∝ √corpus, the standard IVF tuning):
       // scan fraction shrinks as the corpus grows — build cost rises with
       // k but the search stays probe-bounded
