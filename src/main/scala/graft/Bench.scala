@@ -226,9 +226,17 @@ object Bench {
     * shapes — the raw contract line and the driver's pretty-printed wrapper
     * (whose canonical map lives under a multi-line "queries" key; the
     * wrapper's "tail" echo is escaped, so the unescaped key is unique) — and
-    * a malformed round file contributes nothing. */
-  private[graft] def loadRoundBands(dir: java.io.File = new java.io.File("."))
+    * a malformed round file contributes nothing. Only artifacts at the SAME
+    * scale factor as `sfDir` contribute: an sf0.01 dev run compared against
+    * the rounds' sf0.1 envelopes would flag the whole headline set as
+    * out-of-band noise (r12 review finding). */
+  private[graft] def loadRoundBands(dir: java.io.File = new java.io.File("."),
+                                    sfDir: String = "sf0.1")
       : Map[String, (Double, Double)] = {
+    // "0.1" from either "/root/testdata/sf0.1" or the wrapper's bare "0.1"
+    def sfNorm(s: String): Option[String] = "[0-9.]+$".r.findFirstIn(s.trim)
+    val wantSf = sfNorm(sfDir)
+    val SfField = """"sf"\s*:\s*"?([^",}\s]+)"?""".r
     val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
     val Pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r
@@ -236,8 +244,10 @@ object Bench {
       try {
         val txt = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val artifactSf = SfField.findFirstMatchIn(txt).map(_.group(1))
+          .flatMap(sfNorm)
         val at = txt.indexOf("\"queries\"")
-        if (at < 0) None
+        if (at < 0 || wantSf.isEmpty || artifactSf != wantSf) None
         else {
           val open = txt.indexOf('{', at)
           val close = txt.indexOf('}', open)
@@ -420,7 +430,7 @@ object Bench {
       val total = results.map(_._2).sum
       val calibField = if (isChild) "" else f""","calib":$calib%.3f"""
       if (!isChild && calib > 0.0) {
-        val bands = loadRoundBands()
+        val bands = loadRoundBands(sfDir = sfDir)
         val oob = flagOutOfBand(results, bands)
         val oobField = oob.map("\"" + _ + "\"")
           .mkString(""","out_of_band":[""", ",", "]")
@@ -460,7 +470,7 @@ object Bench {
       else s""","queries_normalized":${jsonMap(canonical.map { case (k, v) => k -> v / calib })}"""
     // bands + out-of-band flags ride the SIDECAR only — the contract line
     // must stay inside the harness tail window
-    val bands = loadRoundBands()
+    val bands = loadRoundBands(sfDir = sfDir)
     val oob = flagOutOfBand(canonical, bands)
     val oobField = oob.map("\"" + _ + "\"")
       .mkString(""","out_of_band":[""", ",", "]")

@@ -563,7 +563,12 @@ object ScaleProbe {
             w
           }
         val rows = Seq[(String, (org.apache.spark.sql.DataFrame, Int) => Seq[graft.text.Bpe.Merge])](
-          "learn" -> ((w, m) => graft.text.Bpe.learn(w, m)),
+          // learnPlain, NOT learn: learn self-steers to learnScalable above
+          // 48 merges (r12), which would make this ladder compare the
+          // scalable trainer against itself at 128/512 — the quadratic
+          // path must stay reachable here because pricing it is the
+          // ladder's whole purpose (r12 review finding)
+          "learn" -> ((w, m) => graft.text.Bpe.learnPlain(w, m)),
           "learnScalable" -> ((w, m) => graft.text.Bpe.learnScalable(w, m))
         ).map { case (variant, train) =>
           // per-variant escalation guard: once a cell exceeds 10 min (or

@@ -80,6 +80,11 @@ object Ivf {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    // fail fast, never label: with zero centroids the argmin would silently
+    // assign every row centroid_id 0 and a downstream search (and any gate
+    // comparing empty-vs-empty) would pass having verified nothing
+    require(cents.nonEmpty,
+      "fromCentroids: the centroid frame is empty — check the pin filter")
     val bc = df.sparkSession.sparkContext.broadcast(cents)
     val assign = udf { (v: Seq[Double]) =>
       val cs = bc.value

@@ -109,9 +109,14 @@ object Pq {
   def fromCodebooks(df: DataFrame, idCol: String, vecCol: String,
                     codebooks: Array[Array[Array[Double]]]): Index = {
     val m = codebooks.length
-    require(m > 0 && codebooks.forall(_.length == codebooks(0).length),
+    require(m > 0 && codebooks.forall(_.nonEmpty) &&
+        codebooks.forall(_.length == codebooks(0).length),
       "codebooks must be non-empty with a uniform alphabet size")
     val dsub = codebooks(0)(0).length
+    // ragged/zero-length centroids would silently score over a prefix (or
+    // crash mid-encode) — reject at construction with the real reason
+    require(dsub > 0 && codebooks.forall(_.forall(_.length == dsub)),
+      s"every codebook centroid must have the same positive length (dsub=$dsub)")
     val bc = df.sparkSession.sparkContext.broadcast(codebooks)
     val encode = udf { (v: Seq[Double]) =>
       val books = bc.value

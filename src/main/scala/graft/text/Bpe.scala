@@ -101,9 +101,16 @@ object Bpe {
     * merge counts (tens) that beats materializing a new vocab-sized cache
     * per iteration; [[learnScalable]] materializes each generation and
     * keeps replace work linear in the merge count. */
-  def learn(words: DataFrame, nMerges: Int): Seq[Merge] = {
-    if (nMerges > scalableLearnThreshold)
-      return learnScalable(words, nMerges)
+  def learn(words: DataFrame, nMerges: Int): Seq[Merge] =
+    if (nMerges > scalableLearnThreshold) learnScalable(words, nMerges)
+    else learnPlain(words, nMerges)
+
+  /** The plan-only quadratic trainer [[learn]] steers to below the
+    * threshold — exposed by name so a diagnostic caller (the SCALEPROBE
+    * merge ladder, which exists to PRICE this path against
+    * [[learnScalable]] at every merge count) can still reach it above the
+    * threshold; production code should call [[learn]]. */
+  private[graft] def learnPlain(words: DataFrame, nMerges: Int): Seq[Merge] = {
     // persist only when the caller hasn't: a caller that reuses the word
     // table after training (q_bpe_encode's vocab-side join) persists it
     // itself and keeps ownership — otherwise learn's finally-unpersist

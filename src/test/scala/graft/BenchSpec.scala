@@ -74,17 +74,19 @@ trailer"""
       java.nio.file.Files.write(new java.io.File(dir, name).toPath,
         body.getBytes("UTF-8"))
     write("BENCH_r01.json",
-      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1_agg":0.400,"q_ewma":0.580},"sf":"/x"}""")
-    write("BENCH_r02.json",
-      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1_agg":0.300,"q_ewma":0.400},"sf":"/x"}""")
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1_agg":0.400,"q_ewma":0.580},"sf":"/data/sf0.1"}""")
+    write("BENCH_r02.json", // the driver's pretty-printed wrapper shape
+      "{\n  \"n\": 2,\n  \"sf\": 0.1,\n  \"parsed\": {\n    \"queries\": {\n      \"q1_agg\": 0.300,\n      \"q_ewma\": 0.400\n    }\n  }\n}")
     write("BENCH_r03.json", "corrupted — contributes nothing")
+    write("BENCH_r04.json", // WRONG scale factor — must not pollute the band
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1_agg":99.0},"sf":"/data/sf0.01"}""")
     write("BENCH_r09_builder.json", // non-round artifact names are excluded
-      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1_agg":99.0},"sf":"/x"}""")
-    val bands = Bench.loadRoundBands(dir)
+      """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1_agg":88.0},"sf":"/data/sf0.1"}""")
+    val bands = Bench.loadRoundBands(dir, sfDir = "/data/sf0.1")
     assert(bands("q1_agg") == ((0.3, 0.4)))
     assert(bands("q_ewma") == ((0.4, 0.58)))
-    // the band envelope for this repo's real artifacts parses non-empty
-    val real = Bench.loadRoundBands()
-    assert(real.contains("q1_agg") && real("q1_agg")._1 <= real("q1_agg")._2)
+    // an sf0.01 run sees ONLY the sf0.01 artifact's envelope
+    val small = Bench.loadRoundBands(dir, sfDir = "/data/sf0.01")
+    assert(small("q1_agg") == ((99.0, 99.0)) && !small.contains("q_ewma"))
   }
 }
