@@ -423,6 +423,32 @@ object ScaleProbe {
         graft.ann.Ivf.search(idx, annProbes(t), "vec_id", "v",
           topK = 3, nProbe = 4)
       },
+      // r12: pinned-codebook PQ — encode is a narrow broadcast-argmin map,
+      // search is an ADC scan of the full code table (no routing): the row
+      // prices the code-scan linear wall the IVF-PQ composition removes
+      "q_ann_pq(pinned16,m8)" -> { dir =>
+        val t = annCorpus(dir)
+        val pin = t.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+        val books = Array.tabulate(8, 16)((j, c) => pin(c).slice(j * 8, j * 8 + 8))
+        val idx = graft.ann.Pq.fromCodebooks(t, "vec_id", "v", books)
+        graft.ann.Pq.search(idx, annProbes(t), topK = 3)
+      },
+      // r12: the composed pinned-model IVF-PQ — coarse routing bounds the
+      // ADC scan to nProbe/k of the code table; both halves fit-free
+      "q_ann_ivfpq(pinned16,p4)" -> { dir =>
+        val t = annCorpus(dir)
+        val cents = t.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("centroid_id"),
+            col("v").as("cvec"))
+        val ivf = graft.ann.Ivf.fromCentroids(t, "v", cents)
+        val pin = t.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+        val books = Array.tabulate(8, 16)((j, c) => pin(c).slice(j * 8, j * 8 + 8))
+        val pq = graft.ann.Pq.fromCodebooks(t, "vec_id", "v", books)
+        graft.ann.IvfPq.search(ivf, pq, annProbes(t), "vec_id",
+          topK = 3, nProbe = 4)
+      },
       // √N-scaled coarse quantizer (k ∝ √corpus, the standard IVF tuning):
       // scan fraction shrinks as the corpus grows — build cost rises with
       // k but the search stays probe-bounded
