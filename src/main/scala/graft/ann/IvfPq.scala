@@ -57,7 +57,7 @@ object IvfPq {
     broadcast(tabled).join(cands, Seq("centroid_id"))
       .filter(col("__id") =!= col(qIdCol))
       .select(col(qIdCol), col("__id").as("__cid"),
-        Pq.adcScoreUdf(pq)(col("__tab"), col("codes")).as("__d2"))
+        Pq.adcScoreCol(pq, col("__tab"), col("codes")).as("__d2"))
       .groupBy(qIdCol)
       .agg(graft.functions.Aggregators.topKScored(topK)(
         -col("__d2"), col("__cid")).as("__top"))
