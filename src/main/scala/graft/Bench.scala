@@ -217,36 +217,56 @@ object Bench {
       .mkString("{", ",", "}")
 
   /** Cross-round noise bands (VERDICT r11 #5): per query, the [min, max]
-    * envelope of the canonical seconds across every committed
-    * BENCH_r*.json artifact in `dir`. Sub-second headline rows swing ±40%
-    * with host epoch while nothing in their code changes (r10→r11:
-    * q_cosine_topk 0.78→1.10 matching its r07 value exactly) — the band
-    * makes that classifiable at BANK time instead of leaving every future
-    * reader to re-derive it from round archaeology. Tolerates both artifact
-    * shapes — the raw contract line and the driver's pretty-printed wrapper
-    * (whose canonical map lives under a multi-line "queries" key; the
-    * wrapper's "tail" echo is escaped, so the unescaped key is unique) — and
-    * a malformed round file contributes nothing. Only artifacts at the SAME
-    * scale factor as `sfDir` contribute: an sf0.01 dev run compared against
-    * the rounds' sf0.1 envelopes would flag the whole headline set as
-    * out-of-band noise (r12 review finding). */
+    * envelope of the canonical seconds across the LAST `bandRounds`
+    * committed BENCH_r*.json artifacts in `dir` at the same scale factor
+    * (highest round numbers win; SPARK_GRAFT_BENCH_BAND_ROUNDS overrides
+    * the default 5). Sub-second headline rows swing ±40% with host epoch
+    * while nothing in their code changes (r10→r11: q_cosine_topk 0.78→1.10
+    * matching its r07 value exactly) — the band makes that classifiable at
+    * BANK time instead of leaving every future reader to re-derive it from
+    * round archaeology. WINDOWED, not all-rounds (VERDICT r12 #2): early
+    * rounds were 10-70× slower on several queries (q_triangles r-early max
+    * 36.99 vs current 0.51), so an all-rounds envelope made the SLOW side
+    * of those bands unreachable — a genuine 5× regression would sit inside
+    * the band and never flag. A recent-rounds window keeps both sides
+    * live. Tolerates both artifact shapes — the raw contract line and the
+    * driver's pretty-printed wrapper, whose "tail" echo holds an ESCAPED
+    * copy of the contract line (`\"queries\"` still contains the substring
+    * `"queries"`, so the anchor must skip backslash-preceded matches
+    * rather than take the first, ADVICE r12) — and a malformed round file
+    * contributes nothing. Only artifacts at the SAME scale factor as
+    * `sfDir` contribute: an sf0.01 dev run compared against the rounds'
+    * sf0.1 envelopes would flag the whole headline set as out-of-band
+    * noise (r12 review finding); the round window is taken AFTER the sf
+    * filter so an off-sf round cannot consume a window slot. */
   private[graft] def loadRoundBands(dir: java.io.File = new java.io.File("."),
                                     sfDir: String = "sf0.1")
       : Map[String, (Double, Double)] = {
+    val bandRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_BAND_ROUNDS", "5").toInt
     // "0.1" from either "/root/testdata/sf0.1" or the wrapper's bare "0.1"
     def sfNorm(s: String): Option[String] = "[0-9.]+$".r.findFirstIn(s.trim)
+    // first occurrence NOT preceded by a backslash (the tail echo is escaped)
+    def unescapedIndexOf(txt: String, key: String): Int = {
+      var at = txt.indexOf(key)
+      while (at > 0 && txt.charAt(at - 1) == '\\') at = txt.indexOf(key, at + 1)
+      at
+    }
     val wantSf = sfNorm(sfDir)
     val SfField = """"sf"\s*:\s*"?([^",}\s]+)"?""".r
+    val RoundName = """BENCH_r(\d+)\.json""".r
     val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .flatMap(f => f.getName match {
+        case RoundName(n) => Some((n.toInt, f))
+        case _            => None
+      })
     val Pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r
-    val maps = files.toSeq.flatMap { f =>
+    val maps: Seq[(Int, Map[String, Double])] = files.toSeq.flatMap { case (round, f) =>
       try {
         val txt = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         val artifactSf = SfField.findFirstMatchIn(txt).map(_.group(1))
           .flatMap(sfNorm)
-        val at = txt.indexOf("\"queries\"")
+        val at = unescapedIndexOf(txt, "\"queries\"")
         if (at < 0 || wantSf.isEmpty || artifactSf != wantSf) None
         else {
           val open = txt.indexOf('{', at)
@@ -255,15 +275,16 @@ object Bench {
           else {
             val m = Pair.findAllMatchIn(txt.substring(open + 1, close))
               .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-            if (m.isEmpty) None else Some(m)
+            if (m.isEmpty) None else Some(round -> m)
           }
         }
       } catch { case _: Throwable => None }
     }
-    maps.flatten.groupBy(_._1).map { case (k, vs) =>
-      val ds = vs.map(_._2)
-      k -> (ds.min, ds.max)
-    }
+    maps.sortBy(-_._1).take(math.max(1, bandRounds)).flatMap(_._2)
+      .groupBy(_._1).map { case (k, vs) =>
+        val ds = vs.map(_._2)
+        k -> (ds.min, ds.max)
+      }
   }
 
   private def jsonBands(bands: Map[String, (Double, Double)],
@@ -277,8 +298,8 @@ object Bench {
     * outlier is caught when it is MEASURED, not judged a round later. The
     * band is evidence context, never a gate: a real regression must still
     * land in the artifact. */
-  private def flagOutOfBand(canonical: Seq[(String, Double)],
-                            bands: Map[String, (Double, Double)]): Seq[String] =
+  private[graft] def flagOutOfBand(canonical: Seq[(String, Double)],
+                                   bands: Map[String, (Double, Double)]): Seq[String] =
     canonical.flatMap { case (k, v) =>
       bands.get(k).collect {
         case (lo, hi) if v > hi * 1.05 || v < lo * 0.95 =>
@@ -431,11 +452,13 @@ object Bench {
       val calibField = if (isChild) "" else f""","calib":$calib%.3f"""
       if (!isChild && calib > 0.0) {
         val bands = loadRoundBands(sfDir = sfDir)
-        val oob = flagOutOfBand(results, bands)
-        val oobField = oob.map("\"" + _ + "\"")
-          .mkString(""","out_of_band":[""", ",", "]")
+        // NO out-of-band flagging here (ADVICE r12): the bands are built
+        // from prior rounds' CANONICAL values (min of in-set and fresh-JVM
+        // isolated), and warm-JVM in-set timings run systematically above
+        // them — a dev-mode run would emit spurious flags and bank
+        // misleading out_of_band lists. Bands ride along as context only.
         writeDetail(
-          s"""{"queries_in_set":${jsonMap(results)},"queries_normalized":${jsonMap(results.map { case (k, v) => k -> v / calib })},"bands":${jsonBands(bands, results.map(_._1))}$oobField,"calib":$calib,"sf":"$sfDir"}""")
+          s"""{"queries_in_set":${jsonMap(results)},"queries_normalized":${jsonMap(results.map { case (k, v) => k -> v / calib })},"bands":${jsonBands(bands, results.map(_._1))},"out_of_band":"skipped: in-set timings are not comparable to isolated-round bands","calib":$calib,"sf":"$sfDir"}""")
       }
       printContract(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)}%s$calibField%s,"sf":"$sfDir%s"}""")
       spark.stop()

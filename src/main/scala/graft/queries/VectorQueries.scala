@@ -301,6 +301,12 @@ object VectorQueries {
       // driver scalar (16×64 doubles), code c = pinned vector c
       val pin = t.filter(col("vec_id") < 16).orderBy("vec_id")
         .select("v").collect().map(_.getSeq[Double](0).toArray)
+      // positional pin(c) assumes vec_ids 0..15 all exist: a gap would
+      // either throw a bare ArrayIndexOutOfBounds at plan build or silently
+      // renumber codes away from the oracle's vec_id-as-code labels
+      // (ADVICE r12) — fail with the dataset-contract reason instead
+      require(pin.length == 16,
+        s"q_ann_pq pinned codebook expects vec_ids 0..15, found ${pin.length} rows")
       val books = Array.tabulate(8, 16)((j, c) => pin(c).slice(j * 8, j * 8 + 8))
       val index = graft.ann.Pq.fromCodebooks(t, "vec_id", "v", books)
       val probes = t.filter(col("vec_id") % 50 === 0)
@@ -380,6 +386,9 @@ object VectorQueries {
       val ivf = graft.ann.Ivf.fromCentroids(t, "v", cents)
       val pin = t.filter(col("vec_id") < 16).orderBy("vec_id")
         .select("v").collect().map(_.getSeq[Double](0).toArray)
+      // same dataset contract as q_ann_pq's pin (ADVICE r12)
+      require(pin.length == 16,
+        s"q_ann_ivfpq pinned codebook expects vec_ids 0..15, found ${pin.length} rows")
       val books = Array.tabulate(8, 16)((j, c) => pin(c).slice(j * 8, j * 8 + 8))
       val pq = graft.ann.Pq.fromCodebooks(t, "vec_id", "v", books)
       val probes = t.filter(col("vec_id") % 50 === 0)

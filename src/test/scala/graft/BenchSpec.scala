@@ -89,4 +89,45 @@ trailer"""
     val small = Bench.loadRoundBands(dir, sfDir = "/data/sf0.01")
     assert(small("q1_agg") == ((99.0, 99.0)) && !small.contains("q_ewma"))
   }
+
+  test("bands window to the last 5 rounds, so a recent slow regression flags") {
+    // r12 finding: the all-rounds envelope kept early 10-70×-slower rounds
+    // in the band forever (q_triangles max 36.99 vs current 0.51), making a
+    // genuine slow regression invisible. With the window, rounds older than
+    // the last 5 at the same sf stop stretching the slow side.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_w").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        body.getBytes("UTF-8"))
+    // round 1: the early slow epoch — 36.99 s
+    write("BENCH_r01.json",
+      """{"metric":"total","value":37.0,"unit":"sec","queries":{"q_tri":36.990},"sf":"/data/sf0.1"}""")
+    // rounds 3..8: stabilized, 0.45-0.60 s
+    for ((r, v) <- Seq(3 -> 0.60, 4 -> 0.55, 5 -> 0.45, 6 -> 0.50, 7 -> 0.52, 8 -> 0.51))
+      write(f"BENCH_r$r%02d.json",
+        s"""{"metric":"total","value":$v,"unit":"sec","queries":{"q_tri":$v},"sf":"/data/sf0.1"}""")
+    // an off-sf round with a HIGHER number must not consume a window slot
+    write("BENCH_r09.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q_tri":9.0},"sf":"/data/sf0.01"}""")
+    val bands = Bench.loadRoundBands(dir, sfDir = "/data/sf0.1")
+    // window = rounds 4..8 → the r01 outlier AND r03 are out
+    assert(bands("q_tri") == ((0.45, 0.55)), s"got ${bands("q_tri")}")
+    // a 5× slow regression now flags (all-rounds envelope would swallow it)
+    assert(Bench.flagOutOfBand(Seq("q_tri" -> 2.5), bands) == Seq("q_tri"))
+    assert(Bench.flagOutOfBand(Seq("q_tri" -> 0.50), bands).isEmpty)
+  }
+
+  test("band anchor skips the wrapper's ESCAPED tail echo of the contract line") {
+    // ADVICE r12: '\"queries\"' still contains the substring '"queries"';
+    // if the tail echo precedes the parsed section, a first-occurrence
+    // anchor lands in the echo and the round silently contributes no bands.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_e").toFile
+    val body =
+      "{\n  \"tail\": \"{\\\"metric\\\":\\\"total\\\",\\\"queries\\\":{\\\"q1_agg\\\":0.9}}\",\n" +
+      "  \"sf\": 0.1,\n  \"parsed\": {\n    \"queries\": {\n      \"q1_agg\": 0.700\n    }\n  }\n}"
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r05.json").toPath,
+      body.getBytes("UTF-8"))
+    val bands = Bench.loadRoundBands(dir, sfDir = "/data/sf0.1")
+    assert(bands("q1_agg") == ((0.7, 0.7)), s"anchor fell into the escaped echo: $bands")
+  }
 }
