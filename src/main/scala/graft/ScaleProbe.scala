@@ -488,6 +488,78 @@ object ScaleProbe {
         }.toMap)
       else Nil
 
+    // ---- PQ recall ladder (r13, VERDICT r12 #7): the hash-ordered sample
+    // fit's quality evidence was a single gate-scale number (PqSpec recall@10
+    // 0.28 hash / 0.29 prefix / 0.31 distributed — same quality class,
+    // different local optimum). This point measures recall at a SECOND scale
+    // so "optimum scatter, not quality loss" rests on two corpus sizes.
+    // The timing-ladder replicas copy vectors EXACTLY (score ties only), which
+    // degenerates a recall measure — a probe's exact top-10 would be its own
+    // zero-distance copies, which share its PQ code and are found trivially.
+    // Recall replicas instead CIRCULAR-SHIFT each vector by r dims: distinct
+    // vectors, identical per-dim marginals (dims are exchangeable on this
+    // synthetic corpus), so the 10× corpus is a genuinely 10×-harder
+    // neighbor problem, not 9 free copies. rows rides the total top-10 hit
+    // count; corpus size and the recall denominator (nProbes×10) ride the
+    // spill/shuffle checkpoint fields (the mmBytes convention).
+    val recallKey = "q_ann_recall(pq m8k16 hash-fit)"
+    val recallFactors = Seq(1, 10)
+    val recallRows: Seq[(String, Map[Int, (Double, Long, ProbeMetrics)])] =
+      if (only.forall(_.exists(e => recallKey.startsWith(e)))) {
+        def recallDir(f: Int) =
+          if (f == 1) base else s"${work.getPath}/recall_x$f"
+        recallFactors.filter(_ > 1)
+          .filterNot(f => new java.io.File(
+            s"${recallDir(f)}/embeddings.parquet/_SUCCESS").exists())
+          .foreach { f =>
+            val es = (0 until f).map { r =>
+              val e = spark.read.parquet(s"$base/embeddings.parquet")
+              val shifted =
+                if (r == 0) col("embedding")
+                else concat(
+                  slice(col("embedding"), lit(r + 1),
+                    size(col("embedding")) - lit(r)),
+                  slice(col("embedding"), lit(1), lit(r)))
+              e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+                shifted.as("embedding"), col("label"))
+            }.reduce(_.unionByName(_))
+            es.repartition(32).write.mode("overwrite")
+              .parquet(s"${recallDir(f)}/embeddings.parquet")
+          }
+        Seq(recallKey -> recallFactors.map { f =>
+          f -> checkpointed(recallKey, f) {
+            val t = annCorpus(recallDir(f))
+            val corpusN = t.count()
+            // fixed base-corpus probe batch (the ANN-ladder convention) —
+            // replica r=0 keeps the base ids, so probes exist at every factor
+            val probes = annProbes(t)
+            val nProbes = probes.count()
+            val t0 = System.nanoTime()
+            val index = graft.ann.Pq.build(t, "vec_id", "v", m = 8, k = 16)
+            val pqTop = graft.ann.Pq.search(index, probes, topK = 10)
+              .select(col("q_id"), col("cand_id"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+              .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+            val sec = (System.nanoTime() - t0) / 1e9
+            import graft.similarity.ArrayOps
+            val d2 = ArrayOps.norm2sq(col("qv")) + ArrayOps.norm2sq(col("v")) -
+              lit(2.0) * ArrayOps.dot(col("qv"), col("v"))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("q_id").orderBy(asc("d2"), asc("cand_id"))
+            val exactTop = probes.crossJoin(t)
+              .filter(col("vec_id") =!= col("q_id"))
+              .select(col("q_id"), col("vec_id").as("cand_id"), d2.as("d2"))
+              .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+              .select(col("q_id"), col("cand_id"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+              .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+            val hits = exactTop.map { case (q, ex) =>
+              pqTop.getOrElse(q, Set.empty).intersect(ex).size.toLong }.sum
+            (sec, hits, ProbeMetrics(corpusN, nProbes * 10L, 0L))
+          }
+        }.toMap)
+      } else Nil
+
     // ---- tail diagnosis (round-3 watch items): q_winnow and q_ngram_count
     // are the two operators whose 50×→100× segment trends superlinear. For
     // each, probe (a) the registry query as-is, (b) the OPERATOR alone — the
@@ -872,6 +944,28 @@ object ScaleProbe {
       sb.append("|---|---|---|---|---|---|\n")
       (annRows ++ annSearchRows).foreach { case (q, t) =>
         sb.append(s"| $q | ${fmt(t(1))} | ${fmt(t(10))} | ${fmt(t(50))} | ${fmt(t(100))} | ${alphaOf(t)} |\n")
+      }
+    }
+    if (recallRows.nonEmpty) {
+      sb.append("\n## PQ recall ladder (r13): hash-ordered sample fit vs corpus size\n\n")
+      sb.append("Mean recall@10 of `Pq.build` (8×16 codebooks, the r12 hash-ordered\n")
+      sb.append("deterministic sample fit) against exact L2 top-10 ground truth on\n")
+      sb.append("the fixed 40-probe batch. Replicas here CIRCULAR-SHIFT each vector\n")
+      sb.append("by r dims (distinct vectors, identical per-dim marginals) — exact\n")
+      sb.append("copies would hand every probe its own zero-distance duplicates and\n")
+      sb.append("measure nothing. The gate-scale scatter is PqSpec's 0.28 hash /\n")
+      sb.append("0.29 prefix / 0.31 distributed; a flat recall at 10× means the\n")
+      sb.append("bounded sample fit's quality holds as the corpus outgrows the\n")
+      sb.append("sample, which is the 100 TB question for a standing codebook.\n\n")
+      sb.append("| corpus | vectors | mean recall@10 | fit+search s |\n")
+      sb.append("|---|---|---|---|\n")
+      recallRows.foreach { case (_, t) =>
+        recallFactors.foreach { f =>
+          val (s, hits, m) = t(f)
+          if (s.isNaN) sb.append(s"| ${f}x | — | — | — |\n")
+          else sb.append(f"| ${f}x | ${m.spillBytes} " +
+            f"| ${hits.toDouble / m.shuffleWriteBytes}%.3f | $s%.2f |\n")
+        }
       }
     }
     sb.append("\nDup-heavy dedup (output pairs grow quadratically in the\n")

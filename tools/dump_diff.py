@@ -6,7 +6,6 @@ schema, and an order-independent value hash. Exit 0 iff every query matches.
 
 Usage: python3 tools/dump_diff.py <dumpA> <dumpB> [--skip name1,name2]
 """
-import hashlib
 import json
 import os
 import sys
@@ -15,16 +14,21 @@ import duckdb
 
 
 def qhash(con, path: str):
+    """Row count, sorted column list, and an order-independent value hash.
+
+    The hash is computed INSIDE DuckDB (sum of per-row 64-bit hashes over the
+    name-sorted column struct, widened to HUGEINT so the sum cannot overflow)
+    — the sf1-equivalent dumps include ~1e9-row outputs that must never be
+    fetched into Python row by row.
+    """
     rel = con.sql(f"SELECT * FROM read_parquet('{path}/*.parquet')")
     cols = sorted(rel.columns)
-    sel = ", ".join(f'"{c}"' for c in cols)
-    rows = con.sql(
-        f"SELECT {sel} FROM read_parquet('{path}/*.parquet') ORDER BY ALL"
-    ).fetchall()
-    h = hashlib.md5()
-    for r in rows:
-        h.update(repr(r).encode())
-    return len(rows), cols, h.hexdigest()
+    sel = ", ".join(f'"{c}" := "{c}"' for c in cols)
+    n, s = con.sql(
+        f"SELECT count(*), sum(hash(struct_pack({sel}))::HUGEINT) "
+        f"FROM read_parquet('{path}/*.parquet')"
+    ).fetchone()
+    return n, cols, str(s)
 
 
 def main():
