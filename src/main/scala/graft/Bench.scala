@@ -81,6 +81,9 @@ object Bench {
                        fn: (SparkSession, String) => DataFrame,
                        prepare: () => Unit): Double = {
     prepare()
+    // Label the jobs of each measured query (guide §1.5) so an event-log /
+    // UI reading of a bench run attributes stages to queries by name.
+    spark.sparkContext.setJobDescription(s"bench:$name")
     // Untimed GC between measured queries: the r7-widened set interleaves
     // multi-GB-churn queries (winnowing, stream upsert, k-means fits), and
     // carried GC debt was observed inflating UNCHANGED queries 2-4x vs

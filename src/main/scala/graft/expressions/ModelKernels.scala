@@ -178,6 +178,70 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
     copy(child = newChild)
 }
 
+/** Nonzero indices of an ml VectorUDT column as array<long>, ascending —
+  * `v.toSparse.indices` / `numNonzeros` semantics (explicit zeros dropped)
+  * without deserializing the Vector object. Replaces the per-row
+  * `udf((v: Vector) => v.toSparse.indices.map(_.toLong))` on the LSH join
+  * ingest path: the UDT's serialized struct is (type byte, size, indices,
+  * values) — dense rows emit every index with a nonzero value, sparse rows
+  * emit the stored indices with nonzero values; both orders are ascending
+  * exactly as `foreachActive` visits them. */
+case class VectorNzIndices(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_vector_nz_indices"
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val values = row.getArray(3)
+    val n = values.numElements()
+    val buf = new Array[Long](n)
+    var out = 0
+    if (row.getByte(0) == 1) { // dense
+      var i = 0
+      while (i < n) {
+        if (values.getDouble(i) != 0.0) { buf(out) = i.toLong; out += 1 }
+        i += 1
+      }
+    } else { // sparse
+      val indices = row.getArray(2)
+      var p = 0
+      while (p < n) {
+        if (values.getDouble(p) != 0.0) { buf(out) = indices.getInt(p).toLong; out += 1 }
+        p += 1
+      }
+    }
+    new GenericArrayData(if (out == n) buf else java.util.Arrays.copyOf(buf, out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val values = ctx.freshName("values"); val indices = ctx.freshName("indices")
+      val n = ctx.freshName("n"); val buf = ctx.freshName("buf")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p"); val res = ctx.freshName("res")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $values = $a.getArray(3);
+      int $n = $values.numElements();
+      long[] $buf = new long[$n];
+      int $out = 0;
+      if ($a.getByte(0) == (byte) 1) {
+        for (int $i = 0; $i < $n; $i++)
+          if ($values.getDouble($i) != 0.0) $buf[$out++] = (long) $i;
+      } else {
+        org.apache.spark.sql.catalyst.util.ArrayData $indices = $a.getArray(2);
+        for (int $p = 0; $p < $n; $p++)
+          if ($values.getDouble($p) != 0.0) $buf[$out++] = (long) $indices.getInt($p);
+      }
+      long[] $res = ($out == $n) ? $buf : java.util.Arrays.copyOf($buf, $out);
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);"""
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Basis projection x → Vᵗx over an ml VectorUDT column, V column-major and
   * plan-resident. Replaces Clustering.projectRows' per-row UDF: the UDF
   * deserialized every row to an ml.Vector object (plus a boxed closure over

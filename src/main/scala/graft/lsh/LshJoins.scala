@@ -42,6 +42,51 @@ object LshJoins {
     selfJoinWithModel(model, nonEmpty, idCol, featuresCol, threshold)
   }
 
+  /** The fitted model's private (a, b) hash coefficients, read by reflection
+    * (the LshJoinsSpec pin's recipe): using the model's OWN coefficients —
+    * rather than replaying the seed derivation — keeps [[selfJoinWithModel]]
+    * exact for any model, including one loaded from disk that was fitted by
+    * a different Spark build. */
+  private def modelCoefficients(model: MinHashLSHModel): Array[(Int, Int)] = {
+    val f = model.getClass.getDeclaredFields
+      .find(_.getName.contains("randCoefficients"))
+      .getOrElse(sys.error(
+        "MinHashLSHModel no longer carries randCoefficients — " +
+          "rework LshJoins.modelCoefficients"))
+    f.setAccessible(true)
+    f.get(model).asInstanceOf[Array[(Int, Int)]]
+  }
+
+  /** Spark ML MinHashLSH's hash prime (MinHashLSH.HASH_PRIME). */
+  private val MlHashPrime = 2038074743L
+
+  /** The estimator's documented coefficient derivation (MinHashLSH.fit:
+    * `new Random(seed)`, then per table `(1 + nextInt(P−1), nextInt(P−1))`)
+    * — reflection-pinned against a fitted model in LshJoinsSpec, so a Spark
+    * upgrade that changes it fails `sbt test` loudly. Lets the set-based
+    * join path ([[minHashSelfJoinSets]]) bucket identically to the
+    * estimator without fitting a model at all (the fit is data-independent
+    * apart from an input-dimension lookup). */
+  private[graft] def mlCoefficients(numTables: Int, seed: Long): Array[(Int, Int)] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(numTables)(
+      (1 + r.nextInt((MlHashPrime - 1).toInt), r.nextInt((MlHashPrime - 1).toInt)))
+  }
+
+  /** MinHash LSH self-join over a PRE-TOKENIZED sorted nonzero-index set
+    * column (array<long>, ascending — e.g.
+    * [[graft.expressions.CleanTokenBuckets]] output). Identical candidates,
+    * distances and output to [[minHashSelfJoin]] over the binary-TF vector
+    * of the same set (same hash family via [[mlCoefficients]]); skips the
+    * ML vector entirely — the 100 TB ingest shape for set similarity. */
+  def minHashSelfJoinSets(df: DataFrame, idCol: String, setCol: String,
+                          threshold: Double, numTables: Int = 16,
+                          seed: Long = 12345L): DataFrame =
+    selfJoinOnSets(
+      df.filter(size(col(setCol)) > 0)
+        .select(col(idCol), col(setCol).as("__idx")),
+      idCol, mlCoefficients(numTables, seed), threshold)
+
   /** The join body shared by the fit-inline path and the persisted-index
     * path. Same output as the stock `approxSimilarityJoin` (candidates =
     * pairs sharing ≥1 of the model's (table, minhash) buckets; exact
@@ -52,12 +97,30 @@ object LshJoins {
     * interpreted keyDistance UDF per candidate — measured 195 s at 1× and
     * OOM at 10× on a 16 GiB heap, vs 2.78 s for the banded shape on the
     * same corpus (SCALEPROBE r8). Here the bucket self-join carries ID +
-    * (table, hash) ONLY; the 1024-dim vectors are re-attached by two
+    * (table, hash) ONLY; the verify payloads are re-attached by two
     * equi-joins for the |candidates| survivors, so the wide payload never
-    * rides the bucket shuffle. Hash values come from the model's public
-    * `transform` — identical bucketing, so recall (and the pinned q_minhash_lsh
-    * row count/checksum) is unchanged; `jaccardDistance` reproduces the
-    * estimator's keyDistance bit-for-bit (1 − |∩|/|∪| over nonzero sets).
+    * rides the bucket shuffle.
+    *
+    * r13 (optimization round, guide §2.3/§2.4/§4.1): the corpus-scale map
+    * side is now fully codegen — the model's `transform` (a per-row Scala
+    * UDF allocating 16 one-element DenseVectors per row) and the nonzero-
+    * index UDF are replaced by [[graft.expressions.VectorNzIndices]] plus
+    * the existing [[graft.expressions.MinHashSignature]] kernel evaluating
+    * the model's OWN reflection-read coefficients: sig_k = min over nonzero
+    * indices i of (a_k·i + (a_k + b_k)) mod P, which is term-for-term
+    * ((1 + i)·a_k + b_k) mod P — the estimator's exact integer arithmetic
+    * (no overflow: a_k·i < 2^41). Bucket keys join as the exact LONG values
+    * instead of their Double images (same equalities, narrower shuffle).
+    * The former four re-attach joins (sizes ×2, then index arrays ×2) are
+    * consolidated into two — (n, idx) attach together — which removes two
+    * exchanges/broadcast jobs per run; the size-ratio prefilter survives as
+    * a scalar Filter before the merge-count (for sets J ≤ min/max, so the
+    * ratio alone can prove dist ≥ threshold; the 1e-9 slack over-KEEPS
+    * near-boundary pairs — they are re-judged by the exact verify — never
+    * over-drops). The heavy bytes are unchanged: the attrs-side shuffle
+    * carried the index arrays before and after; only the separate
+    * two-int sizes shuffle disappears. Output bit-identical (q_minhash_lsh
+    * DuckDB hash gate re-proven in-round).
     *
     * Cache lifecycle (caller-owned, the MinHashDedup/PrefixJoin convention):
     * the hashed frame below persists at MEMORY_AND_DISK because three plan
@@ -69,26 +132,39 @@ object LshJoins {
   private def selfJoinWithModel(model: MinHashLSHModel, nonEmpty: DataFrame,
                                 idCol: String, featuresCol: String,
                                 threshold: Double): DataFrame = {
-    import org.apache.spark.ml.functions.vector_to_array
     // The verify payload is the SORTED NONZERO-INDEX SET (array<long>), not
     // the feature vector: every reported distance — Jaccard AND the
     // reference's left/right asymmetric kernels — is a function of
     // (|∩|, |x|, |y|) alone, so the double-valued vector never leaves the
-    // map stage. One codegen merge pass (SortedLongInterCount) per
-    // surviving pair replaces the two interpreted vector UDFs of the first
-    // banded cut (r9: 34 s → re-measured below at the dup-heavy ladder).
-    val nzIdx = udf((v: Vector) => v.toSparse.indices.map(_.toLong))
-    // persisted: reused by both bucket-join sides, the size prefilter and
-    // the index rejoins (same rationale as MinHashDedup.nearDupPairs;
-    // bounded: id + numTables doubles + nnz longs — no vectors)
-    val hashed = model.transform(nonEmpty)
-      .select(col(idCol), col("__hashes"), nzIdx(col(featuresCol)).as("__idx"))
+    // map stage.
+    val nzIdx = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.VectorNzIndices(
+        org.apache.spark.sql.graft.bridge.expression(col(featuresCol))))
+    selfJoinOnSets(nonEmpty.select(col(idCol), nzIdx.as("__idx")),
+      idCol, modelCoefficients(model), threshold)
+  }
+
+  /** The shared banded-join body over (idCol, __idx sorted array<long>). */
+  private def selfJoinOnSets(sets: DataFrame, idCol: String,
+                             coefs: Array[(Int, Int)],
+                             threshold: Double): DataFrame = {
+    val as = coefs.map(_._1.toLong).toSeq
+    // a·i + (a + b) == (1 + i)·a + b — fold the +1 into the offset so the
+    // generic signature kernel evaluates the ML family unchanged
+    val bs = coefs.map(c => c._1.toLong + c._2.toLong).toSeq
+    val sig = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.bridge.expression(col("__idx")),
+        as, bs, MlHashPrime))
+    // persisted: reused by both bucket-join sides and the attrs rejoins
+    // (same rationale as MinHashDedup.nearDupPairs; bounded: id +
+    // numTables longs + nnz longs — no vectors)
+    val hashed = sets
       .withColumn("__n", size(col("__idx")))
+      .withColumn("__sig", sig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = hashed
-      .select(col(idCol).as("__bid"), posexplode(col("__hashes")).as(Seq("__t", "__hv")))
-      .select(col("__bid"), col("__t"),
-        element_at(vector_to_array(col("__hv")), 1).as("__h"))
+      .select(col(idCol).as("__bid"), posexplode(col("__sig")).as(Seq("__t", "__h")))
     val a = buckets.alias("a")
     val b = buckets.alias("b")
     val cand = a.join(b,
@@ -96,17 +172,7 @@ object LshJoins {
         col("a.__bid") < col("b.__bid"))
       .select(col("a.__bid").as("pk1"), col("b.__bid").as("pk2"))
       .dropDuplicates("pk1", "pk2")
-    // Size prefilter with only two ints attached: for sets J ≤ min/max, so
-    // a pair whose size ratio alone forces dist ≥ threshold never needs its
-    // index arrays. The 1e-9 slack over-KEEPS near-boundary pairs (they are
-    // re-judged by the exact verify), never over-drops — output unchanged.
-    val sizes = hashed.select(col(idCol), col("__n"))
-    val pre = cand
-      .join(sizes.select(col(idCol).as("pk1"), col("__n").as("__n1")), "pk1")
-      .join(sizes.select(col(idCol).as("pk2"), col("__n").as("__n2")), "pk2")
-      .filter(lit(1.0) - least(col("__n1"), col("__n2")).cast("double")
-                / greatest(col("__n1"), col("__n2")) < threshold + 1e-9)
-    val idxs = hashed.select(col(idCol), col("__idx"))
+    val attrs = hashed.select(col(idCol), col("__n"), col("__idx"))
     val inter = org.apache.spark.sql.graft.bridge.column(
       graft.expressions.SortedLongInterCount(
         org.apache.spark.sql.graft.bridge.expression(col("__i1")),
@@ -117,9 +183,16 @@ object LshJoins {
       1.0 - math.max(inter.toFloat / n1 * 100.0f,
                      inter.toFloat / n2 * 100.0f) / 100.0
     }
-    pre
-      .join(idxs.select(col(idCol).as("pk1"), col("__idx").as("__i1")), "pk1")
-      .join(idxs.select(col(idCol).as("pk2"), col("__idx").as("__i2")), "pk2")
+    cand
+      .join(attrs.select(col(idCol).as("pk1"), col("__n").as("__n1"),
+        col("__idx").as("__i1")), "pk1")
+      .join(attrs.select(col(idCol).as("pk2"), col("__n").as("__n2"),
+        col("__idx").as("__i2")), "pk2")
+      // size-ratio prefilter (J ≤ min/max): same predicate and slack as the
+      // former standalone pre-join stage, now a free scalar Filter — skips
+      // the merge-count for hopeless pairs without its own exchanges
+      .filter(lit(1.0) - least(col("__n1"), col("__n2")).cast("double")
+                / greatest(col("__n1"), col("__n2")) < threshold + 1e-9)
       .withColumn("__inter", inter)
       // 1 − |∩|/|∪| with long/long → double division: bit-identical to the
       // previous jaccardDistance UDF's inter.toDouble / union

@@ -380,10 +380,23 @@ object MlQueries {
       // spread BEFORE the join: the single-file corpus otherwise leaves the
       // bucket join's probe side one partition (observed 19 min at sf0.1;
       // 32-way spread makes it minutes of parallel work)
-      val tf = FeaturePipeline.features(spread(Tables.documents(s, d)),
-        FeatureConfig(numTextFeatures = 1024, useIdf = false))
-        .select("doc_id", "features")
-      LshJoins.minHashSelfJoin(tf, "doc_id", "features", threshold = 0.6)
+      //
+      // r13: the featurization is the CleanTokenBuckets kernel — one codegen
+      // scan computing the binary-TF nonzero-index SET directly (identical
+      // set to FeaturePipeline(numTextFeatures=1024, useIdf=false) nonzeros,
+      // fuzz-proven in CleanTokenBucketsSpec) — and the join runs on the
+      // set path with the same seed-derived hash family. The former shape
+      // paid two full regex passes plus three boxed ML UDFs per document
+      // (~35 s CPU per bench pass at sf0.1); output hash-unchanged.
+      val buckets = org.apache.spark.sql.graft.bridge.column(
+        graft.expressions.CleanTokenBuckets(
+          org.apache.spark.sql.graft.bridge.expression(lower(col("text"))),
+          1024,
+          org.apache.spark.ml.feature.StopWordsRemover
+            .loadDefaultStopWords("english").toSeq))
+      val sets = spread(Tables.documents(s, d))
+        .select(col("doc_id"), buckets.as("__set"))
+      LshJoins.minHashSelfJoinSets(sets, "doc_id", "__set", threshold = 0.6)
         .select(col("pk1"), col("pk2"),
           round(col("jaccard_dist"), 6).as("jaccard_dist"),
           round(col("asym_jaccard_dist"), 6).as("asym_jaccard_dist"))

@@ -27,6 +27,47 @@ class LshJoinsSpec extends SparkSpec {
     assert(math.abs(r12._4 - 0.2) < 1e-9)
   }
 
+  test("kernel minhash signatures equal the stock model.transform hashes bit-for-bit") {
+    // r13: selfJoinWithModel computes bucket keys with the MinHashSignature
+    // kernel over VectorNzIndices instead of the estimator's per-row UDF —
+    // sig_k = (a_k·i + (a_k + b_k)) mod P must equal the model's own
+    // ((1+i)·a_k + b_k) mod P hash values (as Double images) on every row,
+    // including dense layouts and vectors with explicit zeros.
+    val mixed = Seq(
+      (1L, Vectors.sparse(32, Array(0, 1, 2, 3, 4), Array.fill(5)(1.0))),
+      (2L, Vectors.sparse(32, Array(0, 5, 9), Array(2.0, 0.0, 3.0))), // explicit zero
+      (3L, Vectors.dense(Array.tabulate(32)(i => if (i % 7 == 0) 1.0 else 0.0))),
+      (4L, Vectors.sparse(32, Array(31), Array(4.0)))
+    ).toDF("id", "features")
+    val model = new org.apache.spark.ml.feature.MinHashLSH()
+      .setInputCol("features").setOutputCol("__hashes")
+      .setNumHashTables(16).setSeed(98765L)
+      .fit(mixed)
+    val f = model.getClass.getDeclaredFields
+      .find(_.getName.contains("randCoefficients")).get
+    f.setAccessible(true)
+    val coefs = f.get(model).asInstanceOf[Array[(Int, Int)]]
+    import org.apache.spark.sql.functions._
+    val nz = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.VectorNzIndices(
+        org.apache.spark.sql.graft.bridge.expression(col("features"))))
+    val sig = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.bridge.expression(col("__idx")),
+        coefs.map(_._1.toLong).toSeq,
+        coefs.map(c => c._1.toLong + c._2.toLong).toSeq, 2038074743L))
+    val kernel = mixed.withColumn("__idx", nz).withColumn("__sig", sig)
+      .select(col("id"), col("__sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val stock = model.transform(mixed)
+      .select(col("id"), col("__hashes"))
+      .as[(Long, Seq[org.apache.spark.ml.linalg.Vector])].collect().toMap
+    assert(kernel.keySet == stock.keySet)
+    for ((id, hs) <- stock)
+      assert(kernel(id).map(_.toDouble) == hs.map(_(0)),
+        s"signature mismatch for id $id")
+  }
+
   test("q_minhash_lsh oracle coefficients reproduce the fitted model's (reflection pin)") {
     // The q_minhash_lsh DuckDB oracle derives the model's 16 (a, b) hash
     // coefficients from the estimator's documented derivation
