@@ -79,7 +79,17 @@ object Ivf {
     * per-row Scala UDF boxed a Seq[Double] per corpus row, the defect
     * class the r12 ADC rewrite measured at 4+ s wall / 20 s GC per 500k
     * vectors; the arithmetic is unchanged term-for-term. */
-  def fromCentroids(df: DataFrame, vecCol: String, centroids: DataFrame): Index = {
+  def fromCentroids(df: DataFrame, vecCol: String, centroids: DataFrame): Index =
+    Index(centroids, df.withColumn("centroid_id",
+      assignColumn(centroids)(col(vecCol))))
+
+  /** The [[fromCentroids]] assignment as a reusable Column factory: collects
+    * the (driver-scale) centroid table ONCE and returns the codegen
+    * broadcast-argmin column — so a caller that assigns many frames against
+    * one standing quantizer (a streaming ingest loop routing every
+    * micro-batch, q_stream_ann_ingest) pays the collect once per corpus
+    * generation instead of once per batch. */
+  def assignColumn(centroids: DataFrame): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     val cents: Array[(Int, Array[Double])] = centroids
       .select(col("centroid_id").cast("int"), col("cvec"))
       .collect()
@@ -97,11 +107,10 @@ object Ivf {
     val dim = cents(0)._2.length
     require(dim > 0 && cents.forall(_._2.length == dim),
       s"fromCentroids: every centroid must have the same positive length (dim=$dim)")
-    val assign = org.apache.spark.sql.graft.bridge.column(
+    vec => org.apache.spark.sql.graft.bridge.column(
       graft.expressions.CentroidArgmin(
-        org.apache.spark.sql.graft.bridge.expression(col(vecCol)),
+        org.apache.spark.sql.graft.bridge.expression(vec),
         cents.map(_._1), cents.map(_._2)))
-    Index(centroids, df.withColumn("centroid_id", assign))
   }
 
   /** Persist the index as two parquet tables under one directory (Hadoop-FS

@@ -636,18 +636,20 @@ object VectorQueries {
       val idxDir = s"/tmp/graft_ann_ingest_idx_$tag"
       t.repartition(8).write.mode("overwrite").parquet(vecDir)
       val schema = s.read.parquet(vecDir).schema
-      val route: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) => {
-        val d2 = ArrayOps.norm2sq(col("v")) + ArrayOps.norm2sq(col("cvec")) -
-          lit(2.0) * ArrayOps.dot(col("v"), col("cvec"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(asc("__d2"), asc("centroid_id"))
-        batch.crossJoin(broadcast(cents))
-          .withColumn("__d2", d2)
-          .withColumn("__arn", row_number().over(w))
-          .filter(col("__arn") === 1)
+      // r13 (guide §2.4): the former per-micro-batch crossJoin(16 centroids)
+      // + window(partition by vec_id) argmin shuffled and sorted EVERY batch;
+      // the CentroidArgmin kernel (Ivf.fromCentroids' assignment — identical
+      // ||v||²+||c||²−2·v·c folds, ties to the smaller centroid_id, exactly
+      // the window's (__d2 asc, centroid_id asc) pick) routes each row in a
+      // narrow map with zero shuffle. The centroid collect happens ONCE
+      // before the stream starts — one quantizer amortizes across all
+      // batches, the production ingest shape.
+      val assign = graft.ann.Ivf.assignColumn(cents)
+      val route: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+        batch
+          .withColumn("centroid_id", assign(col("v")))
           .select(col("vec_id"), col("v"), col("centroid_id"))
           .write.mode("append").parquet(idxDir)
-      }
       val strm = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(vecDir)
         .writeStream.foreachBatch(route)
