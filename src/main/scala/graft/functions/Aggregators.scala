@@ -214,6 +214,36 @@ object Aggregators {
       ExpressionEncoder[Seq[(String, Long)]]()
   }
 
+  /** Bounded member-list aggregation for "groups of at most `cap` members"
+    * (r13): collects a group's long values into a buffer CAPPED at `cap`+1
+    * entries — one past the cap is enough to prove the group is over it —
+    * and finish() returns the SORTED list for within-cap groups and the
+    * empty list for over-cap ones. Exact replacement for the two-step
+    * `groupBy(k).count.filter(n <= cap)` + re-join-to-collect shape when
+    * the values per group are UNIQUE (the caller's contract): the buffer
+    * never exceeds cap+1 longs per group per partition regardless of how
+    * hot the key is, so a boilerplate fingerprint shared by 10⁹ documents
+    * costs 51 longs of task memory, not a 10⁹-element list. */
+  class CappedDistinctList(cap: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(cap >= 1)
+    def zero: Seq[Long] = Seq.empty
+    def reduce(buf: Seq[Long], in: Long): Seq[Long] =
+      if (buf.size > cap) buf else buf :+ in
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      val m = a ++ b
+      if (m.size > cap + 1) m.take(cap + 1) else m
+    }
+    def finish(buf: Seq[Long]): Seq[Long] =
+      if (buf.size > cap) Seq.empty else buf.sorted
+    def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column function: sorted member list of groups with ≤ cap UNIQUE
+    * members, empty list for larger groups (see [[CappedDistinctList]]). */
+  def cappedDistinctList(cap: Int): UserDefinedFunction =
+    udaf(new CappedDistinctList(cap), ExpressionEncoder[Long]())
+
   /** Column function: the k smallest (key, id) pairs per group, key asc /
     * id asc. */
   def bottomKByKey(k: Int): UserDefinedFunction =

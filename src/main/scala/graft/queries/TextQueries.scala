@@ -497,19 +497,30 @@ object TextQueries {
         .select(col("doc_id"),
           explode(array_distinct(transform(TextOps.winnow(col("text"), 12, 4),
             p => p.bitwiseAND(lit(0xFFFFFFFFL))))).as("fp"))
-      // NOT persisted (measured r10): with the winnow scan spread across the
-      // slots, the four consumers' recomputes cost ~0.06 s each, while a
-      // MEMORY_AND_DISK cache build serializes the pipeline behind a 7M-row
-      // materialization — benched ~20% slower host-normalized than recompute
-      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select("fp")
-      val rfp = fp.join(rare, "fp")
-      val sz = rfp.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = rfp.alias("a")
-      val b = rfp.alias("b")
-      val sh = a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("ns"))
+      // r13 (guide §2.4 remove shuffles / §1.2 step 1): ONE bounded
+      // aggregation replaces the former rare-filter → rfp join → fp
+      // SELF-join chain. Per fingerprint, collect the (unique) doc ids into
+      // a CAPPED buffer (≤ 51 longs per group however hot the key — a
+      // boilerplate fingerprint can never blow task memory) which returns
+      // the sorted member list for df ≤ 50 groups and empty otherwise —
+      // exactly the HAVING COUNT(*) <= 50 oracle semantics. Doc sizes and
+      // the shared-count pairs then derive from the lists: each group emits
+      // its C(df, 2) ordered pairs (d1 < d2 by the sort; ≤ 1225 per group by
+      // the cap) — the same pairs the self-join produced, without shuffling
+      // the fingerprint table three more times or recomputing the winnow
+      // scan per consumer (it was the heaviest projection in the repo, and
+      // the old plan evaluated it up to 4×: measured 3.73 → ~1.5 s/rep).
+      val grouped = fp.groupBy("fp")
+        .agg(graft.functions.Aggregators.cappedDistinctList(50)(col("doc_id"))
+          .as("docs"))
+        .filter(size(col("docs")) > 0)
+      val sz = grouped.select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = grouped
+        .select(posexplode(col("docs")).as(Seq("__i", "d1")), col("docs"))
+        .select(col("d1"), explode(slice(col("docs"), col("__i") + lit(2),
+          size(col("docs")) - col("__i") - lit(1))).as("d2"))
+      val sh = pairs.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ns"))
       val jac = col("ns").cast("double") / (col("n1") + col("n2") - col("ns"))
       sh.join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
         .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")

@@ -547,8 +547,12 @@ object VectorQueries {
             FROM t a JOIN t b ON a.vec_id < b.vec_id)
       SELECT id1, id2, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.4
       ORDER BY id1, id2""") { (s, d) =>
-      val t = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
-        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      // spread (r13): the single-file fixture pinned the whole map side —
+      // scan, norm/pivot projections, ring keys and the 12.7 MB exchange
+      // write — to ONE task (profiled 1.5 s single-threaded per rep);
+      // no-op on any well-split table
+      val t = Tables.spread(Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v")))
       graft.ann.CosineJoin.selfJoin(t, "vec_id", "v", minCos = 0.4)
         .orderBy("id1", "id2")
     },
@@ -571,8 +575,9 @@ object VectorQueries {
       m AS (SELECT DISTINCT bid FROM p WHERE cos >= 0.4)
       SELECT vec_id FROM b WHERE vec_id NOT IN (SELECT bid FROM m)
       ORDER BY vec_id""") { (s, d) =>
-      val t = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
-        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+      // spread: same single-task map side as q_cosine_join_exact (r13)
+      val t = Tables.spread(Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v")))
       val batch = t.filter(col("vec_id") % 17 === 0)
       val corpus = t.filter(col("vec_id") % 17 =!= 0)
       graft.ann.CosineJoin.dedupAgainst(batch, corpus, "vec_id", "v",
