@@ -117,14 +117,20 @@ object GraphOps {
                  resetProb: Double = 0.15): DataFrame = {
     val sym = symmetric(canonical)
     val vertices = sym.select(col("src").as("vertex")).distinct()
+    // r13 (guide §2.4): attach the degree to each edge ONCE and cache THAT —
+    // the loop previously joined the degree table every iteration (numIter
+    // extra joins of an edge-scale frame; GraphX's edge-attached degree is
+    // the same shape). rank/deg arithmetic unchanged.
     val degrees = sym.groupBy(col("src").as("vertex"))
-      .agg(count(lit(1)).as("deg")).cache()
+      .agg(count(lit(1)).as("deg"))
+    val edgesWithDeg = sym
+      .join(degrees.withColumnRenamed("vertex", "src"), "src")
+      .select(col("src"), col("dst"), col("deg")).cache()
 
     var ranks = vertices.withColumn("rank", lit(1.0))
     for (i <- 0 until numIter) {
-      val contribs = sym
+      val contribs = edgesWithDeg
         .join(ranks.withColumnRenamed("vertex", "src"), "src")
-        .join(degrees.withColumnRenamed("vertex", "src"), "src")
         .select(col("dst").as("vertex"), (col("rank") / col("deg")).as("contrib"))
         .groupBy("vertex").agg(sum("contrib").as("msum"))
       ranks = vertices
@@ -151,14 +157,17 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
     val vertices = sym.select(col("src").as("vertex")).distinct()
+    // degree attached to edges once, as in [[pageRankDF]] (r13)
     val wdeg = sym.groupBy(col("src").as("vertex"))
-      .agg(sum("weight").as("wdeg")).cache()
+      .agg(sum("weight").as("wdeg"))
+    val edgesWithDeg = sym
+      .join(wdeg.withColumnRenamed("vertex", "src"), "src")
+      .select(col("src"), col("dst"), col("weight"), col("wdeg")).cache()
 
     var ranks = vertices.withColumn("rank", lit(1.0))
     for (i <- 0 until numIter) {
-      val contribs = sym
+      val contribs = edgesWithDeg
         .join(ranks.withColumnRenamed("vertex", "src"), "src")
-        .join(wdeg.withColumnRenamed("vertex", "src"), "src")
         .select(col("dst").as("vertex"),
           (col("rank") * col("weight") / col("wdeg")).as("contrib"))
         .groupBy("vertex").agg(sum("contrib").as("msum"))

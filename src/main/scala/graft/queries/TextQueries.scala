@@ -555,17 +555,21 @@ object TextQueries {
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)*100.0
             / len(list_distinct(list_concat(a.s, b.s))) >= 80.0
       ORDER BY d1, d2""") { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          array_distinct(TextOps.tokens(col("text"))).as("s"))
-      val a = t.alias("a")
-      val b = t.alias("b")
-      val jac = size(array_intersect(col("a.s"), col("b.s"))).cast("double") * 100.0 /
-        size(array_union(col("a.s"), col("b.s")))
-      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .filter(jac >= 80.0)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          round(jac, 4).as("jac"))
+      // r13 (guide §1.2 step 1): the per-lang all-pairs brute-force join
+      // (quadratic in the block size — 50 s at sf0.1, unbounded at 100 TB
+      // for a popular lang) becomes the BLOCKED PPJoin: identical output —
+      // every within-lang pair at token-set Jaccard ≥ 80% — through the
+      // provably complete size/prefix/positional filter chain, with the
+      // exact verify re-judging every candidate. Token sets ride as
+      // xxhash64 ids (the q_allpairs_jaccard/q_minhash_dedup 2⁻⁶⁴
+      // collision argument); the 80.0 cut is applied as the same literal
+      // the oracle uses.
+      graft.dedup.PrefixJoin.allPairsOnSets(
+        Tables.spread(Tables.documents(s, d)).select(col("doc_id"), col("lang"),
+          array_sort(graft.dedup.MinHashDedup.shingleIds(col("text"), 1))
+            .as("sids")),
+        "doc_id", "sids", tau = 0.8, minJacPct = 80.0,
+        blockCol = Some("lang"))
         .orderBy("d1", "d2")
     }
   )

@@ -118,6 +118,49 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
+  test("allPairsOnSets with a block column equals per-block brute force") {
+    // r13: the blocked variant (q_jaccard_pairs' shape) must report exactly
+    // the within-block pairs at jac ≥ the cut — fuzz against a brute-force
+    // per-block set computation, including blocks of size 1 and empty sets.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 120L).map { i =>
+      val lang = s"l${rnd.nextInt(3)}"
+      val base = Seq.tabulate(6 + rnd.nextInt(10))(j => s"w${rnd.nextInt(40)}")
+      val text = if (i % 17 == 0) "" else base.mkString(" ")
+      (i, lang, text)
+    }
+    val df = docs.toDF("doc_id", "lang", "text")
+    val sets = df.select(col("doc_id"), col("lang"),
+        MinHashDedup.shingleIds(col("text"), 1).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toSet))
+    val want = (for {
+      (d1, l1, s1) <- sets; (d2, l2, s2) <- sets
+      if d1 < d2 && l1 == l2 && (s1 ++ s2).nonEmpty
+      jac = s1.intersect(s2).size.toDouble * 100.0 / (s1 ++ s2).size
+      if jac >= 50.0
+    } yield (d1, d2)).toSet
+    val got = PrefixJoin.allPairsOnSets(
+        df.select(col("doc_id"), col("lang"),
+          org.apache.spark.sql.functions.array_sort(
+            MinHashDedup.shingleIds(col("text"), 1)).as("sids")),
+        "doc_id", "sids", tau = 0.5, minJacPct = 50.0,
+        blockCol = Some("lang"))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"got ${got.size} want ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // and the unblocked form over the same sets is a superset
+    val unblocked = PrefixJoin.allPairsOnSets(
+        df.select(col("doc_id"),
+          org.apache.spark.sql.functions.array_sort(
+            MinHashDedup.shingleIds(col("text"), 1)).as("sids")),
+        "doc_id", "sids", tau = 0.5, minJacPct = 50.0)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(unblocked))
+  }
+
   test("finds every pair the banded MinHash join reports (superset proof)") {
     // MinHashDedup.nearDupPairs is approximate-by-banding with the same
     // exact verify: its survivors are true near-dups, so the exact join
