@@ -470,7 +470,12 @@ object GraphOps {
     * (vertex, hub, auth) state per iteration is the GraphX per-superstep
     * caching pattern, and keeps every iteration's plan constant-size. */
   def hitsDF(directed: DataFrame, numIter: Int): DataFrame = {
-    val edges = directed.select(col("src"), col("dst"))
+    // cached (r13): the loop reads the edge frame TWICE per iteration (hub
+    // contribution join + auth contribution join) — 2·numIter recomputes of
+    // whatever lineage produced the edges (q_hits derives them from a
+    // customer self-join) without the cache; same caller-owned cache
+    // convention as [[pageRankDF]]'s degree-attached edges
+    val edges = directed.select(col("src"), col("dst")).cache()
     val vertices = edges.select(col("src").as("vertex"))
       .union(edges.select(col("dst"))).distinct().cache()
     var state = vertices.withColumn("hub", lit(1.0))
