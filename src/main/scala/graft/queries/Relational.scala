@@ -1002,7 +1002,11 @@ object Relational {
                CAST(epoch_ms(MAX(l_shipdate)) AS VARCHAR)
         FROM lineitem)
       ORDER BY column_name""") { (s, d) =>
-      Tables.lineitem(s, d).agg(
+      // spread (r13): the four COUNT(DISTINCT)s plan through a ×5 Expand —
+      // the one agg whose MAP side is ~5× the scan's row count in CPU — and
+      // the 3-row-group fixture pinned that to 3 tasks (profiled 6.2 s CPU
+      // on 3 tasks of a 6.5 s stage); no-op on well-split tables
+      Tables.spread(Tables.lineitem(s, d)).agg(
           count(lit(1)).as("n"),
           count(col("l_orderkey")).as("nn_ok"),
           countDistinct(col("l_orderkey")).as("nd_ok"),
