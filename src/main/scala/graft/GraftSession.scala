@@ -22,6 +22,14 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // NOT set (r13, measured): coalescePartitions.parallelismFirst=false
+      // ("fewer, larger reduce partitions", guide §2.2) looked like a free
+      // win for the many near-empty 32-task AQE stages, but shuffle BYTES
+      // are a bad proxy for CPU here — the LSH verify join's ~70 MB shuffle
+      // carries minutes of per-byte merge work, and the 64 MB advisory
+      // coalesced it to one task (q_minhash_lsh 2.5 → 17 s). The default
+      // parallelism-first behaviour is the right trade for CPU-dense,
+      // byte-light operators.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
