@@ -311,15 +311,45 @@ object LshJoins {
   def minHashKnn(df: DataFrame, idCol: String, featuresCol: String,
                  probe: Vector, k: Int, numTables: Int = 16,
                  seed: Long = 12345L, exhaustive: Boolean = false): DataFrame = {
-    val nonEmpty = df.filter(nnz(col(featuresCol)) > 0)
+    // r13 (guide §4.1): the corpus-scale map side is codegen — nonzero-index
+    // extraction (VectorNzIndices), signatures (MinHashSignature over the
+    // fitted model's reflection-read coefficients), bucket membership
+    // (element-wise long comparisons against the probe's driver-computed
+    // signature) and the exact Jaccard verify (SortedLongInterCount against
+    // the probe's literal index set) replace four per-row boxed
+    // Vector/Seq[Vector] UDFs. Arithmetic identical term-for-term: the
+    // probe signature is min over nonzero i of ((1+i)·a + b) mod P — the
+    // estimator's own hashFunction — and the distance is 1 − |∩|/|∪| with
+    // the same double division; outputs unchanged (KnnSpec + oracle gates).
+    val nzIdx = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.VectorNzIndices(
+        org.apache.spark.sql.graft.bridge.expression(col(featuresCol))))
     // an empty-set probe has no neighbors under Jaccard — and would trip
     // MinHashLSH's nonzero requirement
     if (probe.numNonzeros == 0)
       return df.filter(lit(false))
         .select(col(idCol), lit(null).cast("double").as("jaccard_dist"))
+    val probeNz: Array[Long] = {
+      val b = Array.newBuilder[Long]
+      probe.foreachActive((i, v) => if (v != 0.0) b += i.toLong)
+      b.result()
+    }
+    // exact Jaccard distance to the probe from the sorted nonzero-index set:
+    // 1 − |∩|/|∪|, double division — jaccardDistance's arithmetic exactly
+    // (union == 0 is unreachable here: the probe set is nonempty)
+    def distCol(idxCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val inter = org.apache.spark.sql.graft.bridge.column(
+        graft.expressions.SortedLongInterCount(
+          org.apache.spark.sql.graft.bridge.expression(idxCol),
+          org.apache.spark.sql.graft.bridge.expression(
+            typedLit(probeNz.toSeq))))
+      lit(1.0) - inter.cast("double") /
+        (size(idxCol) + lit(probeNz.length) - inter).cast("double")
+    }
+    val sets = df.select(col(idCol), col(featuresCol), nzIdx.as("__idx"))
+      .filter(size(col("__idx")) > 0)
     if (exhaustive) {
-      val dist = udf((v: Vector) => jaccardDistance(v, probe))
-      return nonEmpty.withColumn("jaccard_dist", dist(col(featuresCol)))
+      return sets.withColumn("jaccard_dist", distCol(col("__idx")))
         .sort(col("jaccard_dist"), col(idCol))
         .limit(k)
         .select(col(idCol), col("jaccard_dist"))
@@ -327,36 +357,35 @@ object LshJoins {
     val model = new MinHashLSH()
       .setInputCol(featuresCol).setOutputCol("__hashes")
       .setNumHashTables(numTables).setSeed(seed)
-      .fit(nonEmpty)
-    val hashed = model.transform(nonEmpty)
-    // probe hashes via the public transform on a one-row frame (hashFunction
-    // itself is private[ml]) — same values the rows were bucketed with
-    val spark = df.sparkSession
-    import spark.implicits._
-    val keyHash: Seq[Vector] = model.transform(Seq(Tuple1(probe)).toDF(featuresCol))
-      .select("__hashes").head.getSeq[Vector](0)
-    val sameBucket = udf((x: Seq[Vector]) =>
-      x.iterator.zip(keyHash.iterator).exists { case (a, b) => a == b })
-    val bucket = hashed.filter(sameBucket(col("__hashes")))
+      .fit(sets)
+    val coefs = modelCoefficients(model)
+    val sig = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.bridge.expression(col("__idx")),
+        coefs.map(_._1.toLong).toSeq,
+        coefs.map(c => c._1.toLong + c._2.toLong).toSeq, MlHashPrime))
+    val hashed = sets.withColumn("__sig", sig)
+    // the probe's signature, computed on the driver with the same integer
+    // arithmetic (replaces a one-row transform job)
+    val keyHash: Array[Long] = coefs.map { case (a, b) =>
+      probeNz.map(i => ((1L + i) * a + b) % MlHashPrime).min
+    }
+    // per-table hash vectors are length 1 here, so Spark's hashDistance
+    // (min over tables of differing-slot count) is 0 iff ANY slot matches,
+    // else 1 — sameBucket and the phase-2 distance share one comparison
+    val anySlotEq = keyHash.zipWithIndex
+      .map { case (h, i) => element_at(col("__sig"), i + 1) === lit(h) }
+      .reduce(_ || _)
+    val bucket = hashed.filter(anySlotEq)
     val subset =
       if (bucket.limit(k).count() >= k) bucket
       else {
-        // min over tables of the differing-slot count — Spark's MinHash
-        // hashDistance (0 when any bucket matches, so phase 2 ⊇ phase 1)
-        val hashDist = udf { (x: Seq[Vector]) =>
-          x.iterator.zip(keyHash.iterator).map { case (a, b) =>
-            val aa = a.toArray; val bb = b.toArray
-            var d = 0; var i = 0
-            while (i < aa.length) { if (aa(i) != bb(i)) d += 1; i += 1 }
-            d
-          }.min.toDouble
-        }
-        val hd = hashed.withColumn("__hd", hashDist(col("__hashes")))
+        val hd = hashed.withColumn("__hd",
+          when(anySlotEq, lit(0.0)).otherwise(lit(1.0)))
         val thr = hd.sort("__hd").limit(k).agg(max("__hd")).head.getDouble(0)
         hd.filter(col("__hd") <= thr).drop("__hd")
       }
-    val dist = udf((v: Vector) => jaccardDistance(v, probe))
-    subset.withColumn("jaccard_dist", dist(col(featuresCol)))
+    subset.withColumn("jaccard_dist", distCol(col("__idx")))
       .sort(col("jaccard_dist"), col(idCol))
       .limit(k)
       .select(col(idCol), col("jaccard_dist"))
