@@ -364,7 +364,13 @@ object LshJoins {
         org.apache.spark.sql.graft.bridge.expression(col("__idx")),
         coefs.map(_._1.toLong).toSeq,
         coefs.map(c => c._1.toLong + c._2.toLong).toSeq, MlHashPrime))
-    val hashed = sets.withColumn("__sig", sig)
+    // persisted: the phase-1 cardinality probe, the (rare) phase-2 widening
+    // and the final verify are SEPARATE actions that would each replay the
+    // caller's featurization lineage otherwise; bounded — id + index set +
+    // numTables longs, no vectors (the selfJoinWithModel cache convention:
+    // caller-owned, clearCache() after consuming on long-lived sessions)
+    val hashed = sets.select(col(idCol), col("__idx")).withColumn("__sig", sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the probe's signature, computed on the driver with the same integer
     // arithmetic (replaces a one-row transform job)
     val keyHash: Array[Long] = coefs.map { case (a, b) =>
@@ -377,8 +383,13 @@ object LshJoins {
       .map { case (h, i) => element_at(col("__sig"), i + 1) === lit(h) }
       .reduce(_ || _)
     val bucket = hashed.filter(anySlotEq)
+    // count(), not limit(k).count(): the limit form executes as an
+    // incremental single-partition take that runs the whole upstream
+    // serially on one core when the bucket is selective (profiled 10.5 s
+    // single-task at sf0.1); a full parallel count over the cached frame is
+    // the same boolean at a fraction of the wall
     val subset =
-      if (bucket.limit(k).count() >= k) bucket
+      if (bucket.count() >= k) bucket
       else {
         val hd = hashed.withColumn("__hd",
           when(anySlotEq, lit(0.0)).otherwise(lit(1.0)))
