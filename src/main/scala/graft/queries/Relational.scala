@@ -409,11 +409,27 @@ object Relational {
        AND a.c_nationkey <> b.c_nationkey
        AND abs(a.c_acctbal - b.c_acctbal) < 100.0
       ORDER BY custkey1, custkey2""") { (s, d) =>
+      // r13 (guide §2.5/§3.3): the segment-only equi-join had FIVE distinct
+      // keys — a 5-partition skewed shuffle whose per-block work is
+      // quadratic in the block size. The band predicate |Δacctbal| < 100
+      // admits the standard band-bucket join (the CosineJoin ring-grid
+      // trick in 1-D): bucket = ⌊acctbal/100⌋, one side joins on its own
+      // (segment, bucket), the other explodes its 3-neighbor buckets —
+      // |a−b| < 100 forces |Δbucket| ≤ 1, so every qualifying pair meets
+      // exactly once (on a's own bucket) — and ALL original predicates are
+      // re-applied in the join condition, so the output is row-identical.
+      // Join-key cardinality goes 5 → 5×O(bal range/100), killing the skew;
+      // per-cell work replaces per-segment quadratic work.
       val c = Tables.customer(s, d)
-      val a = c.alias("a")
-      val b = c.alias("b")
+      val bucket = floor(col("c_acctbal") / 100.0).cast("long")
+      val a = c.withColumn("__bk", bucket).alias("a")
+      val b = c.withColumn("__bk0", bucket)
+        .withColumn("__bk", explode(array(col("__bk0") - 1, col("__bk0"),
+          col("__bk0") + 1)))
+        .alias("b")
       a.join(b,
           col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.__bk") === col("b.__bk") &&
           col("a.c_custkey") < col("b.c_custkey") &&
           col("a.c_nationkey") =!= col("b.c_nationkey") &&
           abs(col("a.c_acctbal") - col("b.c_acctbal")) < 100.0)
