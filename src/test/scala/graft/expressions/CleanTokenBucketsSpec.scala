@@ -94,6 +94,23 @@ class CleanTokenBucketsSpec extends SparkSpec {
     for (id <- k.keySet) assert(k(id) == p(id), s"fuzz mismatch for doc $id")
   }
 
+  test("full-corpus parity with the stock pipeline on the gate fixture") {
+    // Beyond the synthetic fuzz: every document of the sf0.01 gate corpus
+    // (the data the DuckDB hash gate runs on) must produce the identical
+    // bucket set through the kernel and through the stock ML pipeline.
+    // SPARK_GRAFT_PARITY_SF overrides the corpus dir (e.g. sf0.1) for a
+    // manual larger-scale run.
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val k = kernelSets(docs, 1024)
+    val p = pipelineSets(docs, 1024)
+    assert(k.keySet == p.keySet)
+    val bad = k.keySet.filter(id => k(id) != p(id))
+    assert(bad.isEmpty, s"bucket-set mismatch for docs ${bad.take(5)}")
+  }
+
   test("set-path self-join equals the vector-path self-join") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta common shared phrases here"),
