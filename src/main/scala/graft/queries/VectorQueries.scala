@@ -523,7 +523,15 @@ object VectorQueries {
       val t = Tables.embeddings(s, d)
         .select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
         .transform(Tables.spread)
-      val index = graft.ann.Ivf.build(t, "v", k = 16)
+      // sample-bounded fit (r13): with nProbe = k the search scans EVERY
+      // centroid partition, so the output is the exact top-K regardless of
+      // where the centroids sit — the distributed full-frame fit bought
+      // nothing this query's answer depends on, at 20 iterations of
+      // treeAggregate jobs. The deterministic hash-ordered sample fit is
+      // the engine-wide production shape (corpus-independent cost); the
+      // exact-answer property is what the DuckDB brute-force oracle gates.
+      val index = graft.ann.Ivf.build(t, "v", k = 16,
+        fitOrderCol = Some("vec_id"))
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       graft.ann.Ivf.search(index, probes, "vec_id", "v", topK = 3, nProbe = 16)
@@ -729,7 +737,12 @@ object VectorQueries {
           transform(slice(ArrayOps.asDouble(col("embedding")), 1, 16),
             x => when(x >= 0, 1.0).otherwise(-1.0)).as("v"))
         .transform(Tables.spread)
-      val ivf = graft.ann.Ivf.build(t, "v", k = 8)
+      // sample-bounded fit (r13): nProbe = k again — see q_ann_ivf_exact;
+      // the PQ losslessness (every distinct subvector a codebook centroid)
+      // holds for any fit that sees all 16 sign patterns, which the
+      // 2^17-row hash sample always does, and the exact-d2 oracle gates it
+      val ivf = graft.ann.Ivf.build(t, "v", k = 8,
+        fitOrderCol = Some("vec_id"))
       val pq = graft.ann.Pq.build(t, "vec_id", "v", m = 4, k = 20)
       val probes = t.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
