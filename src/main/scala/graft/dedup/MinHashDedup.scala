@@ -123,15 +123,30 @@ object MinHashDedup {
       // Sketch rows are bounded (ids + hashes + shingle-id sets, no raw text).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bk = bandBuckets(prepared)
+    // r14 (guide §2.4): dedup of multi-band candidate pairs is a SCALAR
+    // predicate — keep a pair only in its FIRST matching band
+    // (graft_first_eq_slot over the position-aligned band-hash arrays both
+    // sides already computed) — instead of a dropDuplicates exchange over
+    // the candidate multiset. Identical pair set; the band-hash array adds
+    // `bands` longs per bucket row on the corpus side, while the pair
+    // stream (≫ corpus on dup-heavy input, the whole point of dedup)
+    // stops crossing any exchange.
+    val bk = prepared.select(col("__id"), col("__bands")("bh").as("__bhs"),
+        explode(col("__bands")).as("__b"))
+      .select(col("__id"), col("__bhs"),
+        col("__b.band").as("__band"), col("__b.bh").as("__bh"))
     val a = bk.alias("a")
     val b = bk.alias("b")
+    val firstEq = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.FirstEqSlot(
+        org.apache.spark.sql.graft.bridge.expression(col("a.__bhs")),
+        org.apache.spark.sql.graft.bridge.expression(col("b.__bhs"))))
     val cand = a.join(b,
         col("a.__band") === col("b.__band") &&
         col("a.__bh") === col("b.__bh") &&
         col("a.__id") < col("b.__id"))
+      .filter(firstEq === col("a.__band"))
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
-      .dropDuplicates("d1", "d2")
 
     val sets = prepared.select(col("__id"), col("__sids"))
     val withSets = cand
@@ -201,12 +216,23 @@ object MinHashDedup {
 
     val bs = sketch(exactSurvivors, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bandBuckets(bs).alias("a")
-    val c = bandBuckets(corpusSketch).alias("c")
+    // first-matching-band dedup of (batch, corpus) candidates — the same
+    // scalar-predicate replacement for dropDuplicates as nearDupPairs (r14)
+    def bucketsWithBhs(sk: DataFrame): DataFrame =
+      sk.select(col("__id"), col("__bands")("bh").as("__bhs"),
+          explode(col("__bands")).as("__b"))
+        .select(col("__id"), col("__bhs"),
+          col("__b.band").as("__band"), col("__b.bh").as("__bh"))
+    val a = bucketsWithBhs(bs).alias("a")
+    val c = bucketsWithBhs(corpusSketch).alias("c")
+    val firstEq = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.FirstEqSlot(
+        org.apache.spark.sql.graft.bridge.expression(col("a.__bhs")),
+        org.apache.spark.sql.graft.bridge.expression(col("c.__bhs"))))
     val cand = a.join(c,
         col("a.__band") === col("c.__band") && col("a.__bh") === col("c.__bh"))
+      .filter(firstEq === col("a.__band"))
       .select(col("a.__id").as("bid"), col("c.__id").as("cid"))
-      .dropDuplicates("bid", "cid")
 
     val jacRaw = org.apache.spark.sql.graft.bridge.column(
       graft.expressions.ArraySetJaccard(

@@ -59,15 +59,24 @@ object SimHash {
 
     val a = chunked.alias("a")
     val b = chunked.alias("b")
+    // r14 (guide §2.4): a pair within Hamming distance d can share up to
+    // d+1 chunks and used to emerge once per shared chunk, paying a
+    // dropDuplicates exchange over the candidate multiset. The signatures
+    // already ride the join, so the FIRST matching chunk is a scalar of
+    // (s1 XOR s2): keep the pair only where that equals the joined chunk —
+    // identical pair set, zero pair-stream exchanges.
+    val x = col("a.__sig").bitwiseXOR(col("b.__sig"))
+    val firstMatch = (0 until chunks).foldRight(lit(chunks)) { (c, acc) =>
+      when(shiftright(x, c * width).bitwiseAND((1L << width) - 1) === 0,
+        lit(c)).otherwise(acc)
+    }
     a.join(b,
         col("a.__chunk") === col("b.__chunk") &&
         col("a.__ck") === col("b.__ck") &&
         col("a.__id") < col("b.__id"))
+      .filter(firstMatch === col("a.__chunk"))
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
-        col("a.__sig").as("s1"), col("b.__sig").as("s2"))
-      .dropDuplicates("d1", "d2")
-      .withColumn("hdist", hamming64(col("s1"), col("s2")))
+        hamming64(col("a.__sig"), col("b.__sig")).as("hdist"))
       .filter(col("hdist") <= cfg.maxHammingDistance)
-      .select("d1", "d2", "hdist")
   }
 }

@@ -480,6 +480,21 @@ object GraphOps {
       .union(edges.select(col("dst"))).distinct().cache()
     var state = vertices.withColumn("hub", lit(1.0))
       .withColumn("auth", lit(1.0))
+    // r14 (guide §2.4/§5 driver): each normalization used to run as
+    // crossJoin(broadcast(raw.agg(max))) — a broadcast-build JOB that
+    // replayed the half-iteration's join+agg lineage, after which the main
+    // flow computed the same frame AGAIN (2-3 evaluations of every
+    // edge-scale join per iteration). Now the raw frame is localCheckpointed
+    // once (one evaluation), the max is a one-row driver scalar over the
+    // materialized frame, and the division applies it as a literal —
+    // identical doubles in identical order (same sums, same raw/max
+    // division, same `> 0` guard with an empty frame degenerating to 0.0),
+    // so the ROUND(6) oracle gate is unaffected.
+    def scalarMax(df: DataFrame, c: String): Double =
+      df.agg(max(c)).head.get(0) match {
+        case null      => 0.0
+        case d: Double => d
+      }
     for (_ <- 0 until numIter) {
       val hub = state.select(col("vertex"), col("hub"))
       val araw = vertices
@@ -487,21 +502,21 @@ object GraphOps {
                 .groupBy(col("dst").as("vertex")).agg(sum("hub").as("s")),
               Seq("vertex"), "left")
         .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("araw"))
-      val auth = araw
-        .crossJoin(broadcast(araw.agg(max("araw").as("amax"))))
-        .select(col("vertex"),
-          when(col("amax") > 0, col("araw") / col("amax")).otherwise(0.0)
-            .as("auth"))
+        .localCheckpoint()
+      val amax = scalarMax(araw, "araw")
+      val auth = araw.select(col("vertex"),
+        when(lit(amax) > 0, col("araw") / lit(amax)).otherwise(0.0)
+          .as("auth"))
       val hraw = vertices
         .join(edges.join(auth.withColumnRenamed("vertex", "dst"), "dst")
                 .groupBy(col("src").as("vertex")).agg(sum("auth").as("s")),
               Seq("vertex"), "left")
         .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("hraw"))
-      val hub1 = hraw
-        .crossJoin(broadcast(hraw.agg(max("hraw").as("hmax"))))
-        .select(col("vertex"),
-          when(col("hmax") > 0, col("hraw") / col("hmax")).otherwise(0.0)
-            .as("hub"))
+        .localCheckpoint()
+      val hmax = scalarMax(hraw, "hraw")
+      val hub1 = hraw.select(col("vertex"),
+        when(lit(hmax) > 0, col("hraw") / lit(hmax)).otherwise(0.0)
+          .as("hub"))
       state = hub1.join(auth, "vertex").localCheckpoint()
     }
     state.select(col("vertex"), col("hub"), col("auth"))

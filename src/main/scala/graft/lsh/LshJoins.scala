@@ -163,15 +163,34 @@ object LshJoins {
       .withColumn("__n", size(col("__idx")))
       .withColumn("__sig", sig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r14 (guide §2.4 — remove shuffles outright): candidate DEDUP is a
+    // scalar predicate, not an exchange. A pair sharing k > 1 of the
+    // numTables (table, minhash) buckets used to emerge k times from the
+    // bucket join and pay a dropDuplicates shuffle over the full candidate
+    // multiset (the one exchange the pair stream crossed — candidates ≫
+    // corpus on any near-dup-rich input). Carrying each side's signature
+    // array through the explode (numTables longs per bucket row — corpus-
+    // side, bounded) lets the join keep a pair ONLY in its first matching
+    // table: graft_first_eq_slot(sig_a, sig_b) == __t. Exactly one survivor
+    // per candidate pair, identical pair set, zero pair-stream exchanges.
+    // The size-ratio prebound (J ≤ min/max ⇒ dist ≥ 1 − min/max) also moves
+    // INTO the join filter, so hopeless pairs die before the attrs attach.
     val buckets = hashed
-      .select(col(idCol).as("__bid"), posexplode(col("__sig")).as(Seq("__t", "__h")))
+      .select(col(idCol).as("__bid"), col("__n"), col("__sig"),
+        posexplode(col("__sig")).as(Seq("__t", "__h")))
     val a = buckets.alias("a")
     val b = buckets.alias("b")
+    val firstEq = org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.FirstEqSlot(
+        org.apache.spark.sql.graft.bridge.expression(col("a.__sig")),
+        org.apache.spark.sql.graft.bridge.expression(col("b.__sig"))))
     val cand = a.join(b,
         col("a.__t") === col("b.__t") && col("a.__h") === col("b.__h") &&
-        col("a.__bid") < col("b.__bid"))
+        col("a.__bid") < col("b.__bid") &&
+        lit(1.0) - least(col("a.__n"), col("b.__n")).cast("double")
+          / greatest(col("a.__n"), col("b.__n")) < threshold + 1e-9)
+      .filter(firstEq === col("a.__t"))
       .select(col("a.__bid").as("pk1"), col("b.__bid").as("pk2"))
-      .dropDuplicates("pk1", "pk2")
     val attrs = hashed.select(col(idCol), col("__n"), col("__idx"))
     val inter = org.apache.spark.sql.graft.bridge.column(
       graft.expressions.SortedLongInterCount(
@@ -188,11 +207,6 @@ object LshJoins {
         col("__idx").as("__i1")), "pk1")
       .join(attrs.select(col(idCol).as("pk2"), col("__n").as("__n2"),
         col("__idx").as("__i2")), "pk2")
-      // size-ratio prefilter (J ≤ min/max): same predicate and slack as the
-      // former standalone pre-join stage, now a free scalar Filter — skips
-      // the merge-count for hopeless pairs without its own exchanges
-      .filter(lit(1.0) - least(col("__n1"), col("__n2")).cast("double")
-                / greatest(col("__n1"), col("__n2")) < threshold + 1e-9)
       .withColumn("__inter", inter)
       // 1 − |∩|/|∪| with long/long → double division: bit-identical to the
       // previous jaccardDistance UDF's inter.toDouble / union

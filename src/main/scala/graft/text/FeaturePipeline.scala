@@ -85,9 +85,42 @@ object FeaturePipeline {
   }
 
   /** Fit + transform, returning the input columns plus `cfg.outputCol`
-    * (intermediate __-prefixed columns dropped). */
+    * (intermediate __-prefixed columns dropped).
+    *
+    * r14 (guide §4.1): the plain HashingTF(±IDF) shape — every featurizing
+    * registry query except the CountVectorizer gates — runs through the
+    * native [[graft.expressions.CleanTokenTf]] / [[graft.expressions.IdfScale]]
+    * codegen kernels instead of the stock 4-UDF transformer chain, which
+    * evaluated two Java-regex passes plus three boxed per-row UDFs over
+    * every document TWICE per featurization (once under the IDF fit's scan,
+    * once in the transform). Output is bit-identical (TfIdfKernelsSpec
+    * full-corpus parity; q_tfidf_features/q_billmatch oracles + the four
+    * pinned fits gate it end-to-end): the TF vector is HashingTF's exact
+    * SparseVector (ascending murmur3 buckets, integer counts), the idf
+    * vector comes from the SAME stock IDF estimator over those TF vectors,
+    * and the scaling replays mllib IDFModel.transform multiply-for-multiply.
+    * Stemming / n-gram / CountVectorizer configs keep the stock pipeline. */
   def features(df: DataFrame, cfg: FeatureConfig): DataFrame =
-    fitTransform(df, cfg)._2
+    if (cfg.useCountVectorizer || cfg.useStemming || cfg.addNGramFeatures)
+      fitTransform(df, cfg)._2
+    else {
+      import org.apache.spark.sql.graft.bridge
+      val stop = StopWordsRemover.loadDefaultStopWords("english") ++
+        cfg.extraStopWords
+      val tfCol = bridge.column(graft.expressions.CleanTokenTf(
+        bridge.expression(lower(col(cfg.inputCol))),
+        cfg.numTextFeatures, stop.toSeq))
+      if (!cfg.useIdf) df.withColumn(cfg.outputCol, tfCol)
+      else {
+        val withTf = df.withColumn("__tf", tfCol)
+        val idfModel = new IDF().setInputCol("__tf").setOutputCol(cfg.outputCol)
+          .setMinDocFreq(cfg.minDocFreq).fit(withTf)
+        withTf
+          .withColumn(cfg.outputCol, bridge.column(graft.expressions.IdfScale(
+            bridge.expression(col("__tf")), idfModel.idf.toArray)))
+          .drop("__tf")
+      }
+    }
 
   def fitTransform(df: DataFrame, cfg: FeatureConfig): (PipelineModel, DataFrame) = {
     val cleaned = df.withColumn("__clean",

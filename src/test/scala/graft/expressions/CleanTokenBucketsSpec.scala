@@ -23,8 +23,11 @@ class CleanTokenBucketsSpec extends SparkSpec {
   }
 
   private def pipelineSets(df: org.apache.spark.sql.DataFrame, n: Int) = {
-    val feats = FeaturePipeline.features(df,
-      FeatureConfig(numTextFeatures = n, useIdf = false))
+    // fitTransform = the STOCK transformer chain (r14: `features` itself now
+    // routes hashing configs through the CleanTokenTf kernel, so the parity
+    // reference must name the stock path explicitly)
+    val feats = FeaturePipeline.fitTransform(df,
+      FeatureConfig(numTextFeatures = n, useIdf = false))._2
     val nz = org.apache.spark.sql.graft.bridge.column(
       VectorNzIndices(
         org.apache.spark.sql.graft.bridge.expression(col("features"))))
