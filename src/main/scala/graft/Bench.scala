@@ -80,6 +80,9 @@ object Bench {
   private def timeOnce(spark: SparkSession, sfDir: String, name: String,
                        fn: (SparkSession, String) => DataFrame,
                        prepare: () => Unit): Double = {
+    // Label prepare's jobs separately (ADVICE r13: they used to inherit the
+    // PREVIOUS query's "bench:" label in the event log).
+    spark.sparkContext.setJobDescription(s"prepare:$name")
     prepare()
     // Label the jobs of each measured query (guide §1.5) so an event-log /
     // UI reading of a bench run attributes stages to queries by name.
@@ -96,7 +99,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] $name failed: ${e.getMessage}")
     }
-    (System.nanoTime() - t0) / 1e9
+    val dt = (System.nanoTime() - t0) / 1e9
+    // clear the label so post-bench jobs don't inherit the last query's
+    // "bench:" group (ADVICE r13); outside the timed region
+    spark.sparkContext.setJobDescription(null)
+    dt
   }
 
   /** Stall-robust best-of-reps. This VM stalls in minutes-long bursts

@@ -78,7 +78,16 @@ object LshJoins {
     * [[graft.expressions.CleanTokenBuckets]] output). Identical candidates,
     * distances and output to [[minHashSelfJoin]] over the binary-TF vector
     * of the same set (same hash family via [[mlCoefficients]]); skips the
-    * ML vector entirely — the 100 TB ingest shape for set similarity. */
+    * ML vector entirely — the 100 TB ingest shape for set similarity.
+    *
+    * ELEMENT DOMAIN (ADVICE r13): set elements must be SMALL indices
+    * (< 2^31 — e.g. CleanTokenBuckets / VectorNzIndices output, whose
+    * values are feature positions). The ML-family affine hash
+    * a·i + (a + b) overflows Long around element values ≥ ~2^22·P, so
+    * feeding full-width xxhash64 shingle ids (the repo's OTHER set
+    * representation — use [[graft.dedup.MinHashDedup]] for those, whose
+    * family reduces ids mod P first) would silently produce out-of-family
+    * signatures; the exact verify masks that as pure recall loss. */
   def minHashSelfJoinSets(df: DataFrame, idCol: String, setCol: String,
                           threshold: Double, numTables: Int = 16,
                           seed: Long = 12345L): DataFrame =

@@ -65,11 +65,28 @@ object AnalyticsQueries {
       FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE levenshtein(a.s, b.s) <= 11
       ORDER BY d1, d2""") { (s, d) =>
+      // r14 (guide §2.5): `lang` has a handful of values, and the per-lang
+      // quadratic Levenshtein kernel is byte-light but CPU-dense — AQE
+      // coalesced the few-hundred-KB lang shuffle to ONE partition and the
+      // whole join ran as a single 37 s CPU task (event-log profiled). A
+      // deterministic sub-block fan-out re-parallelizes it: one side hashed
+      // into S buckets by doc id, the other exploded across all S, join on
+      // (lang, bucket) — every pair meets exactly once, same pair set, S-way
+      // parallel. xxhash64(doc_id), never rand() (retry-safe, §2.5).
+      val S = 32
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), substring(col("text"), 1, 25).as("s"))
-      val a = t.alias("a")
-      val b = t.alias("b")
-      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      // spread: the single-file fixture otherwise pins the broadcast-join
+      // probe side to ONE scan partition — the fan-out key alone cannot
+      // re-parallelize a map-side join (no-op on any well-split table)
+      val a = Tables.spread(t)
+        .withColumn("__bk", pmod(xxhash64(col("doc_id")), lit(S.toLong)))
+        .alias("a")
+      val b = t.withColumn("__bk",
+          explode(sequence(lit(0L), lit(S.toLong - 1)))).alias("b")
+      a.join(b, col("a.lang") === col("b.lang") &&
+          col("a.__bk") === col("b.__bk") &&
+          col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           levenshtein(col("a.s"), col("b.s")).as("dist"))
         .filter(col("dist") <= 11)

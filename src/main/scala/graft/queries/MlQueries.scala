@@ -209,9 +209,13 @@ object MlQueries {
              GROUP BY db.doc_id)
       SELECT d.doc_id, CAST(COALESCE(nz.nnz, 0) AS INTEGER) AS nnz
       FROM documents d LEFT JOIN nz USING (doc_id) ORDER BY doc_id""") { (s, d) =>
-      val numNonzeros = udf((v: Vector) => v.numNonzeros)
+      // r14: numNonzeros as size(graft_vector_nz_indices) — the same
+      // values-!=-0 count the UDF computed, with zero UDFs left on the path
+      val nnz = size(org.apache.spark.sql.graft.bridge.column(
+        graft.expressions.VectorNzIndices(
+          org.apache.spark.sql.graft.bridge.expression(col("features")))))
       featurized(s, d)
-        .select(col("doc_id"), numNonzeros(col("features")).as("nnz"))
+        .select(col("doc_id"), nnz.as("nnz"))
         .orderBy("doc_id")
     },
 
@@ -227,9 +231,11 @@ object MlQueries {
              x -> x <> '' AND x NOT IN (${MlQueries.stopwordSqlList}))) AS INTEGER) AS nnz
       FROM documents ORDER BY doc_id""") { (s, d) =>
       val cfg = FeatureConfig(useCountVectorizer = true, vocabLimit = 1 << 18, useIdf = false)
-      val numNonzeros = udf((v: Vector) => v.numNonzeros)
+      val nnz = size(org.apache.spark.sql.graft.bridge.column(
+        graft.expressions.VectorNzIndices(
+          org.apache.spark.sql.graft.bridge.expression(col("features")))))
       FeaturePipeline.features(spread(Tables.documents(s, d)), cfg)
-        .select(col("doc_id"), numNonzeros(col("features")).as("nnz"))
+        .select(col("doc_id"), nnz.as("nnz"))
         .orderBy("doc_id")
     },
 
@@ -388,6 +394,12 @@ object MlQueries {
       // set path with the same seed-derived hash family. The former shape
       // paid two full regex passes plus three boxed ML UDFs per document
       // (~35 s CPU per bench pass at sf0.1); output hash-unchanged.
+      // PARITY SCOPE (ADVICE r13): "identical set" holds for ASCII text —
+      // on non-ASCII input the kernel follows the oracle's ASCII/RE2 \b
+      // semantics where the stock Java pipeline keeps 1-2 char runs
+      // adjacent to accented letters (divergence pinned in
+      // CleanTokenBucketsSpec); a corpus regen with non-ASCII text must
+      // not be certified against the stale hash-unchanged claim.
       val buckets = org.apache.spark.sql.graft.bridge.column(
         graft.expressions.CleanTokenBuckets(
           org.apache.spark.sql.graft.bridge.expression(lower(col("text"))),
@@ -1157,10 +1169,27 @@ object MlQueries {
         .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("c"))
       val nrm = tf.groupBy("doc_id")
         .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
-      val a = tf.alias("a")
-      val b = tf.alias("b")
+      // r14 (guide §2.5, the c46d6d4/q_edit_distance class): the (token,
+      // lang) key space is tiny and byte-light but the join's QUADRATIC
+      // per-token expansion is CPU-dense — AQE coalesced the few-hundred-KB
+      // exchange to ONE partition and the whole expansion + partial dot agg
+      // ran as a single 2.7 s task (event-log profiled). A deterministic
+      // S-way sub-bucket on one side (exploded on the other) re-keys the
+      // join, and the EXPLICIT repartition(S, keys) — which AQE never
+      // coalesces and the join reuses — pins the expansion stage at S
+      // parallel tasks. Each (a-row, b-row) token pair still meets exactly
+      // once, and the dot is an integer SUM (order-free), so values are
+      // bit-identical.
+      val S = 32
+      val a = tf
+        .withColumn("__bk", pmod(xxhash64(col("doc_id")), lit(S.toLong)))
+        .repartition(S, col("token"), col("lang"), col("__bk")).alias("a")
+      val b = tf
+        .withColumn("__bk", explode(sequence(lit(0L), lit(S.toLong - 1))))
+        .repartition(S, col("token"), col("lang"), col("__bk")).alias("b")
       val dots = a.join(b,
           col("a.token") === col("b.token") && col("a.lang") === col("b.lang") &&
+          col("a.__bk") === col("b.__bk") &&
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(sum(col("a.c") * col("b.c")).cast("double").as("dot"))

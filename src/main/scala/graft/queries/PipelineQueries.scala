@@ -673,8 +673,16 @@ object PipelineQueries {
         .join(corpusSk.select(col("__id"), col("__sids").as("t2")), "__id")
         .select(col("__band"), col("__bh"), col("t2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // r14 (guide §2.5 input skew): the stream source delivers each
+      // micro-batch as ONE partition, so the sketch → band-explode → join →
+      // exact-Jaccard verify all ran as a single 4 s CPU task (event-log
+      // profiled; AQE is off inside this stateful stream, so nothing
+      // re-splits it). An explicit hash repartition on the batch key fans
+      // the per-batch work across the executor slots; the downstream
+      // stateful count is keyed per doc, so output is unchanged.
       val streamCands = MinHashDedup.sketch(
-          Streaming.docStream(s, d).filter(col("doc_id") % 4 === 0), cfg)
+          Streaming.docStream(s, d).filter(col("doc_id") % 4 === 0)
+            .repartition(32, col("doc_id")), cfg)
         .select(col("__id").as("doc_id"), col("__sids").as("t1"),
           explode(col("__bands")).as("__b"))
         .select(col("doc_id"), col("t1"),

@@ -14,9 +14,16 @@ import json, glob, collections, subprocess, sys
 
 pat = sys.argv[1] if len(sys.argv) > 1 else '/tmp/evlog/*/events*'
 mind = float(sys.argv[2]) if len(sys.argv) > 2 else 0.08
-f = sorted(glob.glob(pat))[-1]
+matches = sorted(glob.glob(pat))
+if not matches:  # ADVICE r13: clear message instead of an opaque IndexError
+    sys.exit(f"parse_evlog: no event logs match {pat!r} — "
+             "run with SPARK_GRAFT_EVENTLOG_DIR set, and quote the glob")
+f = matches[-1]
 print('log:', f)
-txt = subprocess.run(['unzstd', '-c', f], capture_output=True).stdout.decode()
+if f.endswith('.zstd'):
+    txt = subprocess.run(['unzstd', '-c', f], capture_output=True).stdout.decode()
+else:  # uncompressed event log (spark.eventLog.compress off)
+    txt = open(f, encoding='utf-8', errors='replace').read()
 stages, props, accum = {}, {}, {}
 for line in txt.splitlines():
     try:
