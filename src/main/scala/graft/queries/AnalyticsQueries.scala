@@ -73,7 +73,9 @@ object AnalyticsQueries {
       // into S buckets by doc id, the other exploded across all S, join on
       // (lang, bucket) — every pair meets exactly once, same pair set, S-way
       // parallel. xxhash64(doc_id), never rand() (retry-safe, §2.5).
-      val S = 32
+      // S scales with the executor slots (values are per-pair scalars, so
+      // the result is S-independent); never a constant tuned for one host.
+      val S = s.sparkContext.defaultParallelism
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), substring(col("text"), 1, 25).as("s"))
       // spread: the single-file fixture otherwise pins the broadcast-join

@@ -1179,8 +1179,9 @@ object MlQueries {
       // coalesces and the join reuses — pins the expansion stage at S
       // parallel tasks. Each (a-row, b-row) token pair still meets exactly
       // once, and the dot is an integer SUM (order-free), so values are
-      // bit-identical.
-      val S = 32
+      // bit-identical (and S-independent — S follows the executor slots,
+      // never a constant tuned for one host).
+      val S = s.sparkContext.defaultParallelism
       val a = tf
         .withColumn("__bk", pmod(xxhash64(col("doc_id")), lit(S.toLong)))
         .repartition(S, col("token"), col("lang"), col("__bk")).alias("a")

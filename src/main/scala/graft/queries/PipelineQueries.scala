@@ -682,7 +682,7 @@ object PipelineQueries {
       // stateful count is keyed per doc, so output is unchanged.
       val streamCands = MinHashDedup.sketch(
           Streaming.docStream(s, d).filter(col("doc_id") % 4 === 0)
-            .repartition(32, col("doc_id")), cfg)
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")), cfg)
         .select(col("__id").as("doc_id"), col("__sids").as("t1"),
           explode(col("__bands")).as("__b"))
         .select(col("doc_id"), col("t1"),
